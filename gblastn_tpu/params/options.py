@@ -1,0 +1,115 @@
+"""Search options with per-task defaults.
+
+Mirrors the option surface of the reference CLI / options handles
+(reference: /root/reference/c++/src/algo/blast/api/blast_nucl_options.cpp:58-240
+and /root/reference/c++/include/algo/blast/core/blast_options.h:58-147) as a
+single flat frozen dataclass. Tasks:
+
+* ``megablast``: word 28, reward/penalty 1/-2, linear (greedy) gap costs,
+  greedy extension, X-drops 20/25/100 bits.
+* ``blastn``:    word 11, reward/penalty 2/-3, gap costs 5/2, dynamic
+  programming extension, X-drops 20/30/100 bits.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from enum import Enum
+
+
+class Task(str, Enum):
+    MEGABLAST = "megablast"
+    BLASTN = "blastn"
+
+
+class ExtensionMethod(str, Enum):
+    GREEDY = "greedy"        # eGreedyScoreOnly / eGreedyTbck
+    DYN_PROG = "dyn_prog"    # eDynProgScoreOnly / eDynProgTbck
+
+
+@dataclass(frozen=True)
+class SearchOptions:
+    task: Task = Task.MEGABLAST
+    word_size: int = 28
+    lut_word_size: int = 0          # 0 = choose automatically (lut builder)
+    reward: int = 1
+    penalty: int = -2
+    gap_open: int = 0
+    gap_extend: int = 0
+    gapped: bool = True
+    extension_method: ExtensionMethod = ExtensionMethod.GREEDY
+
+    # X-dropoffs, in bits (converted to raw scores by derived params).
+    x_dropoff_ungapped: float = 20.0    # BLAST_UNGAPPED_X_DROPOFF_NUCL
+    gap_x_dropoff: float = 25.0         # BLAST_GAP_X_DROPOFF_GREEDY
+    gap_x_dropoff_final: float = 100.0  # BLAST_GAP_X_DROPOFF_FINAL_NUCL
+    gap_trigger: float = 27.0           # BLAST_GAP_TRIGGER_NUCL, bits
+
+    # Hit saving
+    evalue: float = 10.0
+    hitlist_size: int = 500
+    max_hsps_per_subject: int = 0       # 0 = unlimited
+    percent_identity: float = 0.0
+    min_diag_separation: int = 6        # 50 for blastn
+    cutoff_score: int = 0               # 0 = derive from evalue
+    low_score_perc: float = 0.15
+    max_target_seqs: int | None = None  # alias of hitlist_size at CLI level
+
+    # Query handling
+    strand: str = "both"                # both|plus|minus
+    dust: bool = True
+    window_masker_db: str | None = None
+    window_size: int = 0                # two-hit window; 0 = one-hit
+
+    # Effective length overrides
+    db_length_override: int = 0
+    db_num_seqs_override: int = 0
+    searchsp_override: int = 0
+
+    def replace(self, **kw) -> "SearchOptions":
+        return dataclasses.replace(self, **kw)
+
+    def validate(self) -> None:
+        if self.word_size < 4:
+            raise ValueError("word_size must be >= 4")
+        if self.reward <= 0 or self.penalty >= 0:
+            raise ValueError("reward must be > 0 and penalty < 0")
+        if self.strand not in ("both", "plus", "minus"):
+            raise ValueError(f"bad strand {self.strand}")
+
+
+def megablast_options(**overrides) -> SearchOptions:
+    """SetTraditionalMegablastDefaults (blast_nucl_options.cpp:85-105)."""
+    return SearchOptions(
+        task=Task.MEGABLAST,
+        word_size=28,
+        reward=1,
+        penalty=-2,
+        gap_open=0,
+        gap_extend=0,
+        extension_method=ExtensionMethod.GREEDY,
+        gap_x_dropoff=25.0,
+        min_diag_separation=6,
+    ).replace(**overrides)
+
+
+def blastn_options(**overrides) -> SearchOptions:
+    """SetTraditionalBlastnDefaults (blast_nucl_options.cpp:63-83)."""
+    return SearchOptions(
+        task=Task.BLASTN,
+        word_size=11,
+        reward=2,
+        penalty=-3,
+        gap_open=5,
+        gap_extend=2,
+        extension_method=ExtensionMethod.DYN_PROG,
+        gap_x_dropoff=30.0,
+        min_diag_separation=50,
+    ).replace(**overrides)
+
+
+def options_for_task(task: str | Task, **overrides) -> SearchOptions:
+    task = Task(task)
+    if task is Task.MEGABLAST:
+        return megablast_options(**overrides)
+    return blastn_options(**overrides)
