@@ -37,7 +37,8 @@ for _b, _n in enumerate(BLASTNA_TO_NCBI4NA):
 IUPACNA_TO_BLASTNA = np.full(256, 14, dtype=np.uint8)
 for _i, _ch in enumerate(BLASTNA_TO_IUPACNA):
     IUPACNA_TO_BLASTNA[_ch] = _i
-    IUPACNA_TO_BLASTNA[_ch + 32] = _i  # lowercase
+    if chr(_ch).isalpha():
+        IUPACNA_TO_BLASTNA[_ch + 32] = _i  # lowercase
 IUPACNA_TO_BLASTNA[ord("U")] = 3  # RNA
 IUPACNA_TO_BLASTNA[ord("u")] = 3
 

@@ -1,0 +1,204 @@
+"""Nucleotide lookup-table builder (host side, NumPy).
+
+TPU-shaped replacement for the reference lookup tables (reference:
+/root/reference/c++/src/algo/blast/core/blast_nalookup.c). Where NCBI uses
+three table kinds (SmallNa Int2 backbone+overflow :384, thick-backbone
+NaLookup :554, megablast hashtable + next_pos linked chains :941), we use a
+single **CSR direct-address table** for every width:
+
+* ``counts_offsets``: int32[4^w + 1] -- prefix sums; ``offsets[x+1]-offsets[x]``
+  is the number of query positions whose w-mer equals x (this subsumes the
+  PV-presence-bit array: count==0 <=> PV bit clear);
+* ``positions``: int32[n] -- query offsets (into the concatenated query
+  block), ordered ascending within a word.
+
+The linked-list chain layout of the reference pessimizes even GPUs (the
+reference's own kernel walks hash chains one element at a time,
+gpu_blastn_lookup_hash_kernel_v3.cuh:4-34); CSR turns seed resolution into
+two gathers plus an indexed gather per slot, which XLA/Pallas vectorize.
+
+Width selection and scan stride replicate ``BlastChooseNaLookupTable``
+(blast_nalookup.c:51-140, including the reference's G-BLASTN modification
+that forces width 11 for word_size 11 once >= 12000 entries) and
+``scan_step = word_size - lut_word + 1`` (blast_nalookup.c:1095).
+
+Indexed positions replicate ``BlastLookupIndexQueryExactMatches``
+(blast_lookup.c:84) / ``s_FillContigMBTable`` (blast_nalookup.c:1105):
+within every unmasked location of length >= word_size, every offset q such
+that query[q : q+w] is ambiguity-free is indexed.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+BITS_PER_NUC = 2
+
+
+@dataclass(frozen=True)
+class LookupTable:
+    word_size: int          # full word size W (e.g. 28 megablast, 11 blastn)
+    lut_word_size: int      # indexed width w <= W
+    scan_step: int          # subject scan stride = W - w + 1
+    counts_offsets: np.ndarray   # int32[4^w + 1]
+    positions: np.ndarray        # int32[total_positions]
+    max_positions_per_word: int  # longest chain
+
+    @property
+    def table_size(self) -> int:
+        return 1 << (BITS_PER_NUC * self.lut_word_size)
+
+    @property
+    def num_positions(self) -> int:
+        return int(len(self.positions))
+
+
+def choose_lut_width(word_size: int, approx_table_entries: int) -> int:
+    """Replicates BlastChooseNaLookupTable's width choice
+    (blast_nalookup.c:51-190, with the G-BLASTN word-11 modification)."""
+    w = word_size
+    n = approx_table_entries
+    if w <= 6:
+        return w
+    if w == 7:
+        return 6 if n < 250 else 7
+    if w == 8:
+        return 7 if n < 8500 else 8
+    if w == 9:
+        return 7 if n < 1250 else (8 if n < 21000 else 9)
+    if w == 10:
+        if n < 1250:
+            return 7
+        if n < 8500:
+            return 8
+        if n < 18000:
+            return 9
+        return 10
+    if w == 11:
+        # G-BLASTN (kyzhao 2013.7.23) forces width 11 above the SmallNa
+        # cutoff rather than NCBI's 10/11 split.
+        return 8 if n < 12000 else 11
+    if w == 12:
+        if n < 8500:
+            return 8
+        if n < 18000:
+            return 9
+        if n < 60000:
+            return 10
+        if n < 900000:
+            return 11
+        return 12
+    # word size > 12 (megablast word 28 lands here)
+    if n < 8500:
+        return 8
+    if n < 300000:
+        return 11
+    return 12
+
+
+def build_lookup_table(
+    query_buffer: np.ndarray,
+    locations: list[tuple[int, int]],
+    word_size: int,
+    lut_word_size: int = 0,
+) -> LookupTable:
+    """Build the CSR lookup table over the concatenated query block.
+
+    ``locations`` are inclusive [from, to] unmasked ranges in the buffer
+    (the complement of masked/sentinel regions). ``lut_word_size=0`` selects
+    the width automatically from the approximate number of entries.
+    """
+    buf = np.asarray(query_buffer, dtype=np.uint8)
+    approx_entries = sum(max(0, b - a + 1) for a, b in locations)
+    w = lut_word_size or choose_lut_width(word_size, approx_entries)
+    if w > word_size:
+        raise ValueError("lut_word_size cannot exceed word_size")
+    table_size = 1 << (BITS_PER_NUC * w)
+
+    words_list: list[np.ndarray] = []
+    pos_list: list[np.ndarray] = []
+    for a, b in locations:
+        # Locations shorter than the full word can never seed a hit
+        # (blast_nalookup.c:1160, blast_lookup.c:103).
+        if word_size > b - a + 1:
+            continue
+        n = b - a + 1
+        seq = buf[a: b + 1].astype(np.int64)
+        valid_base = seq < 4
+        # Rolling word values at each start position a..b-w+1.
+        num_words = n - w + 1
+        if num_words <= 0:
+            continue
+        # word_valid[q] = all bases q..q+w-1 are unambiguous
+        cumsum = np.concatenate([[0], np.cumsum(valid_base)])
+        word_valid = (cumsum[w:] - cumsum[:-w]) == w
+        # Build word codes with a strided dot (vectorized).
+        weights = 4 ** np.arange(w - 1, -1, -1, dtype=np.int64)
+        # matrix of windows via stride tricks
+        windows = np.lib.stride_tricks.sliding_window_view(seq, w)
+        codes = (windows * weights).sum(axis=1)
+        codes = np.where(word_valid, codes, 0)
+        q_off = np.arange(a, a + num_words, dtype=np.int64)
+        words_list.append(codes[word_valid])
+        pos_list.append(q_off[word_valid])
+
+    if words_list:
+        all_words = np.concatenate(words_list)
+        all_pos = np.concatenate(pos_list)
+    else:
+        all_words = np.zeros(0, dtype=np.int64)
+        all_pos = np.zeros(0, dtype=np.int64)
+
+    counts = np.bincount(all_words, minlength=table_size).astype(np.int64)
+    offsets = np.zeros(table_size + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    # Order positions ascending within each word via a stable argsort.
+    order = np.argsort(all_words, kind="stable")
+    positions = all_pos[order]
+
+    max_chain = int(counts.max()) if len(counts) and counts.max() else 0
+    return LookupTable(
+        word_size=word_size,
+        lut_word_size=w,
+        scan_step=word_size - w + 1,
+        counts_offsets=offsets.astype(np.int32),
+        positions=positions.astype(np.int32),
+        max_positions_per_word=max_chain,
+    )
+
+
+def unmasked_locations(
+    query_buffer: np.ndarray,
+    context_offsets: np.ndarray,
+    masks: list[list[tuple[int, int]]] | None = None,
+) -> list[tuple[int, int]]:
+    """Compute unmasked [from, to] locations per context.
+
+    ``masks`` (optional) holds per-context lists of inclusive masked ranges
+    in *buffer* coordinates (already offset). Sentinels between contexts
+    bound the locations; the word-validity logic in the builder handles
+    in-sequence ambiguity codes.
+    """
+    locations: list[tuple[int, int]] = []
+    n_ctx = len(context_offsets) - 1
+    for c in range(n_ctx):
+        start = int(context_offsets[c])
+        end = int(context_offsets[c + 1]) - 2  # exclusive sentinel
+        if end < start:
+            continue
+        ranges = [(start, end)]
+        if masks and masks[c]:
+            for m0, m1 in sorted(masks[c]):
+                new_ranges = []
+                for r0, r1 in ranges:
+                    if m1 < r0 or m0 > r1:
+                        new_ranges.append((r0, r1))
+                        continue
+                    if r0 < m0:
+                        new_ranges.append((r0, m0 - 1))
+                    if m1 < r1:
+                        new_ranges.append((m1 + 1, r1))
+                ranges = new_ranges
+        locations.extend(ranges)
+    return locations
