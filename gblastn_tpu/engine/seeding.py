@@ -1,0 +1,211 @@
+"""Host orchestration of the device seeding stage.
+
+Runs scan -> mini-extension -> ungapped extension on device
+(gblastn_tpu.ops.seeding) and applies the sequential per-diagonal one-hit
+filter on host, reproducing the accept/reject semantics of
+``s_BlastnDiagTableExtendInitialHit`` (reference:
+/root/reference/c++/src/algo/blast/core/na_ungapped.c:612-755, one-hit path
+window_size == 0, the default for megablast and blastn).
+
+Correctness notes proven against the reference:
+* mini-extension shifts a seed left by at most word_size - lut_word, which
+  is strictly less than the scan stride, so per-diagonal order by adjusted
+  s_off equals the reference's scan-order processing;
+* diagonal state never interacts across diagonals, so processing order
+  across diagonals is irrelevant;
+* the final init-hit ordering is a total-order sort (score desc, s_start
+  asc, length desc, q_start asc -- score_compare_match,
+  blast_extend.c:279), which we reproduce exactly.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from gblastn_tpu.ops.seeding import mini_extend, scan_block, ungapped_extend
+
+
+@dataclass
+class InitHits:
+    """Saved initial hits (BlastInitHitList analog), sorted by score order."""
+
+    q_off: np.ndarray      # seed offsets (mini-extended starts)
+    s_off: np.ndarray
+    q_start: np.ndarray    # ungapped extension data
+    s_start: np.ndarray
+    length: np.ndarray
+    score: np.ndarray
+    context: np.ndarray    # query context per hit
+    oid: np.ndarray        # subject id per hit
+
+    def __len__(self) -> int:
+        return len(self.q_off)
+
+
+@dataclass
+class SeedingDeviceData:
+    """Device-resident arrays reused across subject blocks."""
+
+    query: jnp.ndarray          # uint8[Q]
+    subject2: jnp.ndarray       # int8[S_pad]
+    subject_valid: jnp.ndarray  # bool[S_pad]
+    lut_offsets: jnp.ndarray
+    lut_positions: jnp.ndarray
+    matrix16: jnp.ndarray       # int32[16, 4]
+
+
+def _round_up_pow2(n: int, lo: int = 256) -> int:
+    m = lo
+    while m < n:
+        m *= 2
+    return m
+
+
+def sort_by_score_order(
+    score: np.ndarray, s_start: np.ndarray, length: np.ndarray,
+    q_start: np.ndarray,
+) -> np.ndarray:
+    """Index order of score_compare_match (blast_extend.c:279)."""
+    return np.lexsort((q_start, -length, s_start, -score))
+
+
+def one_hit_diag_filter(
+    q_off: np.ndarray,
+    s_off: np.ndarray,
+    oid: np.ndarray,
+    word_size: int,
+    ung_s_start: np.ndarray,
+    ung_length: np.ndarray,
+    ung_score: np.ndarray,
+    cutoff: np.ndarray,
+) -> np.ndarray:
+    """Sequential per-diagonal replay; returns boolean 'saved' mask.
+
+    Seeds must cover one subject buffer; diagonal state is keyed on
+    (oid, diag). Reference semantics (na_ungapped.c:612):
+      - skip seeds starting inside the explored area (s_off < last_hit);
+      - accepted seeds with ungapped score >= cutoff are saved and push
+        last_hit to the ungapped end; failed ones push it to seed end.
+    """
+    n = len(q_off)
+    saved = np.zeros(n, dtype=bool)
+    if n == 0:
+        return saved
+    diag = s_off.astype(np.int64) - q_off.astype(np.int64)
+    order = np.lexsort((s_off, diag, oid))
+    last_key = None
+    last_hit = 0
+    for i in order:
+        key = (int(oid[i]), int(diag[i]))
+        if key != last_key:
+            last_key = key
+            last_hit = 0
+        s = int(s_off[i])
+        if s < last_hit:
+            continue
+        if ung_score[i] >= cutoff[i]:
+            saved[i] = True
+            last_hit = int(ung_s_start[i]) + int(ung_length[i])
+        else:
+            last_hit = s + word_size
+    return saved
+
+
+def run_seeding(
+    dev: SeedingDeviceData,
+    *,
+    word_size: int,
+    lut_word: int,
+    scan_step: int,
+    subject_starts: np.ndarray,     # int64[num_subjects] base starts
+    context_offsets: np.ndarray,    # int32[n_ctx+1]
+    word_cutoffs: np.ndarray,       # int32[n_ctx] per-context word cutoff
+    x_dropoffs: np.ndarray,         # int32[n_ctx] per-context raw X-drop
+    cmax: int = 8,
+    max_cmax: int = 4096,
+) -> InitHits:
+    """Full seeding pass over one subject buffer; returns saved init hits."""
+    s_pad = int(dev.subject2.shape[0])
+    n_scan = max((s_pad - lut_word) // scan_step + 1, 1)
+
+    while True:
+        q_off, s_off, valid, n_dropped = scan_block(
+            dev.subject2, dev.subject_valid,
+            dev.lut_offsets, dev.lut_positions,
+            scan_step=scan_step, lut_word=lut_word, word_size=word_size,
+            cmax=cmax, n_scan=n_scan,
+        )
+        if int(n_dropped) == 0:
+            break
+        cmax *= 2
+        if cmax > max_cmax:
+            raise RuntimeError(
+                f"seed fan-out exceeded {max_cmax} positions per word"
+            )
+
+    q_adj, s_adj, ok = mini_extend(
+        dev.query, dev.subject2, dev.subject_valid,
+        q_off, s_off, valid, lut_word=lut_word, word_size=word_size,
+    )
+
+    # Host compaction of surviving seeds.
+    ok_np = np.asarray(ok)
+    idx = np.nonzero(ok_np)[0]
+    if len(idx) == 0:
+        z = np.zeros(0, dtype=np.int32)
+        return InitHits(z, z, z, z, z, z, z, z)
+    q_np = np.asarray(q_adj)[idx]
+    s_np = np.asarray(s_adj)[idx]
+
+    # Deduplicate identical adjusted seeds: the diag filter would drop all
+    # but the first anyway (s_off < last_hit), and duplicates arise whenever
+    # a long exact run is hit at several scan positions. Keep first in
+    # (diag, s) order, which is the scan order (see module docstring).
+    ctx = (
+        np.searchsorted(context_offsets, q_np, side="right") - 1
+    ).astype(np.int32)
+    ctx = np.clip(ctx, 0, len(word_cutoffs) - 1)
+    x_drop = x_dropoffs[ctx].astype(np.int32)
+    cutoff = word_cutoffs[ctx].astype(np.int32)
+
+    # Device ungapped extension on the compacted (padded) seed set.
+    n = len(idx)
+    cap = _round_up_pow2(n)
+    pad = cap - n
+    qp = np.concatenate([q_np, np.zeros(pad, np.int32)])
+    sp = np.concatenate([s_np, np.zeros(pad, np.int32)])
+    vp = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+    xp = np.concatenate([x_drop, np.ones(pad, np.int32)])
+    ug_q, ug_s, ug_len, ug_score = ungapped_extend(
+        dev.query, dev.subject2, dev.subject_valid, dev.matrix16,
+        jnp.asarray(qp), jnp.asarray(sp), jnp.asarray(vp), jnp.asarray(xp),
+    )
+    ug_q = np.asarray(ug_q)[:n]
+    ug_s = np.asarray(ug_s)[:n]
+    ug_len = np.asarray(ug_len)[:n]
+    ug_score = np.asarray(ug_score)[:n]
+
+    oid = (
+        np.searchsorted(subject_starts, s_np, side="right") - 1
+    ).astype(np.int32)
+
+    saved = one_hit_diag_filter(
+        q_np, s_np, oid, word_size, ug_s, ug_len, ug_score, cutoff
+    )
+    keep = np.nonzero(saved)[0]
+    order = sort_by_score_order(
+        ug_score[keep], ug_s[keep], ug_len[keep], ug_q[keep]
+    )
+    keep = keep[order]
+    return InitHits(
+        q_off=q_np[keep],
+        s_off=s_np[keep],
+        q_start=ug_q[keep],
+        s_start=ug_s[keep],
+        length=ug_len[keep],
+        score=ug_score[keep],
+        context=ctx[keep],
+        oid=oid[keep],
+    )

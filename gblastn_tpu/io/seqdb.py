@@ -95,7 +95,10 @@ class SequenceDB:
             codes = seq_to_blastna(rec.sequence)
             codes2, ambig = blastna_to_2na(codes, seed=oid)
             n = len(codes2)
-            pad = (-n) % PAD
+            # Always keep at least one pad base between subjects so the
+            # device validity mask separates them (pad plays the role of
+            # the sentinel byte in the reference's unpacked sequences).
+            pad = (-n) % PAD or PAD
             if pad:
                 codes2 = np.concatenate([codes2, np.zeros(pad, dtype=np.uint8)])
             packed_parts.append(pack_2na(codes2))
@@ -166,6 +169,21 @@ class SequenceDB:
             sel = (self.ambig_pos >= start) & (self.ambig_pos < start + n)
             seq[self.ambig_pos[sel] - start] = self.ambig_code[sel]
         return seq
+
+    def unpacked(self) -> np.ndarray:
+        """Whole padded buffer as 2-bit codes (uint8[padded_length])."""
+        return unpack_2na(self.packed, self.padded_length)
+
+    def valid_mask(self) -> np.ndarray:
+        """bool[padded_length]: True for real subject bases, False for pad.
+
+        Pad bases separate subjects and act as extension sentinels on
+        device (the unpacked-sequence sentinel byte of the reference).
+        """
+        mask = np.zeros(self.padded_length, dtype=bool)
+        for s, n in zip(self.starts, self.lengths):
+            mask[int(s): int(s) + int(n)] = True
+        return mask
 
     def oid_of_position(self, base_pos: np.ndarray) -> np.ndarray:
         """Map absolute base positions in the packed space to subject oids."""

@@ -1,0 +1,303 @@
+"""Device seeding stage: subject scan, seed resolution, mini-extension,
+and exact X-drop ungapped extension -- as fixed-shape JAX array programs.
+
+TPU-native replacement for the reference seeding pipeline
+(reference: /root/reference/c++/src/algo/blast/core/blast_nascan.c scanners,
+na_ungapped.c:1026 ``s_BlastNaExtend`` mini-extension, na_ungapped.c:152
+``s_NuclUngappedExtendExact``). Where the reference dispatches dozens of
+stride-specialized scalar scanners and the G-BLASTN CUDA port mirrors them
+as thread-per-position kernels with atomics, this implementation is three
+data-parallel array transforms:
+
+1. ``scan_block``: word codes at stride positions via a strided windowed
+   dot, CSR lookup (two gathers), fixed per-position fan-out (CMAX slots) --
+   replaces the scan + hash-chain-walk kernel pair
+   (gpu_blastn_mb_scan_kernel_v3.cuh + gpu_blastn_lookup_hash_kernel_v3.cuh).
+2. ``mini_extend``: masked windowed compare + leading-run count (cumprod),
+   replacing gpu_blastn_mini_extension_kernel_v3.cuh / s_BlastNaExtend.
+3. ``ungapped_extend``: both-direction X-drop extension as a chunked
+   prefix-scan (cumsum + running max) inside ``lax.while_loop``; exact
+   semantics of s_NuclUngappedExtendExact including first-best tie-breaks.
+
+All functions are shape-static and jittable; invalid lanes are masked, and
+out-of-range gathers are clamped with their scores forced to a large
+negative sentinel so the X-drop terminates exactly at sequence/pad bounds.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG_BIG = -(1 << 24)  # sentinel score; large but safe against int32 overflow
+
+
+def unpack_2na_device(packed: jnp.ndarray) -> jnp.ndarray:
+    """uint8 packed (4 bases/byte, first base in high bits) -> int8 codes."""
+    p = packed.astype(jnp.int32)
+    cols = jnp.stack(
+        [(p >> 6) & 3, (p >> 4) & 3, (p >> 2) & 3, p & 3], axis=-1
+    )
+    return cols.reshape(-1).astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scan_step", "lut_word", "word_size", "cmax", "n_scan"),
+)
+def scan_block(
+    subject2: jnp.ndarray,        # int8[S_pad] 2-bit codes
+    subject_valid: jnp.ndarray,   # bool[S_pad] real-base mask
+    lut_offsets: jnp.ndarray,     # int32[4^w + 1]
+    lut_positions: jnp.ndarray,   # int32[P]
+    *,
+    scan_step: int,
+    lut_word: int,
+    word_size: int,
+    cmax: int,
+    n_scan: int,
+):
+    """Scan subject at stride positions; resolve CSR seeds.
+
+    Returns (q_off, s_off, valid, n_dropped):
+      q_off/s_off: int32[n_scan * cmax] seed offsets,
+      valid:       bool[n_scan * cmax],
+      n_dropped:   int32 scalar, number of seeds beyond the CMAX fan-out
+                   (caller must retry with a larger cmax if > 0).
+    """
+    del word_size
+    pos = jnp.arange(n_scan, dtype=jnp.int32) * scan_step
+    # word validity: all lut_word bases must be real subject bases
+    offs = jnp.arange(lut_word, dtype=jnp.int32)
+    idx = pos[:, None] + offs[None, :]                     # [n_scan, w]
+    idx_c = jnp.minimum(idx, subject2.shape[0] - 1)
+    bases = subject2[idx_c].astype(jnp.int32)
+    valid_word = jnp.all(subject_valid[idx_c] & (idx == idx_c), axis=1)
+    weights = (4 ** jnp.arange(lut_word - 1, -1, -1, dtype=jnp.int32))
+    words = (bases * weights[None, :]).sum(axis=1)
+    words = jnp.where(valid_word, words, 0)
+
+    start = lut_offsets[words]
+    count = lut_offsets[words + 1] - start
+    count = jnp.where(valid_word, count, 0)
+
+    # fan out to cmax slots per scan position
+    slot = jnp.arange(cmax, dtype=jnp.int32)
+    take = slot[None, :] < count[:, None]                  # [n_scan, cmax]
+    pidx = jnp.minimum(start[:, None] + slot[None, :],
+                       lut_positions.shape[0] - 1)
+    q_off = lut_positions[pidx]
+    s_off = jnp.broadcast_to(pos[:, None], take.shape)
+    n_dropped = jnp.maximum(count - cmax, 0).sum()
+    return (
+        q_off.reshape(-1).astype(jnp.int32),
+        s_off.reshape(-1).astype(jnp.int32),
+        take.reshape(-1),
+        n_dropped.astype(jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("lut_word", "word_size"))
+def mini_extend(
+    query: jnp.ndarray,           # uint8[Q] BLASTNA codes (sentinels = 15)
+    subject2: jnp.ndarray,        # int8[S_pad]
+    subject_valid: jnp.ndarray,   # bool[S_pad]
+    q_off: jnp.ndarray,
+    s_off: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    lut_word: int,
+    word_size: int,
+):
+    """Extend lut_word seeds to full word_size by exact matching
+    (s_BlastNaExtend, na_ungapped.c:1026).
+
+    Returns (q_adj, s_adj, ok): seed start shifted left by the left
+    extension length; ok = seed survives (ext_left + ext_right >= W - w).
+    """
+    ext_to = word_size - lut_word
+    if ext_to == 0:
+        return q_off, s_off, valid
+
+    S = subject2.shape[0]
+    Q = query.shape[0]
+    steps = jnp.arange(1, ext_to + 1, dtype=jnp.int32)
+
+    # left: compare q_off-i vs s_off-i for i = 1..ext_to
+    ql = q_off[:, None] - steps[None, :]
+    sl = s_off[:, None] - steps[None, :]
+    in_l = (ql >= 0) & (sl >= 0)
+    qlc = jnp.clip(ql, 0, Q - 1)
+    slc = jnp.clip(sl, 0, S - 1)
+    m_l = (
+        in_l
+        & subject_valid[slc]
+        & (query[qlc].astype(jnp.int32) == subject2[slc].astype(jnp.int32))
+    )
+    ext_left = jnp.cumprod(m_l.astype(jnp.int32), axis=1).sum(axis=1)
+    ext_left = jnp.minimum(ext_left, ext_to)
+
+    # right: compare q_off+w+i vs s_off+w+i for i = 0..ext_to-1
+    need = ext_to - ext_left
+    stepsr = jnp.arange(ext_to, dtype=jnp.int32)
+    qr = q_off[:, None] + lut_word + stepsr[None, :]
+    sr = s_off[:, None] + lut_word + stepsr[None, :]
+    in_r = (qr < Q) & (sr < S)
+    qrc = jnp.clip(qr, 0, Q - 1)
+    src = jnp.clip(sr, 0, S - 1)
+    m_r = (
+        in_r
+        & subject_valid[src]
+        & (query[qrc].astype(jnp.int32) == subject2[src].astype(jnp.int32))
+    )
+    ext_right = jnp.cumprod(m_r.astype(jnp.int32), axis=1).sum(axis=1)
+
+    ok = valid & (ext_left + jnp.minimum(ext_right, need) >= ext_to)
+    q_adj = q_off - ext_left
+    s_adj = s_off - ext_left
+    return q_adj.astype(jnp.int32), s_adj.astype(jnp.int32), ok
+
+
+def _xdrop_direction(
+    scores_at,                    # fn(j: int32[n, K]) -> int32[n, K] scores
+    max_steps: jnp.ndarray,       # int32[n] hard bound per seed
+    x_drop: jnp.ndarray | int,    # positive magnitude
+    chunk: int,
+):
+    """Shared chunked X-drop scan. Returns (best, best_pos).
+
+    Implements the reset-at-best accumulation of s_NuclUngappedExtendExact:
+    walk j = 1.., keep running sum S_j; strict improvement records a new
+    best (score & position); stop when S_j - best < -X. Per chunk this is a
+    cumsum + associative running max; the carry is (S, best, best_pos, done).
+    """
+    n = max_steps.shape[0]
+    x = jnp.broadcast_to(jnp.asarray(x_drop, dtype=jnp.int32), (n,))
+
+    def cond(state):
+        base, _s, _b, _p, done = state
+        return jnp.logical_not(jnp.all(done))
+
+    def body(state):
+        base, s, best, best_pos, done = state
+        j = base + jnp.arange(1, chunk + 1, dtype=jnp.int32)[None, :]
+        sc = scores_at(j)
+        sc = jnp.where(j <= max_steps[:, None], sc, NEG_BIG)
+        cs = s[:, None] + jnp.cumsum(sc, axis=1)
+        runmax = jax.lax.associative_scan(jnp.maximum, cs, axis=1)
+        best_before = jnp.concatenate(
+            [best[:, None], jnp.maximum(best[:, None], runmax[:, :-1])], axis=1
+        )
+        dropped = (cs - best_before) < -x[:, None]
+        # first dropped position in this chunk (chunk if none)
+        stop = jnp.where(
+            jnp.any(dropped, axis=1), jnp.argmax(dropped, axis=1), chunk
+        ).astype(jnp.int32)
+        live = (
+            (jnp.arange(chunk, dtype=jnp.int32)[None, :] <= stop[:, None])
+            & jnp.logical_not(done)[:, None]
+        )
+        cand = jnp.where(live, cs, NEG_BIG)
+        chunk_best = jnp.max(cand, axis=1)
+        improved = chunk_best > best
+        # first position attaining the chunk max (ties keep earliest)
+        first_pos = jnp.argmax(cand == chunk_best[:, None], axis=1).astype(
+            jnp.int32
+        )
+        new_best = jnp.where(improved, chunk_best, best)
+        new_pos = jnp.where(
+            improved & jnp.logical_not(done), base + first_pos + 1, best_pos
+        )
+        now_done = done | jnp.any(dropped, axis=1) | (
+            base + chunk >= max_steps
+        )
+        last_live = jnp.where(done, s, cs[:, -1])
+        stop_s = jnp.where(
+            jnp.any(dropped, axis=1),
+            jnp.take_along_axis(cs, stop[:, None], axis=1)[:, 0],
+            last_live,
+        )
+        new_s = jnp.where(done, s, stop_s)
+        return (base + chunk, new_s, new_best, new_pos, now_done)
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        jnp.zeros(n, jnp.int32),
+        jnp.zeros(n, jnp.int32),
+        jnp.zeros(n, jnp.int32),
+        max_steps <= 0,
+    )
+    _, _, best, best_pos, _ = jax.lax.while_loop(cond, body, init)
+    return best, best_pos
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def ungapped_extend(
+    query: jnp.ndarray,           # uint8[Q] BLASTNA
+    subject2: jnp.ndarray,        # int8[S_pad]
+    subject_valid: jnp.ndarray,   # bool[S_pad]
+    matrix16: jnp.ndarray,        # int32[16, 4] BLASTNA x 2na scores
+    q_off: jnp.ndarray,           # int32[n] seed starts (mini-extended)
+    s_off: jnp.ndarray,
+    valid: jnp.ndarray,           # bool[n]
+    x_dropoff: jnp.ndarray,       # int32[n] per-seed raw X-drop magnitude
+    *,
+    chunk: int = 64,
+):
+    """Exact bidirectional X-drop ungapped extension
+    (s_NuclUngappedExtendExact, na_ungapped.c:152).
+
+    Returns (q_start, s_start, length, score) per seed. The right pass
+    starts at the seed start (re-scoring the word region); the left pass
+    starts one base before it. Scores use the BLASTNA-row matrix so query
+    ambiguity codes and sentinels score identically to the reference.
+    """
+    Q = query.shape[0]
+    S = subject2.shape[0]
+    n = q_off.shape[0]
+
+    def make_scores(sign):
+        def scores_at(j):  # j: [n, K] step index (1-based)
+            if sign < 0:
+                qi = q_off[:, None] - j
+                si = s_off[:, None] - j
+            else:
+                qi = q_off[:, None] + (j - 1)
+                si = s_off[:, None] + (j - 1)
+            inb = (qi >= 0) & (qi < Q) & (si >= 0) & (si < S)
+            qic = jnp.clip(qi, 0, Q - 1)
+            sic = jnp.clip(si, 0, S - 1)
+            sc = matrix16[query[qic].astype(jnp.int32),
+                          subject2[sic].astype(jnp.int32)]
+            ok = inb & subject_valid[sic]
+            return jnp.where(ok, sc, NEG_BIG).astype(jnp.int32)
+
+        return scores_at
+
+    max_left = jnp.where(valid, jnp.minimum(q_off, s_off), 0)
+    max_right = jnp.where(
+        valid, jnp.minimum(Q - q_off, S - s_off), 0
+    )
+
+    left_best, left_pos = _xdrop_direction(
+        make_scores(-1), max_left.astype(jnp.int32), x_dropoff, chunk
+    )
+    right_best, right_pos = _xdrop_direction(
+        make_scores(+1), max_right.astype(jnp.int32), x_dropoff, chunk
+    )
+    left_best = jnp.maximum(left_best, 0)
+    right_best = jnp.maximum(right_best, 0)
+    left_pos = jnp.where(left_best > 0, left_pos, 0)
+    right_pos = jnp.where(right_best > 0, right_pos, 0)
+
+    score = left_best + right_best
+    q_start = q_off - left_pos
+    s_start = s_off - left_pos
+    length = left_pos + right_pos
+    return (
+        q_start.astype(jnp.int32),
+        s_start.astype(jnp.int32),
+        length.astype(jnp.int32),
+        jnp.where(valid, score, 0).astype(jnp.int32),
+    )

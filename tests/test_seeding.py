@@ -1,0 +1,281 @@
+"""Device seeding stage vs the scalar oracle."""
+import numpy as np
+import pytest
+
+from oracle_seeding import (
+    matrix16x4,
+    oracle_mini_extend,
+    oracle_scan,
+    oracle_seeding_pipeline,
+    oracle_ungapped_exact,
+)
+
+import jax.numpy as jnp
+
+from gblastn_tpu.engine.seeding import (
+    SeedingDeviceData,
+    one_hit_diag_filter,
+    run_seeding,
+)
+from gblastn_tpu.io.fasta import FastaRecord
+from gblastn_tpu.io.query import build_query_block
+from gblastn_tpu.io.seqdb import SequenceDB
+from gblastn_tpu.lut.builder import build_lookup_table, unmasked_locations
+from gblastn_tpu.ops.seeding import (
+    mini_extend,
+    scan_block,
+    ungapped_extend,
+    unpack_2na_device,
+)
+
+
+def _rand_seq(rng, n):
+    return "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+
+
+def _mutate(rng, s, rate):
+    out = list(s)
+    for i in range(len(out)):
+        if rng.random() < rate:
+            out[i] = "ACGT"[rng.integers(0, 4)]
+    return "".join(out)
+
+
+def _lut_dict(lut):
+    """CSR -> {word: positions} for the oracle."""
+    d = {}
+    offs = lut.counts_offsets
+    for wd in np.nonzero(np.diff(offs))[0]:
+        d[int(wd)] = list(lut.positions[offs[wd]:offs[wd + 1]])
+    return d
+
+
+def _setup(rng, query_seqs, subject_seqs, word_size, lut_word):
+    qb = build_query_block(
+        [FastaRecord(f"q{i}", "", s.encode()) for i, s in enumerate(query_seqs)],
+        strand="both",
+    )
+    db = SequenceDB.from_records(
+        [FastaRecord(f"s{i}", "", s.encode()) for i, s in enumerate(subject_seqs)]
+    )
+    locs = unmasked_locations(qb.buffer, qb.context_offsets())
+    lut = build_lookup_table(qb.buffer, locs, word_size, lut_word)
+    return qb, db, lut
+
+
+class TestScan:
+    def test_vs_oracle(self):
+        rng = np.random.default_rng(7)
+        q = _rand_seq(rng, 300)
+        s = _rand_seq(rng, 500) + q[50:120] + _rand_seq(rng, 300)
+        qb, db, lut = _setup(rng, [q], [s], word_size=12, lut_word=6)
+        sub2 = db.unpacked()
+        valid = db.valid_mask()
+
+        n_scan = (len(sub2) - lut.lut_word_size) // lut.scan_step + 1
+        qo, so, v, dropped = scan_block(
+            jnp.asarray(sub2.astype(np.int8)), jnp.asarray(valid),
+            jnp.asarray(lut.counts_offsets), jnp.asarray(lut.positions),
+            scan_step=lut.scan_step, lut_word=lut.lut_word_size,
+            word_size=lut.word_size, cmax=16, n_scan=n_scan,
+        )
+        got = set(
+            (int(a), int(b))
+            for a, b, ok in zip(np.asarray(qo), np.asarray(so), np.asarray(v))
+            if ok
+        )
+        want = set(
+            oracle_scan(sub2, valid, _lut_dict(lut), lut.lut_word_size,
+                        lut.scan_step)
+        )
+        assert int(dropped) == 0
+        assert got == want
+        assert len(want) > 0
+
+
+class TestMiniExtend:
+    def test_vs_oracle(self):
+        rng = np.random.default_rng(3)
+        q = _rand_seq(rng, 400)
+        s = _rand_seq(rng, 200) + _mutate(rng, q, 0.05) + _rand_seq(rng, 100)
+        W, w = 16, 8
+        qb, db, lut = _setup(rng, [q], [s], W, w)
+        sub2 = db.unpacked().astype(np.int8)
+        valid = db.valid_mask()
+        hits = oracle_scan(sub2, valid, _lut_dict(lut), w, lut.scan_step)
+        assert hits
+        qo = np.array([h[0] for h in hits], dtype=np.int32)
+        so = np.array([h[1] for h in hits], dtype=np.int32)
+        v = np.ones(len(hits), dtype=bool)
+        qa, sa, ok = mini_extend(
+            jnp.asarray(qb.buffer), jnp.asarray(sub2), jnp.asarray(valid),
+            jnp.asarray(qo), jnp.asarray(so), jnp.asarray(v),
+            lut_word=w, word_size=W,
+        )
+        qa, sa, ok = np.asarray(qa), np.asarray(sa), np.asarray(ok)
+        for i, (q0, s0) in enumerate(hits):
+            want = oracle_mini_extend(qb.buffer, sub2, valid, q0, s0, w, W)
+            if want is None:
+                assert not ok[i], (i, q0, s0)
+            else:
+                assert ok[i], (i, q0, s0, want)
+                assert (qa[i], sa[i]) == want
+
+    def test_subject_boundary_blocks_extension(self):
+        # two subjects; a seed at the start of subject 2 must not extend
+        # into subject 1's padding
+        rng = np.random.default_rng(5)
+        core = _rand_seq(rng, 20)
+        q = core
+        s1 = _rand_seq(rng, 130)
+        s2 = core + _rand_seq(rng, 50)
+        W, w = 16, 8
+        qb, db, lut = _setup(rng, [q], [s1, s2], W, w)
+        sub2 = db.unpacked().astype(np.int8)
+        valid = db.valid_mask()
+        start2 = int(db.starts[1])
+        # seed: query offset of core+8 within context0 (offset 1)
+        qo = np.array([1 + 8], dtype=np.int32)
+        so = np.array([start2 + 8], dtype=np.int32)
+        qa, sa, ok = mini_extend(
+            jnp.asarray(qb.buffer), jnp.asarray(sub2), jnp.asarray(valid),
+            jnp.asarray(qo), jnp.asarray(so), jnp.ones(1, bool),
+            lut_word=w, word_size=W,
+        )
+        assert bool(np.asarray(ok)[0])
+        assert int(np.asarray(sa)[0]) == start2  # stopped at subject start
+
+
+class TestUngappedExtend:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_vs_oracle_random(self, seed):
+        rng = np.random.default_rng(seed)
+        q = _rand_seq(rng, 500)
+        s = (_rand_seq(rng, 100) + _mutate(rng, q[:300], 0.1)
+             + _rand_seq(rng, 200))
+        qb, db, _ = _setup(rng, [q], [s], 12, 12)
+        sub2 = db.unpacked().astype(np.int8)
+        valid = db.valid_mask()
+        mat = matrix16x4(1, -2)
+        n = 64
+        qo = rng.integers(1, 450, n).astype(np.int32)
+        so = rng.integers(0, 500, n).astype(np.int32)
+        xd = np.full(n, 11, dtype=np.int32)
+        gq, gs, gl, gsc = ungapped_extend(
+            jnp.asarray(qb.buffer), jnp.asarray(sub2), jnp.asarray(valid),
+            jnp.asarray(mat), jnp.asarray(qo), jnp.asarray(so),
+            jnp.ones(n, bool), jnp.asarray(xd), chunk=16,
+        )
+        gq, gs, gl, gsc = map(np.asarray, (gq, gs, gl, gsc))
+        for i in range(n):
+            want = oracle_ungapped_exact(
+                qb.buffer, sub2, valid, mat, int(qo[i]), int(so[i]), 11
+            )
+            assert (gq[i], gs[i], gl[i], gsc[i]) == want, (i, qo[i], so[i])
+
+    def test_long_perfect_extension(self):
+        # a perfect long match must extend over many while-loop chunks
+        rng = np.random.default_rng(9)
+        core = _rand_seq(rng, 3000)
+        qb, db, _ = _setup(rng, [core], [core], 12, 12)
+        sub2 = db.unpacked().astype(np.int8)
+        valid = db.valid_mask()
+        mat = matrix16x4(1, -2)
+        gq, gs, gl, gsc = ungapped_extend(
+            jnp.asarray(qb.buffer), jnp.asarray(sub2), jnp.asarray(valid),
+            jnp.asarray(mat),
+            jnp.asarray(np.array([1 + 1500], np.int32)),
+            jnp.asarray(np.array([1500], np.int32)),
+            jnp.ones(1, bool), jnp.asarray(np.array([11], np.int32)),
+            chunk=64,
+        )
+        assert int(np.asarray(gsc)[0]) == 3000
+        assert int(np.asarray(gl)[0]) == 3000
+        assert int(np.asarray(gq)[0]) == 1
+        assert int(np.asarray(gs)[0]) == 0
+
+
+class TestFullSeeding:
+    @pytest.mark.parametrize("task", ["megablast", "blastn"])
+    def test_pipeline_vs_oracle(self, task):
+        rng = np.random.default_rng(11)
+        if task == "megablast":
+            W, w, reward, penalty = 28, 11, 1, -2
+        else:
+            W, w, reward, penalty = 11, 8, 2, -3
+        q1 = _rand_seq(rng, 600)
+        q2 = _rand_seq(rng, 300)
+        s1 = (_rand_seq(rng, 150) + _mutate(rng, q1[100:400], 0.03)
+              + _rand_seq(rng, 150))
+        s2 = _mutate(rng, q2, 0.08) + _rand_seq(rng, 400)
+        qb, db, lut = _setup(rng, [q1, q2], [s1, s2], W, w)
+        sub2 = db.unpacked().astype(np.int8)
+        valid = db.valid_mask()
+        mat = matrix16x4(reward, penalty)
+        ctx_offs = qb.context_offsets()
+        n_ctx = len(qb.contexts)
+        cutoffs = np.full(n_ctx, 20 if task == "megablast" else 22, np.int32)
+        xdrops = np.full(n_ctx, 11 if task == "megablast" else 22, np.int32)
+
+        dev = SeedingDeviceData(
+            query=jnp.asarray(qb.buffer),
+            subject2=jnp.asarray(sub2),
+            subject_valid=jnp.asarray(valid),
+            lut_offsets=jnp.asarray(lut.counts_offsets),
+            lut_positions=jnp.asarray(lut.positions),
+            matrix16=jnp.asarray(mat),
+        )
+        got = run_seeding(
+            dev, word_size=W, lut_word=lut.lut_word_size,
+            scan_step=lut.scan_step,
+            subject_starts=np.asarray(db.starts),
+            context_offsets=ctx_offs,
+            word_cutoffs=cutoffs, x_dropoffs=xdrops,
+        )
+        want = oracle_seeding_pipeline(
+            qb.buffer, sub2, valid, _lut_dict(lut), lut.lut_word_size, W,
+            lut.scan_step, mat, np.asarray(db.starts), ctx_offs,
+            cutoffs, xdrops,
+        )
+        got_set = set(
+            zip(got.q_start.tolist(), got.s_start.tolist(),
+                got.length.tolist(), got.score.tolist())
+        )
+        want_set = set(
+            (h["q_start"], h["s_start"], h["length"], h["score"])
+            for h in want
+        )
+        assert len(want) > 0
+        assert got_set == want_set
+        # score-order sorted: scores non-increasing
+        assert all(np.diff(got.score) <= 0) or len(got) < 2
+
+
+class TestDiagFilter:
+    def test_explored_area(self):
+        # second seed inside the ungapped extent of a saved first seed
+        q_off = np.array([10, 28], dtype=np.int32)
+        s_off = np.array([100, 118], dtype=np.int32)
+        oid = np.zeros(2, dtype=np.int32)
+        saved = one_hit_diag_filter(
+            q_off, s_off, oid, word_size=28,
+            ung_s_start=np.array([90, 110]),
+            ung_length=np.array([60, 40]),
+            ung_score=np.array([50, 30]),
+            cutoff=np.array([20, 20]),
+        )
+        assert list(saved) == [True, False]
+
+    def test_failed_seed_blocks_smaller_region(self):
+        # failed first seed blocks only up to s_off + word
+        q_off = np.array([10, 28], dtype=np.int32)
+        s_off = np.array([100, 130], dtype=np.int32)
+        oid = np.zeros(2, dtype=np.int32)
+        saved = one_hit_diag_filter(
+            q_off, s_off, oid, word_size=28,
+            ung_s_start=np.array([90, 110]),
+            ung_length=np.array([60, 80]),
+            ung_score=np.array([10, 30]),
+            cutoff=np.array([20, 20]),
+        )
+        assert list(saved) == [False, True]
