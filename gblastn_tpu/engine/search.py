@@ -1,0 +1,157 @@
+"""End-to-end nucleotide search: the TPU analog of CLocalBlast::Run.
+
+Pipeline (reference: /root/reference/c++/src/algo/blast/api/local_blast.cpp:172
+and core/blast_engine.c):
+
+  query block -> lookup table -> derived params
+    -> device seeding (scan / mini-ext / X-drop ungapped; gblastn_tpu.ops)
+    -> host prelim gapped extension (greedy score-only)
+    -> per-query hitlist collection (hitlist_size capping)
+    -> traceback (greedy with traceback + ambiguity rescoring)
+    -> per-query e-value ranking.
+
+Coordinates in the returned HSPs are context-local (query) and
+subject-local; the formatter converts to 1-based plus-strand output.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from gblastn_tpu.engine.gapped import run_gapped_prelim
+from gblastn_tpu.engine.seeding import SeedingDeviceData, run_seeding
+from gblastn_tpu.hits import (
+    HSPList,
+    HitList,
+    hitlist_update,
+    sort_by_evalue,
+    sort_hsplists_by_evalue,
+)
+from gblastn_tpu.io.fasta import FastaRecord
+from gblastn_tpu.io.query import QueryBlock, build_query_block
+from gblastn_tpu.io.seqdb import SequenceDB
+from gblastn_tpu.lut.builder import build_lookup_table, unmasked_locations
+from gblastn_tpu.params.derived import SearchParams, derive_params
+from gblastn_tpu.params.options import SearchOptions
+from gblastn_tpu.stats.karlin import nucl_score_matrix
+from gblastn_tpu.traceback.stage import traceback_from_hsplist
+
+NEG_CLIP = -(1 << 24)
+
+
+def device_matrix16(reward: int, penalty: int) -> np.ndarray:
+    """BLASTNA x 2na score submatrix, sentinel rows clipped so int32
+    accumulation in the device X-drop scan cannot overflow."""
+    m = nucl_score_matrix(reward, penalty)[:, :4].astype(np.int64)
+    return np.clip(m, NEG_CLIP, None).astype(np.int32)
+
+
+@dataclass
+class QueryResult:
+    """Finished results for one query: HSP lists by subject, ranked."""
+
+    query_index: int
+    hsplists: list[HSPList] = field(default_factory=list)
+
+
+@dataclass
+class BlastResults:
+    qblock: QueryBlock
+    params: SearchParams
+    queries: list[QueryResult] = field(default_factory=list)
+
+
+def search(
+    records: list[FastaRecord],
+    db: SequenceDB,
+    options: SearchOptions,
+) -> BlastResults:
+    """Run a complete gapped nucleotide search (megablast greedy path)."""
+    options.validate()
+    qblock = build_query_block(records, options.strand)
+    ctx_offsets = qblock.context_offsets()
+    ctx_lengths = [c.length for c in qblock.contexts]
+
+    params = derive_params(
+        options, ctx_lengths, db.total_length, db.num_seqs
+    )
+
+    locations = unmasked_locations(qblock.buffer, ctx_offsets)
+    lut = build_lookup_table(
+        qblock.buffer, locations, options.word_size, options.lut_word_size
+    )
+
+    n_ctx = len(qblock.contexts)
+    word_cutoffs = np.array(
+        [params.contexts[c].word_cutoff_score for c in range(n_ctx)],
+        dtype=np.int32,
+    )
+    x_dropoffs = np.array(
+        [params.contexts[c].x_dropoff_ungapped for c in range(n_ctx)],
+        dtype=np.int32,
+    )
+
+    dev = SeedingDeviceData(
+        query=jnp.asarray(qblock.buffer),
+        subject2=jnp.asarray(db.unpacked().astype(np.int8)),
+        subject_valid=jnp.asarray(db.valid_mask()),
+        lut_offsets=jnp.asarray(lut.counts_offsets),
+        lut_positions=jnp.asarray(
+            lut.positions if len(lut.positions) else np.zeros(1, np.int32)
+        ),
+        matrix16=jnp.asarray(device_matrix16(options.reward, options.penalty)),
+    )
+
+    init = run_seeding(
+        dev,
+        word_size=lut.word_size,
+        lut_word=lut.lut_word_size,
+        scan_step=lut.scan_step,
+        subject_starts=db.starts,
+        context_offsets=ctx_offsets,
+        word_cutoffs=word_cutoffs,
+        x_dropoffs=x_dropoffs,
+    )
+
+    prelim_lists = run_gapped_prelim(
+        init, qblock, db.get_sequence_2na, db.starts, params
+    )
+
+    # split per-subject lists by query and collect per-query hitlists
+    # (the role of the HSP stream writer + Blast_HitListUpdate)
+    hitlist_size = options.max_target_seqs or options.hitlist_size
+    hitlists = [
+        HitList(hitlist_size=hitlist_size) for _ in range(qblock.num_queries)
+    ]
+    for lst in prelim_lists:
+        by_query: dict[int, HSPList] = {}
+        for h in lst.hsps:
+            qi = qblock.contexts[h.context].query_index
+            by_query.setdefault(qi, HSPList(oid=lst.oid)).hsps.append(h)
+        for qi, sub in by_query.items():
+            hitlist_update(hitlists[qi], sub)
+
+    # traceback stage
+    matrix = nucl_score_matrix(options.reward, options.penalty)
+    results = BlastResults(qblock=qblock, params=params)
+    subj_cache: dict[int, np.ndarray] = {}
+    for qi, hl in enumerate(hitlists):
+        qres = QueryResult(query_index=qi)
+        for lst in hl.hsplists:
+            if lst.oid not in subj_cache:
+                subj_cache[lst.oid] = db.get_sequence_blastna(lst.oid)
+            traceback_from_hsplist(
+                lst, qblock, subj_cache[lst.oid], matrix, params
+            )
+            if lst.hsps:
+                qres.hsplists.append(lst)
+        # final ranking (Blast_HSPResultsSortByEvalue)
+        for lst in qres.hsplists:
+            sort_by_evalue(lst.hsps)
+            lst.best_evalue = min(h.evalue for h in lst.hsps)
+        sort_hsplists_by_evalue(qres.hsplists)
+        del qres.hsplists[hitlist_size:]
+        results.queries.append(qres)
+    return results

@@ -52,7 +52,7 @@ class SearchOptions:
     percent_identity: float = 0.0
     min_diag_separation: int = 6        # 50 for blastn
     cutoff_score: int = 0               # 0 = derive from evalue
-    low_score_perc: float = 0.15
+    low_score_perc: float = 0.0    # off by default (calloc'd options)
     max_target_seqs: int | None = None  # alias of hitlist_size at CLI level
 
     # Query handling

@@ -1,0 +1,177 @@
+"""End-to-end megablast search tests on synthetic data.
+
+The reference's oracle is whole-search output comparison; here we build
+small synthetic genomes with planted matches whose alignments are known
+by construction, and check the full pipeline (device seeding -> greedy
+prelim -> traceback -> tabular values) produces them exactly.
+"""
+from __future__ import annotations
+
+import io
+
+import numpy as np
+import pytest
+
+from gblastn_tpu.engine.search import search
+from gblastn_tpu.format.tabular import (
+    TabularWriter,
+    evalue_string,
+    bit_score_string,
+    hsp_to_tabular,
+)
+from gblastn_tpu.io.fasta import FastaRecord
+from gblastn_tpu.io.seqdb import SequenceDB
+from gblastn_tpu.params.options import megablast_options
+
+BASES = "ACGT"
+
+
+def rand_seq(rng, n: int) -> str:
+    return "".join(BASES[i] for i in rng.integers(0, 4, n))
+
+
+def revcomp(s: str) -> str:
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    return "".join(comp[c] for c in reversed(s))
+
+
+@pytest.fixture(scope="module")
+def genome():
+    rng = np.random.default_rng(42)
+    return rand_seq(rng, 20000)
+
+
+@pytest.fixture(scope="module")
+def db(genome):
+    return SequenceDB.from_records(
+        [FastaRecord("chr1", "synthetic chromosome", genome)],
+        title="testdb",
+    )
+
+
+class TestExactMatch:
+    def test_exact_plus_match(self, genome, db):
+        q = genome[5000:5200]
+        res = search(
+            [FastaRecord("q1", "", q)], db,
+            megablast_options(evalue=10.0),
+        )
+        assert len(res.queries) == 1
+        lists = res.queries[0].hsplists
+        assert len(lists) == 1
+        hsps = lists[0].hsps
+        assert len(hsps) >= 1
+        h = hsps[0]
+        assert h.num_ident == 200
+        # megablast 1/-2: raw score 200
+        assert h.score == 200
+        tab = hsp_to_tabular(h, "q1", "chr1", 200, 20000)
+        assert (tab.qstart, tab.qend) == (1, 200)
+        assert (tab.sstart, tab.send) == (5001, 5200)
+        assert tab.align_length == 200 and tab.gaps == 0
+
+    def test_exact_minus_match(self, genome, db):
+        q = revcomp(genome[8000:8150])
+        res = search(
+            [FastaRecord("qm", "", q)], db, megablast_options()
+        )
+        h = res.queries[0].hsplists[0].hsps[0]
+        assert h.num_ident == 150
+        tab = hsp_to_tabular(h, "qm", "chr1", 150, 20000)
+        assert (tab.qstart, tab.qend) == (1, 150)
+        # minus strand: subject printed descending
+        assert (tab.sstart, tab.send) == (8150, 8001)
+
+    def test_no_hit(self, db):
+        rng = np.random.default_rng(7)
+        # random 60-mer: chance of a 28-exact-match seed is negligible
+        q = rand_seq(rng, 60)
+        res = search([FastaRecord("qr", "", q)], db, megablast_options())
+        assert res.queries[0].hsplists == []
+
+
+class TestMutatedMatch:
+    def test_substitutions(self, genome, db):
+        # plant 3 substitutions, far enough apart to stay one HSP
+        q = list(genome[1000:1400])
+        for pos in (100, 200, 300):
+            q[pos] = BASES[(BASES.index(q[pos]) + 1) % 4]
+        res = search([FastaRecord("qs", "", "".join(q))], db,
+                     megablast_options())
+        h = res.queries[0].hsplists[0].hsps[0]
+        assert h.num_ident == 397
+        assert h.q_end - h.q_off == 400
+        # score: 397 matches - 3*2 mismatch
+        assert h.score == 397 - 6
+
+    def test_deletion_gap(self, genome, db):
+        # query missing 4 bases in the middle -> one gap of 4 in query
+        q = genome[2000:2200] + genome[2204:2400]
+        res = search([FastaRecord("qd", "", q)], db, megablast_options())
+        h = res.queries[0].hsplists[0].hsps[0]
+        tab = hsp_to_tabular(h, "qd", "chr1", len(q), 20000)
+        assert tab.gaps == 4
+        # greedy traceback may split a gap when equal-scoring placements
+        # exist (reference s_ReduceGaps only merges alternating gap types)
+        assert tab.gap_opens in (1, 2)
+        assert tab.align_length == 400
+        assert h.num_ident == 396
+        # non-affine megablast scoring: 396 matches - 4 gap chars * 2.5
+        assert h.score == 386
+        assert (tab.sstart, tab.send) == (2001, 2400)
+
+    def test_two_queries(self, genome, db):
+        q1 = genome[3000:3150]
+        q2 = genome[9000:9120]
+        res = search(
+            [FastaRecord("a", "", q1), FastaRecord("b", "", q2)], db,
+            megablast_options(),
+        )
+        assert len(res.queries) == 2
+        assert res.queries[0].hsplists[0].hsps[0].num_ident == 150
+        assert res.queries[1].hsplists[0].hsps[0].num_ident == 120
+
+
+class TestFormatter:
+    def test_evalue_strings(self):
+        assert evalue_string(0.0) == "0.0"
+        assert evalue_string(1e-200) == "0.0"
+        assert evalue_string(3.4e-120) == "3e-120"
+        assert evalue_string(5.6e-10) == "6e-10"
+        assert evalue_string(0.004) == "0.004"
+        assert evalue_string(0.05) == "0.050"
+        assert evalue_string(0.5) == "0.50"
+        assert evalue_string(2.3) == "2.3"
+        assert evalue_string(15.0) == "   15"
+
+    def test_bitscore_strings(self):
+        assert bit_score_string(50.44) == "50.4"
+        assert bit_score_string(99.8) == "99.8"
+        assert bit_score_string(100.2) == " 100"
+        assert bit_score_string(370.7) == " 370"
+        assert bit_score_string(12345.6) == "1.235e+04"
+
+    def test_tabular_output(self, genome, db):
+        q = genome[5000:5200]
+        res = search([FastaRecord("q1", "my query", q)], db,
+                     megablast_options())
+        buf = io.StringIO()
+        w = TabularWriter(out=buf, commented=True, dbname="testdb")
+        h = res.queries[0].hsplists[0].hsps[0]
+        tab = hsp_to_tabular(h, "q1", "chr1", 200, 20000)
+        w.write_query_results("q1", "q1 my query", [tab])
+        w.finalize(1)
+        text = buf.getvalue()
+        lines = text.splitlines()
+        assert lines[0].startswith("# GBLASTN-TPU")
+        assert lines[1] == "# Query: q1 my query"
+        assert lines[2] == "# Database: testdb"
+        assert lines[3].startswith("# Fields: query id, subject id, ")
+        assert lines[4] == "# 1 hits found"
+        cols = lines[5].split("\t")
+        assert cols[0] == "q1" and cols[1] == "chr1"
+        assert cols[2] == "100.00"
+        assert cols[3] == "200"
+        assert cols[4] == "0" and cols[5] == "0"
+        assert cols[6:10] == ["1", "200", "5001", "5200"]
+        assert lines[6] == "# BLAST processed 1 queries"
