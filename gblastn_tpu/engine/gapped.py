@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from gblastn_tpu.gapped.dynprog import dyn_prog_nt_gapped_alignment
 from gblastn_tpu.gapped.greedy import greedy_gapped_alignment
 from gblastn_tpu.hits import (
     HSP,
@@ -38,6 +39,8 @@ from gblastn_tpu.hits import (
 from gblastn_tpu.engine.seeding import InitHits
 from gblastn_tpu.io.query import QueryBlock
 from gblastn_tpu.params.derived import SearchParams
+from gblastn_tpu.params.options import ExtensionMethod
+from gblastn_tpu.stats.karlin import nucl_score_matrix
 
 
 def get_gapped_score_one_subject(
@@ -48,10 +51,15 @@ def get_gapped_score_one_subject(
     init: InitHits,
     params: SearchParams,
 ) -> list[HSP]:
-    """BLAST_GetGappedScore (blast_gapalign.c:3233), greedy branch."""
+    """BLAST_GetGappedScore (blast_gapalign.c:3233), greedy and DP
+    branches."""
     opts = params.options
     saved: list[HSP] = []
     ctx_offsets = qblock.context_offsets()
+    matrix = (
+        nucl_score_matrix(opts.reward, opts.penalty)
+        if opts.extension_method is not ExtensionMethod.GREEDY else None
+    )
 
     for i in init_order:
         ctx = int(init.context[i])
@@ -71,17 +79,30 @@ def get_gapped_score_one_subject(
             continue
 
         cutoff = params.contexts[ctx].cutoff_score
-        # greedy seed: middle of the ungapped alignment
-        # (blast_gapalign.c:3466-3471)
-        q_off = uq_start + length // 2
-        s_off = us_start + length // 2
-
         query = qblock.buffer[q0: q0 + q_len]
-        res = greedy_gapped_alignment(
-            query, subject2, params.gap_x_dropoff,
-            opts.reward, opts.penalty, opts.gap_open, opts.gap_extend,
-            q_off, s_off, do_traceback=False,
-        )
+        if opts.extension_method is ExtensionMethod.GREEDY:
+            # greedy seed: middle of the ungapped alignment
+            # (blast_gapalign.c:3466-3471)
+            q_off = uq_start + length // 2
+            s_off = us_start + length // 2
+            res = greedy_gapped_alignment(
+                query, subject2, params.gap_x_dropoff,
+                opts.reward, opts.penalty, opts.gap_open, opts.gap_extend,
+                q_off, s_off, do_traceback=False,
+            )
+        else:
+            # DP path: start inside the first all-match byte of the seed
+            # (blast_gapalign.c:3486-3499)
+            q_off = int(init.q_off[i]) - q0
+            s_off = int(init.s_off[i]) - subject_start
+            if us_start + length >= s_off + 8:
+                q_off += 3
+                s_off += 3
+            res = dyn_prog_nt_gapped_alignment(
+                query, subject2, matrix,
+                opts.gap_open, opts.gap_extend, params.gap_x_dropoff,
+                q_off, s_off,
+            )
         if res.score >= cutoff:
             saved.append(
                 HSP(

@@ -69,6 +69,9 @@ def search(
     options: SearchOptions,
 ) -> BlastResults:
     """Run a complete gapped nucleotide search (megablast greedy path)."""
+    from gblastn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     options.validate()
     qblock = build_query_block(records, options.strand)
     ctx_offsets = qblock.context_offsets()

@@ -63,6 +63,7 @@ class HSP:
     bit_score: float = 0.0
     num_ident: int = 0
     edit_script: EditScript | None = None
+    was_cut: bool = False   # trimmed by the common-endpoint purge
 
     def copy(self) -> "HSP":
         es = list(self.edit_script) if self.edit_script is not None else None
@@ -316,6 +317,7 @@ def purge_common_endpoints(hsps: list[HSP], purge: bool) -> list[HSP]:
             h = arr[j]
             if not purge and h.q_end > arr[i].q_end:
                 _cut_edit_script(h, arr[i].q_end, arr[i].s_end, True)
+                h.was_cut = True   # caller must rescore (traceback :719)
                 out.append(h)
             j += 1
         i = j
@@ -335,6 +337,7 @@ def purge_common_endpoints(hsps: list[HSP], purge: bool) -> list[HSP]:
             h = arr[j]
             if not purge and h.q_off < arr[i].q_off:
                 _cut_edit_script(h, arr[i].q_off, arr[i].s_off, False)
+                h.was_cut = True
                 out.append(h)
             j += 1
         i = j

@@ -44,7 +44,9 @@ def unpack_2na_device(packed: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scan_step", "lut_word", "word_size", "cmax", "n_scan"),
+    static_argnames=(
+        "scan_step", "lut_word", "word_size", "cmax", "n_scan", "pos_base"
+    ),
 )
 def scan_block(
     subject2: jnp.ndarray,        # int8[S_pad] 2-bit codes
@@ -57,6 +59,7 @@ def scan_block(
     word_size: int,
     cmax: int,
     n_scan: int,
+    pos_base: int = 0,            # first scan position (shard core start)
 ):
     """Scan subject at stride positions; resolve CSR seeds.
 
@@ -67,7 +70,7 @@ def scan_block(
                    (caller must retry with a larger cmax if > 0).
     """
     del word_size
-    pos = jnp.arange(n_scan, dtype=jnp.int32) * scan_step
+    pos = pos_base + jnp.arange(n_scan, dtype=jnp.int32) * scan_step
     # word validity: all lut_word bases must be real subject bases
     offs = jnp.arange(lut_word, dtype=jnp.int32)
     idx = pos[:, None] + offs[None, :]                     # [n_scan, w]
@@ -221,11 +224,14 @@ def _xdrop_direction(
         new_s = jnp.where(done, s, stop_s)
         return (base + chunk, new_s, new_best, new_pos, now_done)
 
+    # derive the zero carries from max_steps so they inherit its
+    # device-varying type under shard_map (jax vma rules)
+    zero_n = max_steps * 0
     init = (
         jnp.zeros((), jnp.int32),
-        jnp.zeros(n, jnp.int32),
-        jnp.zeros(n, jnp.int32),
-        jnp.zeros(n, jnp.int32),
+        zero_n,
+        zero_n,
+        zero_n,
         max_steps <= 0,
     )
     _, _, best, best_pos, _ = jax.lax.while_loop(cond, body, init)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from gblastn_tpu.gapped.dynprog import gapped_alignment_with_traceback
 from gblastn_tpu.gapped.greedy import greedy_gapped_alignment
 from gblastn_tpu.hits import (
     HSP,
@@ -39,6 +40,7 @@ from gblastn_tpu.hits import (
 )
 from gblastn_tpu.io.query import QueryBlock
 from gblastn_tpu.params.derived import SearchParams
+from gblastn_tpu.params.options import ExtensionMethod
 
 HSP_MAX_WINDOW = 11          # blast_gapalign_priv.h:120
 MAX_SUBJECT_OFFSET = 90000   # blast_gapalign.c:3600
@@ -351,6 +353,7 @@ def traceback_from_hsplist(
     subject-local.
     """
     opts = params.options
+    greedy = opts.extension_method is ExtensionMethod.GREEDY
     ctx_offsets = qblock.context_offsets()
     subject_length = len(subject)
     finished: list[HSP] = []
@@ -389,11 +392,18 @@ def traceback_from_hsplist(
         hsp.s_gapped_start = s_start_adj
         adjusted_subject = subject[start_shift: start_shift + adj_s_length]
 
-        res = greedy_gapped_alignment(
-            query, adjusted_subject, params.gap_x_dropoff_final,
-            opts.reward, opts.penalty, opts.gap_open, opts.gap_extend,
-            q_start, s_start_adj, do_traceback=True,
-        )
+        if greedy:
+            res = greedy_gapped_alignment(
+                query, adjusted_subject, params.gap_x_dropoff_final,
+                opts.reward, opts.penalty, opts.gap_open, opts.gap_extend,
+                q_start, s_start_adj, do_traceback=True,
+            )
+        else:
+            res = gapped_alignment_with_traceback(
+                query, adjusted_subject, matrix,
+                opts.gap_open, opts.gap_extend, params.gap_x_dropoff_final,
+                q_start, s_start_adj,
+            )
         # Blast_HSPUpdateWithTraceback (blast_traceback.c:157)
         hsp.score = res.score
         hsp.q_off = res.q_start
@@ -408,15 +418,29 @@ def traceback_from_hsplist(
             hsp.s_end += start_shift
             hsp.s_gapped_start += start_shift
 
+        if not greedy:
+            # non-greedy: identity/length test inside the loop
+            # (blast_traceback.c:657-668)
+            q0n = int(ctx_offsets[ctx])
+            query_nomask = qblock.buffer[q0n: q0n + q_len]
+            ni, align_len = num_identities(query_nomask, subject, hsp)
+            hsp.num_ident = ni
+            if hsp_test(hsp, align_len, opts.percent_identity):
+                continue
+
         finished.append(hsp)
         result.append(hsp)
 
     # keep-and-cut purge (blast_traceback.c:710, purge=FALSE for blastn)
     result = purge_common_endpoints(result, purge=False)
 
-    # greedy ignores ambiguities: re-score every HSP (blast_traceback.c:712)
+    # greedy ignores ambiguities: re-score every HSP; the DP path only
+    # rescores HSPs the purge cut back (blast_traceback.c:712-719)
     kept: list[HSP] = []
     for hsp in result:
+        if not greedy and not hsp.was_cut:
+            kept.append(hsp)
+            continue
         ctx = hsp.context
         q0 = int(ctx_offsets[ctx])
         q_len = qblock.contexts[ctx].length
