@@ -81,7 +81,12 @@ def search(
         options, ctx_lengths, db.total_length, db.num_seqs
     )
 
-    locations = unmasked_locations(qblock.buffer, ctx_offsets)
+    masks = None
+    if options.dust:
+        from gblastn_tpu.masking.dust import query_dust_masks
+
+        masks = query_dust_masks(qblock)
+    locations = unmasked_locations(qblock.buffer, ctx_offsets, masks)
     lut = build_lookup_table(
         qblock.buffer, locations, options.word_size, options.lut_word_size
     )

@@ -65,7 +65,15 @@ def _prelim_add(ops: EditScript, op: int, num: int) -> None:
 def _first_mismatch(
     seq1: np.ndarray, seq2: np.ndarray, i1: int, i2: int, reverse: bool
 ) -> int:
-    """s_FindFirstMismatch (greedy_align.c:318): run length of matches."""
+    """s_FindFirstMismatch (greedy_align.c:318): run length of matches.
+
+    Indices at or past the sequence end return 0 -- the role of the
+    sentinel bytes flanking the reference's buffers (the diagonal walk
+    can legitimately step one past the end; the sentinel mismatches
+    immediately).
+    """
+    if i1 >= len(seq1) or i2 >= len(seq2) or i1 < 0 or i2 < 0:
+        return 0
     if reverse:
         a = seq1[: len(seq1) - i1][::-1]
         b = seq2[: len(seq2) - i2][::-1]
