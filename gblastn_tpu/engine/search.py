@@ -73,7 +73,8 @@ def search(
 
     enable_compilation_cache()
     options.validate()
-    qblock = build_query_block(records, options.strand)
+    with slog.time("setup.query_block"):
+        qblock = build_query_block(records, options.strand)
     ctx_offsets = qblock.context_offsets()
     ctx_lengths = [c.length for c in qblock.contexts]
 
@@ -85,11 +86,14 @@ def search(
     if options.dust:
         from gblastn_tpu.masking.dust import query_dust_masks
 
-        masks = query_dust_masks(qblock)
+        with slog.time("setup.dust"):
+            masks = query_dust_masks(qblock)
     locations = unmasked_locations(qblock.buffer, ctx_offsets, masks)
-    lut = build_lookup_table(
-        qblock.buffer, locations, options.word_size, options.lut_word_size
-    )
+    with slog.time("setup.lookup_table"):
+        lut = build_lookup_table(
+            qblock.buffer, locations, options.word_size,
+            options.lut_word_size
+        )
 
     n_ctx = len(qblock.contexts)
     word_cutoffs = np.array(
@@ -112,20 +116,31 @@ def search(
         matrix16=jnp.asarray(device_matrix16(options.reward, options.penalty)),
     )
 
-    init = run_seeding(
-        dev,
-        word_size=lut.word_size,
-        lut_word=lut.lut_word_size,
-        scan_step=lut.scan_step,
-        subject_starts=db.starts,
-        context_offsets=ctx_offsets,
-        word_cutoffs=word_cutoffs,
-        x_dropoffs=x_dropoffs,
-    )
+    # the LUT builder knows the longest chain, so the scan's per-word
+    # fan-out capacity never needs the overflow-retry recompile; bucket
+    # to powers of two to bound the number of compiled variants
+    cmax = 4
+    while cmax < max(lut.max_positions_per_word, 1):
+        cmax *= 2
+    with slog.time("device.seeding"):
+        init = run_seeding(
+            dev,
+            word_size=lut.word_size,
+            lut_word=lut.lut_word_size,
+            scan_step=lut.scan_step,
+            subject_starts=db.starts,
+            context_offsets=ctx_offsets,
+            word_cutoffs=word_cutoffs,
+            x_dropoffs=x_dropoffs,
+            cmax=cmax,
+        )
+    slog.diagnostics.good_init_extends += len(init)
 
-    prelim_lists = run_gapped_prelim(
-        init, qblock, db.get_sequence_2na, db.starts, params
-    )
+    with slog.time("host.prelim_gapped"):
+        prelim_lists = run_gapped_prelim(
+            init, qblock, db.get_sequence_2na, db.starts, params
+        )
+    slog.diagnostics.good_gapped += sum(len(l.hsps) for l in prelim_lists)
 
     # split per-subject lists by query and collect per-query hitlists
     # (the role of the HSP stream writer + Blast_HitListUpdate)
@@ -145,21 +160,25 @@ def search(
     matrix = nucl_score_matrix(options.reward, options.penalty)
     results = BlastResults(qblock=qblock, params=params)
     subj_cache: dict[int, np.ndarray] = {}
-    for qi, hl in enumerate(hitlists):
-        qres = QueryResult(query_index=qi)
-        for lst in hl.hsplists:
-            if lst.oid not in subj_cache:
-                subj_cache[lst.oid] = db.get_sequence_blastna(lst.oid)
-            traceback_from_hsplist(
-                lst, qblock, subj_cache[lst.oid], matrix, params
+    with slog.time("host.traceback"):
+        for qi, hl in enumerate(hitlists):
+            qres = QueryResult(query_index=qi)
+            for lst in hl.hsplists:
+                if lst.oid not in subj_cache:
+                    subj_cache[lst.oid] = db.get_sequence_blastna(lst.oid)
+                traceback_from_hsplist(
+                    lst, qblock, subj_cache[lst.oid], matrix, params
+                )
+                if lst.hsps:
+                    qres.hsplists.append(lst)
+            # final ranking (Blast_HSPResultsSortByEvalue)
+            for lst in qres.hsplists:
+                sort_by_evalue(lst.hsps)
+                lst.best_evalue = min(h.evalue for h in lst.hsps)
+            sort_hsplists_by_evalue(qres.hsplists)
+            del qres.hsplists[hitlist_size:]
+            slog.diagnostics.final_hsps += sum(
+                len(l.hsps) for l in qres.hsplists
             )
-            if lst.hsps:
-                qres.hsplists.append(lst)
-        # final ranking (Blast_HSPResultsSortByEvalue)
-        for lst in qres.hsplists:
-            sort_by_evalue(lst.hsps)
-            lst.best_evalue = min(h.evalue for h in lst.hsps)
-        sort_hsplists_by_evalue(qres.hsplists)
-        del qres.hsplists[hitlist_size:]
-        results.queries.append(qres)
+            results.queries.append(qres)
     return results

@@ -345,6 +345,63 @@ def _gdb3(a: int, b: int, c: int) -> tuple[int, int, int, int]:
     return a, b, c, 1
 
 
+def affine_greedy_align_native(
+    seq1: np.ndarray,
+    seq2: np.ndarray,
+    reverse: bool,
+    xdrop_threshold: int,
+    match_score: int,
+    mismatch_score: int,
+    gap_open: int,
+    gap_extend: int,
+    do_traceback: bool,
+) -> GreedyResult | None:
+    """Dispatch to the C++ aligner (native/greedy.cpp); None if the
+    native library is unavailable."""
+    from gblastn_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    s1 = np.ascontiguousarray(seq1, dtype=np.uint8)
+    s2 = np.ascontiguousarray(seq2, dtype=np.uint8)
+    out = np.zeros(7, dtype=np.int64)
+    max_ops = 256
+    while True:
+        op_types = np.zeros(max_ops, dtype=np.int32)
+        op_nums = np.zeros(max_ops, dtype=np.int32)
+        rc = lib.gblastn_greedy_align(
+            s1.ctypes.data_as(ctypes.c_void_p), len(s1),
+            s2.ctypes.data_as(ctypes.c_void_p), len(s2),
+            int(reverse), int(xdrop_threshold),
+            int(match_score), int(mismatch_score),
+            int(gap_open), int(gap_extend),
+            int(do_traceback),
+            op_types.ctypes.data_as(ctypes.c_void_p),
+            op_nums.ctypes.data_as(ctypes.c_void_p),
+            max_ops,
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        if rc == 0:
+            break
+        max_ops *= 4
+        if max_ops > 1 << 24:
+            return None
+    ops: EditScript | None = None
+    if do_traceback:
+        n = int(out[6])
+        ops = [(int(op_types[i]), int(op_nums[i])) for i in range(n)]
+    return GreedyResult(
+        score_or_dist=int(out[0]),
+        seq1_align_len=int(out[1]),
+        seq2_align_len=int(out[2]),
+        edit_ops=ops,
+        seed=GreedySeed(int(out[3]), int(out[4]), int(out[5])),
+    )
+
+
 def affine_greedy_align(
     seq1: np.ndarray,
     seq2: np.ndarray,
@@ -355,9 +412,17 @@ def affine_greedy_align(
     gap_open: int,
     gap_extend: int,
     do_traceback: bool,
+    use_native: bool = True,
 ) -> GreedyResult:
     """BLAST_AffineGreedyAlign (greedy_align.c:755). mismatch_score is the
     positive magnitude. Returns the (possibly x2-scaled) score."""
+    if use_native:
+        res = affine_greedy_align_native(
+            seq1, seq2, reverse, xdrop_threshold, match_score,
+            mismatch_score, gap_open, gap_extend, do_traceback,
+        )
+        if res is not None:
+            return res
     # odd match scores are doubled BEFORE the non-affine dispatch
     # (greedy_align.c:801-815), so the non-affine path always sees an
     # even match cost

@@ -1,0 +1,104 @@
+"""Native (C++) host runtime: build + ctypes bindings.
+
+The host hot paths (per-seed greedy/DP gapped extension) run as native
+code, the counterpart of the reference's C engine core. The shared
+library is compiled from ``native/*.cpp`` on first use with g++ -O3 and
+cached; everything falls back to the exact-parity Python implementations
+if the toolchain is unavailable (GBLASTN_TPU_NO_NATIVE=1 forces the
+fallback).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+_REPO_ROOT = Path(__file__).resolve().parent.parent.parent
+_SRC_DIR = _REPO_ROOT / "native"
+_LIB_BASENAME = "libgblastn_native.so"
+
+_lib = None
+_tried = False
+
+
+def _build_dir() -> Path:
+    d = Path(
+        os.environ.get(
+            "GBLASTN_TPU_NATIVE_DIR",
+            os.path.join(
+                os.path.expanduser("~"), ".cache", "gblastn_tpu", "native"
+            ),
+        )
+    )
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def _needs_rebuild(lib_path: Path, sources: list[Path]) -> bool:
+    if not lib_path.exists():
+        return True
+    mtime = lib_path.stat().st_mtime
+    return any(s.stat().st_mtime > mtime for s in sources)
+
+
+def _compile() -> Path | None:
+    sources = sorted(_SRC_DIR.glob("*.cpp"))
+    if not sources:
+        return None
+    lib_path = _build_dir() / _LIB_BASENAME
+    if not _needs_rebuild(lib_path, sources):
+        return lib_path
+    tmp = lib_path.with_suffix(".so.tmp")
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "-o", str(tmp), *[str(s) for s in sources],
+    ]
+    try:
+        subprocess.run(
+            cmd, check=True, capture_output=True, timeout=300
+        )
+    except (subprocess.CalledProcessError, OSError,
+            subprocess.TimeoutExpired) as e:
+        print(f"gblastn_tpu: native build failed ({e}); "
+              "using Python fallback", file=sys.stderr)
+        return None
+    os.replace(tmp, lib_path)
+    return lib_path
+
+
+def get_lib():
+    """The loaded native library, or None (Python fallback)."""
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("GBLASTN_TPU_NO_NATIVE"):
+        return None
+    path = _compile()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(str(path))
+    except OSError as e:
+        print(f"gblastn_tpu: native load failed ({e})", file=sys.stderr)
+        return None
+    lib.gblastn_greedy_align.restype = ctypes.c_int
+    lib.gblastn_greedy_align.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,      # s1
+        ctypes.c_void_p, ctypes.c_int64,      # s2
+        ctypes.c_int, ctypes.c_int64,         # reverse, xdrop
+        ctypes.c_int64, ctypes.c_int64,       # match, mismatch
+        ctypes.c_int64, ctypes.c_int64,       # gap_open, gap_extend
+        ctypes.c_int,                         # do_traceback
+        ctypes.c_void_p, ctypes.c_void_p,     # op_types, op_nums
+        ctypes.c_int64,                       # max_ops
+        ctypes.c_void_p,                      # out_vals[7]
+    ]
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None

@@ -1,0 +1,66 @@
+"""Native C++ aligner vs the exact-parity Python oracle."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gblastn_tpu.gapped.greedy import (
+    affine_greedy_align,
+    affine_greedy_align_native,
+)
+from gblastn_tpu.native import native_available
+from tests.test_greedy import mutate
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native toolchain unavailable"
+)
+
+
+@pytest.mark.parametrize("reward,penalty,go,ge,xdrop", [
+    (1, 2, 0, 0, 54),    # megablast (non-affine after doubling)
+    (2, 3, 5, 2, 60),    # blastn affine
+    (1, 3, 2, 1, 40),
+    (4, 5, 12, 8, 80),
+])
+@pytest.mark.parametrize("do_tb", [False, True])
+def test_native_matches_python(reward, penalty, go, ge, xdrop, do_tb):
+    rng = np.random.default_rng(606)
+    for trial in range(40):
+        n = int(rng.integers(20, 500))
+        s = rng.integers(0, 4, n).astype(np.uint8)
+        q = mutate(rng, s, 0.06, 0.03)
+        for reverse in (False, True):
+            py = affine_greedy_align(
+                q, s, reverse, xdrop, reward, penalty, go, ge, do_tb,
+                use_native=False,
+            )
+            nat = affine_greedy_align_native(
+                q, s, reverse, xdrop, reward, penalty, go, ge, do_tb,
+            )
+            assert nat is not None
+            assert nat.score_or_dist == py.score_or_dist, (trial, reverse)
+            assert nat.seq1_align_len == py.seq1_align_len
+            assert nat.seq2_align_len == py.seq2_align_len
+            assert (nat.seed.start_q, nat.seed.start_s,
+                    nat.seed.match_length) == (
+                py.seed.start_q, py.seed.start_s, py.seed.match_length)
+            if do_tb:
+                assert nat.edit_ops == py.edit_ops, (trial, reverse)
+
+
+def test_native_ambiguity_codes():
+    # query codes >= 4 always mismatch, in both implementations
+    q = np.array([0, 1, 2, 3, 14, 0, 1, 2, 3, 0, 1, 2], dtype=np.uint8)
+    s = np.array([0, 1, 2, 3, 0, 0, 1, 2, 3, 0, 1, 2], dtype=np.uint8)
+    py = affine_greedy_align(q, s, False, 40, 1, 2, 0, 0, True,
+                             use_native=False)
+    nat = affine_greedy_align_native(q, s, False, 40, 1, 2, 0, 0, True)
+    assert nat.score_or_dist == py.score_or_dist
+    assert nat.edit_ops == py.edit_ops
+
+
+def test_native_empty_sequences():
+    e = np.zeros(0, dtype=np.uint8)
+    s = np.arange(4, dtype=np.uint8)
+    nat = affine_greedy_align_native(e, s, False, 40, 1, 2, 0, 0, True)
+    assert nat.seq1_align_len == 0 and nat.seq2_align_len == 0
