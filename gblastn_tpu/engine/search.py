@@ -37,6 +37,7 @@ from gblastn_tpu.params.derived import SearchParams, derive_params
 from gblastn_tpu.params.options import SearchOptions
 from gblastn_tpu.stats.karlin import nucl_score_matrix
 from gblastn_tpu.traceback.stage import traceback_from_hsplist
+from gblastn_tpu.utils.profiling import slog
 
 NEG_CLIP = -(1 << 24)
 
