@@ -188,6 +188,59 @@ def run_makedb(argv) -> int:
     return 0
 
 
+def run_windowmasker(argv) -> int:
+    """windowmasker app analog: -mk_counts stage and masking stage
+    (reference: src/app/winmasker)."""
+    p = argparse.ArgumentParser(prog="gblastn-tpu windowmasker")
+    p.add_argument("-mk_counts", action="store_true",
+                   help="generate unit counts statistics")
+    p.add_argument("-in", dest="input", required=True)
+    p.add_argument("-out", required=True)
+    p.add_argument("-ustat", default=None,
+                   help="statistics file (masking stage)")
+    p.add_argument("-unit", type=int, default=0)
+    p.add_argument("-t_high", type=int, default=0)
+    p.add_argument("-t_low", type=int, default=0)
+    p.add_argument("-outfmt", default="interval")
+    args = p.parse_args(argv)
+
+    from gblastn_tpu.io.encoding import seq_to_blastna
+    from gblastn_tpu.masking.winmask import (
+        WindowMaskerStats,
+        generate_counts,
+        window_mask,
+    )
+
+    if args.mk_counts:
+        seqs = [
+            seq_to_blastna(rec.sequence)
+            for rec in parse_fasta(args.input)
+        ]
+        stats = generate_counts(
+            seqs, unit_size=args.unit,
+            t_high_override=args.t_high, t_low_override=args.t_low,
+        )
+        stats.save_ascii(args.out)
+        print(
+            f"windowmasker: unit={stats.unit_size} t_low={stats.t_low} "
+            f"t_extend={stats.t_extend} t_threshold={stats.t_threshold} "
+            f"t_high={stats.t_high} units={len(stats.units)}",
+            file=sys.stderr,
+        )
+        return 0
+
+    if not args.ustat:
+        p.error("masking stage requires -ustat")
+    stats = WindowMaskerStats.load_ascii(args.ustat)
+    with open(args.out, "w") as out:
+        for rec in parse_fasta(args.input):
+            intervals = window_mask(seq_to_blastna(rec.sequence), stats)
+            out.write(f">{rec.seq_id} {rec.title}".rstrip() + "\n")
+            for a, b in intervals:
+                out.write(f"{a} - {b}\n")
+    return 0
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
@@ -198,6 +251,8 @@ def main(argv=None) -> int:
         return run_blastn(rest)
     if cmd in ("makedb", "makeblastdb"):
         return run_makedb(rest)
+    if cmd == "windowmasker":
+        return run_windowmasker(rest)
     # default: treat as blastn args directly
     return run_blastn(argv)
 

@@ -89,6 +89,21 @@ def search(
 
         with slog.time("setup.dust"):
             masks = query_dust_masks(qblock)
+    if options.window_masker_db:
+        from gblastn_tpu.masking.winmask import (
+            WindowMaskerStats,
+            query_window_masks,
+        )
+
+        with slog.time("setup.window_masker"):
+            stats = WindowMaskerStats.load_ascii(options.window_masker_db)
+            wm_masks = query_window_masks(qblock, stats)
+        if masks is None:
+            masks = wm_masks
+        else:
+            masks = [
+                sorted(a + b) for a, b in zip(masks, wm_masks)
+            ]
     locations = unmasked_locations(qblock.buffer, ctx_offsets, masks)
     with slog.time("setup.lookup_table"):
         lut = build_lookup_table(
