@@ -66,9 +66,10 @@ def main() -> int:
     db, queries = build_workload()
     options = megablast_options(evalue=1e-5, max_target_seqs=10)
 
-    # warm-up: compile all device kernels (excluded from timing, like the
-    # reference's long-lived pipeline process amortizing startup)
-    search(queries[:4], db, options)
+    # warm-up: compile all device kernels at the same bucketed shapes as
+    # the timed run (excluded from timing, like the reference's
+    # long-lived pipeline process amortizing startup)
+    search(queries, db, options)
 
     t0 = time.time()
     results = search(queries, db, options)
@@ -83,6 +84,9 @@ def main() -> int:
         f"# {NUM_QUERIES} queries, {n_hits} HSPs, {aligned} aligned, "
         f"{dt:.2f}s", file=sys.stderr,
     )
+    from gblastn_tpu.utils.profiling import slog
+
+    print(slog.report(), file=sys.stderr)
 
     try:
         published = json.load(open("BASELINE.json")).get("published", {})

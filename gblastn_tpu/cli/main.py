@@ -96,9 +96,10 @@ def _parse_outfmt(outfmt: str):
     parts = outfmt.split()
     kind = int(parts[0])
     fields = parts[1:] or None
-    if kind not in (6, 7):
+    if kind not in (0, 6, 7, 17):
         raise SystemExit(
-            f"-outfmt {kind} not supported yet (tabular 6/7 only)"
+            f"-outfmt {kind} not supported yet "
+            "(0 pairwise, 6/7 tabular, 17 SAM)"
         )
     return kind, fields
 
@@ -128,13 +129,35 @@ def run_blastn(argv) -> int:
 
     out = sys.stdout if args.out == "-" else open(args.out, "w")
     try:
-        writer = TabularWriter(
-            out=out,
-            commented=(kind == 7),
-            dbname=db.title or args.db,
-        )
-        if fields:
-            writer.fields = fields
+        pairwise = sam = None
+        writer = None
+        if kind in (6, 7):
+            writer = TabularWriter(
+                out=out,
+                commented=(kind == 7),
+                dbname=db.title or args.db,
+            )
+            if fields:
+                writer.fields = fields
+        elif kind == 0:
+            from gblastn_tpu.format.pairwise import PairwiseWriter
+
+            pairwise = PairwiseWriter(
+                out=out, dbname=db.title or args.db,
+                db_num_seqs=db.num_seqs, db_length=db.total_length,
+            )
+            pairwise.write_header()
+        else:
+            from gblastn_tpu.format.sam import SamWriter
+
+            sam = SamWriter(
+                out=out,
+                references=[
+                    (sid, int(n)) for sid, n in zip(db.ids, db.lengths)
+                ],
+            )
+            sam.write_header()
+
         batch_size = (
             BATCH_SIZE_MEGABLAST if args.task == "megablast"
             else BATCH_SIZE_BLASTN
@@ -144,22 +167,61 @@ def run_blastn(argv) -> int:
         for qfile in query_files:
             for batch in batch_records(parse_fasta(qfile), batch_size):
                 results = search(batch, db, options)
+                qb = results.qblock
+                ctx_off = qb.context_offsets()
                 for qres in results.queries:
                     qi = qres.query_index
-                    qid = results.qblock.ids[qi]
-                    qtitle = (qid + " " + results.qblock.titles[qi]).strip()
-                    qlen = results.qblock.lengths[qi]
-                    hits = []
-                    for lst in qres.hsplists:
-                        sid = db.ids[lst.oid]
-                        slen = int(db.lengths[lst.oid])
-                        for h in lst.hsps:
-                            hits.append(
-                                hsp_to_tabular(h, qid, sid, qlen, slen)
-                            )
-                    writer.write_query_results(qid, qtitle, hits)
+                    qid = qb.ids[qi]
+                    qtitle = (qid + " " + qb.titles[qi]).strip()
+                    qlen = qb.lengths[qi]
+                    if writer is not None:
+                        hits = []
+                        for lst in qres.hsplists:
+                            sid = db.ids[lst.oid]
+                            slen = int(db.lengths[lst.oid])
+                            for h in lst.hsps:
+                                hits.append(
+                                    hsp_to_tabular(h, qid, sid, qlen, slen)
+                                )
+                        writer.write_query_results(qid, qtitle, hits)
+                    elif pairwise is not None:
+                        def get_query(ctx):
+                            q0 = int(ctx_off[ctx])
+                            return qb.buffer[
+                                q0: q0 + qb.contexts[ctx].length
+                            ]
+
+                        phits = []
+                        for lst in qres.hsplists:
+                            subj = db.get_sequence_blastna(lst.oid)
+                            phits.append((
+                                db.ids[lst.oid], db.titles[lst.oid],
+                                int(db.lengths[lst.oid]), lst.hsps, subj,
+                            ))
+                        params = results.params
+                        ctx0 = qi * (
+                            2 if options.strand == "both" else 1
+                        )
+                        pairwise.write_query_results(
+                            qtitle, qlen, phits, get_query,
+                            None, params.kbp_gap, params.kbp_ungap,
+                            params.contexts[ctx0].eff_searchsp,
+                        )
+                    else:
+                        for lst in qres.hsplists:
+                            sid = db.ids[lst.oid]
+                            for h in lst.hsps:
+                                ctx = h.context
+                                q0 = int(ctx_off[ctx])
+                                qseq = qb.buffer[
+                                    q0: q0 + qb.contexts[ctx].length
+                                ]
+                                sam.write_hsp(h, qid, sid, qseq, qlen)
                     num_queries += 1
-        writer.finalize(num_queries)
+        if writer is not None:
+            writer.finalize(num_queries)
+        elif pairwise is not None:
+            pairwise.finalize()
         print(
             f"# {num_queries} queries in {time.time() - t0:.2f}s",
             file=sys.stderr,

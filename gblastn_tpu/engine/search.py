@@ -121,14 +121,28 @@ def search(
         dtype=np.int32,
     )
 
+    # pad the per-batch device arrays to bucketed sizes so consecutive
+    # batches reuse compiled kernels (shape-stable XLA programs); the
+    # pad region is sentinel bytes / never-indexed positions
+    qbuf = qblock.buffer
+    qcap = 32768
+    while qcap < len(qbuf):
+        qcap *= 2
+    qbuf_padded = np.full(qcap, 15, dtype=np.uint8)
+    qbuf_padded[: len(qbuf)] = qbuf
+    positions = lut.positions if len(lut.positions) else np.zeros(1, np.int32)
+    pcap = 1024
+    while pcap < len(positions):
+        pcap *= 2
+    pos_padded = np.zeros(pcap, dtype=np.int32)
+    pos_padded[: len(positions)] = positions
+
     dev = SeedingDeviceData(
-        query=jnp.asarray(qblock.buffer),
+        query=jnp.asarray(qbuf_padded),
         subject2=jnp.asarray(db.unpacked().astype(np.int8)),
         subject_valid=jnp.asarray(db.valid_mask()),
         lut_offsets=jnp.asarray(lut.counts_offsets),
-        lut_positions=jnp.asarray(
-            lut.positions if len(lut.positions) else np.zeros(1, np.int32)
-        ),
+        lut_positions=jnp.asarray(pos_padded),
         matrix16=jnp.asarray(device_matrix16(options.reward, options.penalty)),
     )
 
