@@ -65,6 +65,13 @@ def _add_blastn_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-gpu_id", type=int, default=0, help="alias of -tpu_id")
     p.add_argument("-tpu_id", type=int, default=0)
     p.add_argument("-mode", type=int, default=1, choices=[0, 1, 2])
+    # pipeline stage thread counts (G-BLASTN flags)
+    p.add_argument("-prepare_thread", type=int, default=1)
+    p.add_argument("-prelim_thread", type=int, default=1)
+    p.add_argument("-trace_thread", type=int, default=2)
+    p.add_argument("-print_thread", type=int, default=1)
+    p.add_argument("-logfile", default=None,
+                   help="write the stage timing report here")
 
 
 def _build_options(args):
@@ -164,60 +171,77 @@ def run_blastn(argv) -> int:
         )
         num_queries = 0
         t0 = time.time()
-        for qfile in query_files:
-            for batch in batch_records(parse_fasta(qfile), batch_size):
-                results = search(batch, db, options)
-                qb = results.qblock
-                ctx_off = qb.context_offsets()
-                for qres in results.queries:
-                    qi = qres.query_index
-                    qid = qb.ids[qi]
-                    qtitle = (qid + " " + qb.titles[qi]).strip()
-                    qlen = qb.lengths[qi]
-                    if writer is not None:
-                        hits = []
-                        for lst in qres.hsplists:
-                            sid = db.ids[lst.oid]
-                            slen = int(db.lengths[lst.oid])
-                            for h in lst.hsps:
-                                hits.append(
-                                    hsp_to_tabular(h, qid, sid, qlen, slen)
-                                )
-                        writer.write_query_results(qid, qtitle, hits)
-                    elif pairwise is not None:
-                        def get_query(ctx):
+
+        def emit(results):
+            nonlocal num_queries
+            qb = results.qblock
+            ctx_off = qb.context_offsets()
+            for qres in results.queries:
+                qi = qres.query_index
+                qid = qb.ids[qi]
+                qtitle = (qid + " " + qb.titles[qi]).strip()
+                qlen = qb.lengths[qi]
+                if writer is not None:
+                    hits = []
+                    for lst in qres.hsplists:
+                        sid = db.ids[lst.oid]
+                        slen = int(db.lengths[lst.oid])
+                        for h in lst.hsps:
+                            hits.append(
+                                hsp_to_tabular(h, qid, sid, qlen, slen)
+                            )
+                    writer.write_query_results(qid, qtitle, hits)
+                elif pairwise is not None:
+                    def get_query(ctx):
+                        q0 = int(ctx_off[ctx])
+                        return qb.buffer[
+                            q0: q0 + qb.contexts[ctx].length
+                        ]
+
+                    phits = []
+                    for lst in qres.hsplists:
+                        subj = db.get_sequence_blastna(lst.oid)
+                        phits.append((
+                            db.ids[lst.oid], db.titles[lst.oid],
+                            int(db.lengths[lst.oid]), lst.hsps, subj,
+                        ))
+                    params = results.params
+                    ctx0 = qi * (
+                        2 if options.strand == "both" else 1
+                    )
+                    pairwise.write_query_results(
+                        qtitle, qlen, phits, get_query,
+                        None, params.kbp_gap, params.kbp_ungap,
+                        params.contexts[ctx0].eff_searchsp,
+                    )
+                else:
+                    for lst in qres.hsplists:
+                        sid = db.ids[lst.oid]
+                        for h in lst.hsps:
+                            ctx = h.context
                             q0 = int(ctx_off[ctx])
-                            return qb.buffer[
+                            qseq = qb.buffer[
                                 q0: q0 + qb.contexts[ctx].length
                             ]
+                            sam.write_hsp(h, qid, sid, qseq, qlen)
+                num_queries += 1
 
-                        phits = []
-                        for lst in qres.hsplists:
-                            subj = db.get_sequence_blastna(lst.oid)
-                            phits.append((
-                                db.ids[lst.oid], db.titles[lst.oid],
-                                int(db.lengths[lst.oid]), lst.hsps, subj,
-                            ))
-                        params = results.params
-                        ctx0 = qi * (
-                            2 if options.strand == "both" else 1
-                        )
-                        pairwise.write_query_results(
-                            qtitle, qlen, phits, get_query,
-                            None, params.kbp_gap, params.kbp_ungap,
-                            params.contexts[ctx0].eff_searchsp,
-                        )
-                    else:
-                        for lst in qres.hsplists:
-                            sid = db.ids[lst.oid]
-                            for h in lst.hsps:
-                                ctx = h.context
-                                q0 = int(ctx_off[ctx])
-                                qseq = qb.buffer[
-                                    q0: q0 + qb.contexts[ctx].length
-                                ]
-                                sam.write_hsp(h, qid, sid, qseq, qlen)
-                    num_queries += 1
+        def all_batches():
+            for qfile in query_files:
+                yield from batch_records(parse_fasta(qfile), batch_size)
+
+        if args.mode == 1:
+            # Method1: sequential per-batch loop (blastn_app.cpp:500)
+            for batch in all_batches():
+                emit(search(batch, db, options))
+        else:
+            # Method2/3: pipelined stages (blastn_app.cpp:725/:991)
+            from gblastn_tpu.engine.pipeline import run_pipelined_search
+
+            run_pipelined_search(
+                all_batches(), db, options, emit,
+                trace_threads=max(args.trace_thread, 1),
+            )
         if writer is not None:
             writer.finalize(num_queries)
         elif pairwise is not None:
@@ -226,6 +250,11 @@ def run_blastn(argv) -> int:
             f"# {num_queries} queries in {time.time() - t0:.2f}s",
             file=sys.stderr,
         )
+        if args.logfile:
+            from gblastn_tpu.utils.profiling import slog
+
+            with open(args.logfile, "w") as lf:
+                lf.write(slog.report() + "\n")
     finally:
         if out is not sys.stdout:
             out.close()

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -64,12 +65,23 @@ class BlastResults:
     queries: list[QueryResult] = field(default_factory=list)
 
 
-def search(
+@dataclass
+class PrelimResult:
+    """Handoff between the prelim stage and traceback (the HSP stream
+    boundary of the reference, CLocalBlast::PrelimSearchRun ->
+    TraceBackRun split added by G-BLASTN, local_blast.cpp:293/:383)."""
+
+    qblock: QueryBlock
+    params: SearchParams
+    hitlists: list[HitList]
+
+
+def prelim_search(
     records: list[FastaRecord],
     db: SequenceDB,
     options: SearchOptions,
-) -> BlastResults:
-    """Run a complete gapped nucleotide search (megablast greedy path)."""
+) -> PrelimResult:
+    """Device seeding + host prelim gapped stage + hitlist collection."""
     from gblastn_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -137,10 +149,23 @@ def search(
     pos_padded = np.zeros(pcap, dtype=np.int32)
     pos_padded[: len(positions)] = positions
 
+    # the subject arrays are per-database and immutable: upload once and
+    # cache on the db object (the role of G-BLASTN's per-oid cached
+    # device arrays, gpu_blastn_MB_and_smallNa.cu:63-152)
+    dev_subject = getattr(db, "_device_cache", None)
+    if dev_subject is None:
+        with slog.time("setup.subject_upload"):
+            dev_subject = (
+                jnp.asarray(db.unpacked().astype(np.int8)),
+                jnp.asarray(db.valid_mask()),
+            )
+            jax.block_until_ready(dev_subject)
+        db._device_cache = dev_subject
+
     dev = SeedingDeviceData(
         query=jnp.asarray(qbuf_padded),
-        subject2=jnp.asarray(db.unpacked().astype(np.int8)),
-        subject_valid=jnp.asarray(db.valid_mask()),
+        subject2=dev_subject[0],
+        subject_valid=dev_subject[1],
         lut_offsets=jnp.asarray(lut.counts_offsets),
         lut_positions=jnp.asarray(pos_padded),
         matrix16=jnp.asarray(device_matrix16(options.reward, options.penalty)),
@@ -186,7 +211,20 @@ def search(
         for qi, sub in by_query.items():
             hitlist_update(hitlists[qi], sub)
 
-    # traceback stage
+    return PrelimResult(qblock=qblock, params=params, hitlists=hitlists)
+
+
+def finish_search(
+    prelim: PrelimResult,
+    db: SequenceDB,
+    options: SearchOptions,
+) -> BlastResults:
+    """Traceback + final ranking over a prelim result."""
+    qblock = prelim.qblock
+    params = prelim.params
+    hitlists = prelim.hitlists
+    hitlist_size = options.max_target_seqs or options.hitlist_size
+
     matrix = nucl_score_matrix(options.reward, options.penalty)
     results = BlastResults(qblock=qblock, params=params)
     subj_cache: dict[int, np.ndarray] = {}
@@ -212,3 +250,12 @@ def search(
             )
             results.queries.append(qres)
     return results
+
+
+def search(
+    records: list[FastaRecord],
+    db: SequenceDB,
+    options: SearchOptions,
+) -> BlastResults:
+    """Run a complete gapped nucleotide search end to end."""
+    return finish_search(prelim_search(records, db, options), db, options)

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gblastn_tpu.ops.seeding import mini_extend, scan_block, ungapped_extend
+from gblastn_tpu.utils.profiling import slog
 
 
 @dataclass
@@ -125,33 +126,47 @@ def run_seeding(
     x_dropoffs: np.ndarray,         # int32[n_ctx] per-context raw X-drop
     cmax: int = 8,
     max_cmax: int = 4096,
+    hit_cap: int = 16384,
 ) -> InitHits:
-    """Full seeding pass over one subject buffer; returns saved init hits."""
+    """Full seeding pass over one subject buffer; returns saved init hits.
+
+    ``hit_cap`` bounds the device-side compaction of PV-positive scan
+    positions (0 disables compaction); ``cmax`` bounds per-word seed
+    fan-out. Either capacity overflowing triggers a doubling retry.
+    """
     s_pad = int(dev.subject2.shape[0])
     n_scan = max((s_pad - lut_word) // scan_step + 1, 1)
 
     while True:
-        q_off, s_off, valid, n_dropped = scan_block(
-            dev.subject2, dev.subject_valid,
-            dev.lut_offsets, dev.lut_positions,
-            scan_step=scan_step, lut_word=lut_word, word_size=word_size,
-            cmax=cmax, n_scan=n_scan,
-        )
-        if int(n_dropped) == 0:
-            break
-        cmax *= 2
-        if cmax > max_cmax:
-            raise RuntimeError(
-                f"seed fan-out exceeded {max_cmax} positions per word"
+        with slog.time("device.seeding.scan"):
+            q_off, s_off, valid, n_dropped = scan_block(
+                dev.subject2, dev.subject_valid,
+                dev.lut_offsets, dev.lut_positions,
+                scan_step=scan_step, lut_word=lut_word, word_size=word_size,
+                cmax=cmax, n_scan=n_scan, hit_cap=hit_cap,
             )
+            n_dropped = int(n_dropped)
+        if n_dropped == 0:
+            break
+        if hit_cap:
+            hit_cap *= 2
+            if hit_cap > max(n_scan * 2, 1 << 22):
+                hit_cap = 0  # fall back to dense fan-out
+        else:
+            cmax *= 2
+            if cmax > max_cmax:
+                raise RuntimeError(
+                    f"seed fan-out exceeded {max_cmax} positions per word"
+                )
 
-    q_adj, s_adj, ok = mini_extend(
-        dev.query, dev.subject2, dev.subject_valid,
-        q_off, s_off, valid, lut_word=lut_word, word_size=word_size,
-    )
+    with slog.time("device.seeding.mini_extend"):
+        q_adj, s_adj, ok = mini_extend(
+            dev.query, dev.subject2, dev.subject_valid,
+            q_off, s_off, valid, lut_word=lut_word, word_size=word_size,
+        )
+        ok_np = np.asarray(ok)
 
     # Host compaction of surviving seeds.
-    ok_np = np.asarray(ok)
     idx = np.nonzero(ok_np)[0]
     if len(idx) == 0:
         z = np.zeros(0, dtype=np.int32)
@@ -178,11 +193,13 @@ def run_seeding(
     sp = np.concatenate([s_np, np.zeros(pad, np.int32)])
     vp = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
     xp = np.concatenate([x_drop, np.ones(pad, np.int32)])
-    ug_q, ug_s, ug_len, ug_score = ungapped_extend(
-        dev.query, dev.subject2, dev.subject_valid, dev.matrix16,
-        jnp.asarray(qp), jnp.asarray(sp), jnp.asarray(vp), jnp.asarray(xp),
-    )
-    ug_q = np.asarray(ug_q)[:n]
+    with slog.time("device.seeding.ungapped"):
+        ug_q, ug_s, ug_len, ug_score = ungapped_extend(
+            dev.query, dev.subject2, dev.subject_valid, dev.matrix16,
+            jnp.asarray(qp), jnp.asarray(sp), jnp.asarray(vp),
+            jnp.asarray(xp),
+        )
+        ug_q = np.asarray(ug_q)[:n]
     ug_s = np.asarray(ug_s)[:n]
     ug_len = np.asarray(ug_len)[:n]
     ug_score = np.asarray(ug_score)[:n]
@@ -191,9 +208,10 @@ def run_seeding(
         np.searchsorted(subject_starts, s_np, side="right") - 1
     ).astype(np.int32)
 
-    saved = one_hit_diag_filter(
-        q_np, s_np, oid, word_size, ug_s, ug_len, ug_score, cutoff
-    )
+    with slog.time("host.diag_filter"):
+        saved = one_hit_diag_filter(
+            q_np, s_np, oid, word_size, ug_s, ug_len, ug_score, cutoff
+        )
     keep = np.nonzero(saved)[0]
     order = sort_by_score_order(
         ug_score[keep], ug_s[keep], ug_len[keep], ug_q[keep]

@@ -45,7 +45,8 @@ def unpack_2na_device(packed: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "scan_step", "lut_word", "word_size", "cmax", "n_scan", "pos_base"
+        "scan_step", "lut_word", "word_size", "cmax", "n_scan", "pos_base",
+        "hit_cap",
     ),
 )
 def scan_block(
@@ -60,39 +61,74 @@ def scan_block(
     cmax: int,
     n_scan: int,
     pos_base: int = 0,            # first scan position (shard core start)
+    hit_cap: int = 0,             # 0 = no compaction (dense fan-out)
 ):
     """Scan subject at stride positions; resolve CSR seeds.
 
+    Word codes are computed for the whole subject with ``lut_word``
+    shifted multiply-adds over the full array (one fused elementwise
+    chain on the VPU) rather than per-position gathers; PV-positive
+    scan positions are then compacted to ``hit_cap`` slots before the
+    per-position fan-out, so downstream extension stages only process
+    real candidates (the role of the reference GPU kernels' shared-
+    memory hit compaction, gpu_blastn_mb_scan_kernel_v3.cuh:26-120).
+
     Returns (q_off, s_off, valid, n_dropped):
-      q_off/s_off: int32[n_scan * cmax] seed offsets,
-      valid:       bool[n_scan * cmax],
-      n_dropped:   int32 scalar, number of seeds beyond the CMAX fan-out
-                   (caller must retry with a larger cmax if > 0).
+      q_off/s_off: int32[N * cmax] seed offsets (N = hit_cap or n_scan),
+      valid:       bool[N * cmax],
+      n_dropped:   int32 scalar; > 0 means capacity overflow (seeds
+                   beyond cmax per position, or hit positions beyond
+                   hit_cap) -- the caller must retry with more capacity.
     """
     del word_size
+    S = subject2.shape[0]
+    # rolling word codes over the full subject: word_full[i] =
+    # sum_j base[i+j] * 4^(w-1-j), via static shifted slices
+    npos_full = S - lut_word + 1
+    word_full = jnp.zeros(npos_full, dtype=jnp.int32)
+    valid_all = subject_valid
+    valid_word_full = jnp.ones(npos_full, dtype=bool)
+    for j in range(lut_word):
+        word_full = word_full + (
+            subject2[j: j + npos_full].astype(jnp.int32)
+            << (2 * (lut_word - 1 - j))
+        )
+        valid_word_full = valid_word_full & valid_all[j: j + npos_full]
+
     pos = pos_base + jnp.arange(n_scan, dtype=jnp.int32) * scan_step
-    # word validity: all lut_word bases must be real subject bases
-    offs = jnp.arange(lut_word, dtype=jnp.int32)
-    idx = pos[:, None] + offs[None, :]                     # [n_scan, w]
-    idx_c = jnp.minimum(idx, subject2.shape[0] - 1)
-    bases = subject2[idx_c].astype(jnp.int32)
-    valid_word = jnp.all(subject_valid[idx_c] & (idx == idx_c), axis=1)
-    weights = (4 ** jnp.arange(lut_word - 1, -1, -1, dtype=jnp.int32))
-    words = (bases * weights[None, :]).sum(axis=1)
+    pos_c = jnp.minimum(pos, npos_full - 1)
+    words = word_full[pos_c]
+    valid_word = valid_word_full[pos_c] & (pos == pos_c)
     words = jnp.where(valid_word, words, 0)
 
     start = lut_offsets[words]
     count = lut_offsets[words + 1] - start
     count = jnp.where(valid_word, count, 0)
 
-    # fan out to cmax slots per scan position
+    if hit_cap:
+        # compact PV-positive positions to hit_cap slots
+        n_hit = (count > 0).sum()
+        hit_idx = jnp.nonzero(
+            count > 0, size=hit_cap, fill_value=n_scan - 1
+        )[0]
+        fill = jax.lax.broadcasted_iota(
+            jnp.int32, (hit_cap,), 0
+        ) < jnp.minimum(n_hit, hit_cap)
+        pos = jnp.where(fill, pos[hit_idx], 0)
+        start = jnp.where(fill, start[hit_idx], 0)
+        count = jnp.where(fill, count[hit_idx], 0)
+        overflow_hits = jnp.maximum(n_hit - hit_cap, 0)
+    else:
+        overflow_hits = jnp.zeros((), jnp.int32)
+
+    # fan out to cmax slots per (compacted) scan position
     slot = jnp.arange(cmax, dtype=jnp.int32)
-    take = slot[None, :] < count[:, None]                  # [n_scan, cmax]
+    take = slot[None, :] < count[:, None]                  # [N, cmax]
     pidx = jnp.minimum(start[:, None] + slot[None, :],
                        lut_positions.shape[0] - 1)
     q_off = lut_positions[pidx]
     s_off = jnp.broadcast_to(pos[:, None], take.shape)
-    n_dropped = jnp.maximum(count - cmax, 0).sum()
+    n_dropped = jnp.maximum(count - cmax, 0).sum() + overflow_hits
     return (
         q_off.reshape(-1).astype(jnp.int32),
         s_off.reshape(-1).astype(jnp.int32),
