@@ -56,6 +56,13 @@ def _add_blastn_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-strand", default="both",
                    choices=["both", "plus", "minus"])
     p.add_argument("-perc_identity", type=float, default=0.0)
+    p.add_argument("-best_hit_overhang", type=float, default=0.0)
+    p.add_argument("-best_hit_score_edge", type=float, default=0.0)
+    p.add_argument("-culling_limit", type=int, default=0)
+    p.add_argument("-dbsize", type=int, default=0,
+                   help="effective database length override")
+    p.add_argument("-searchsp", type=int, default=0,
+                   help="effective search space override")
     p.add_argument("-dust", default="yes")
     p.add_argument("-window_masker_db", default=None)
     p.add_argument("-num_threads", type=int, default=1)
@@ -93,6 +100,16 @@ def _build_options(args):
     overrides["evalue"] = args.evalue
     overrides["strand"] = args.strand
     overrides["percent_identity"] = args.perc_identity
+    if args.best_hit_overhang:
+        overrides["best_hit_overhang"] = args.best_hit_overhang
+    if args.best_hit_score_edge:
+        overrides["best_hit_score_edge"] = args.best_hit_score_edge
+    if args.culling_limit:
+        overrides["culling_limit"] = args.culling_limit
+    if args.dbsize:
+        overrides["db_length_override"] = args.dbsize
+    if args.searchsp:
+        overrides["searchsp_override"] = args.searchsp
     overrides["dust"] = args.dust in ("yes", "true", "T", "20 64 1")
     if args.window_masker_db:
         overrides["window_masker_db"] = args.window_masker_db
@@ -330,6 +347,69 @@ def run_windowmasker(argv) -> int:
             for a, b in intervals:
                 out.write(f"{a} - {b}\n")
     return 0
+
+
+def run_blastdbcmd(argv) -> int:
+    """blastdbcmd analog: DB info and sequence retrieval (reference:
+    src/app/blastdb/blastdbcmd.cpp)."""
+    p = argparse.ArgumentParser(prog="gblastn-tpu blastdbcmd")
+    p.add_argument("-db", required=True)
+    p.add_argument("-info", action="store_true")
+    p.add_argument("-entry", default=None,
+                   help="comma-separated sequence ids, or 'all'")
+    p.add_argument("-range", dest="range_", default=None,
+                   help="1-based inclusive range a-b")
+    p.add_argument("-strand", default="plus", choices=["plus", "minus"])
+    p.add_argument("-out", default="-")
+    args = p.parse_args(argv)
+
+    from gblastn_tpu.io.encoding import (
+        blastna_to_seq,
+        reverse_complement_blastna,
+    )
+
+    db = SequenceDB.load(args.db)
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    try:
+        if args.info or not args.entry:
+            info = db.info()
+            out.write(f"Database: {info.title}\n")
+            out.write(
+                f"\t{info.num_seqs:,} sequences; "
+                f"{info.total_length:,} total bases\n\n"
+            )
+            out.write(f"Longest sequence: {info.max_length:,} bases\n")
+            return 0
+        if args.entry == "all":
+            oids = range(db.num_seqs)
+        else:
+            wanted = set(args.entry.split(","))
+            oids = [i for i, sid in enumerate(db.ids) if sid in wanted]
+            missing = wanted - {db.ids[i] for i in oids}
+            if missing:
+                print(
+                    f"Error: {','.join(sorted(missing))}: not found",
+                    file=sys.stderr,
+                )
+                return 1
+        for oid in oids:
+            seq = db.get_sequence_blastna(oid)
+            lo, hi = 1, len(seq)
+            if args.range_:
+                a, b = args.range_.split("-")
+                lo, hi = int(a), int(b)
+            seq = seq[lo - 1: hi]
+            if args.strand == "minus":
+                seq = reverse_complement_blastna(seq)
+            title = (db.ids[oid] + " " + db.titles[oid]).strip()
+            out.write(f">{title}\n")
+            text = blastna_to_seq(seq)
+            for i in range(0, len(text), 80):
+                out.write(text[i: i + 80] + "\n")
+        return 0
+    finally:
+        if out is not sys.stdout:
+            out.close()
 
 
 def main(argv=None) -> int:

@@ -198,18 +198,60 @@ def prelim_search(
     slog.diagnostics.good_gapped += sum(len(l.hsps) for l in prelim_lists)
 
     # split per-subject lists by query and collect per-query hitlists
-    # (the role of the HSP stream writer + Blast_HitListUpdate)
+    # (the role of the HSP stream writer + Blast_HitListUpdate); the
+    # best-hit / culling writers replace the default collector when
+    # configured (hspfilter_besthit.c / hspfilter_culling.c)
     hitlist_size = options.max_target_seqs or options.hitlist_size
     hitlists = [
         HitList(hitlist_size=hitlist_size) for _ in range(qblock.num_queries)
     ]
-    for lst in prelim_lists:
-        by_query: dict[int, HSPList] = {}
-        for h in lst.hsps:
-            qi = qblock.contexts[h.context].query_index
-            by_query.setdefault(qi, HSPList(oid=lst.oid)).hsps.append(h)
-        for qi, sub in by_query.items():
-            hitlist_update(hitlists[qi], sub)
+    besthit = culling = None
+    if options.best_hit_overhang > 0 or options.best_hit_score_edge > 0:
+        from gblastn_tpu.hspfilters import BestHitWriter
+
+        besthit = BestHitWriter(
+            qblock.num_queries,
+            options.best_hit_overhang or 0.1,
+            options.best_hit_score_edge or 0.1,
+        )
+    elif options.culling_limit > 0:
+        from gblastn_tpu.hspfilters import CullingWriter
+
+        culling = CullingWriter(
+            len(qblock.contexts), options.culling_limit
+        )
+
+    if besthit is not None or culling is not None:
+        writer = besthit if besthit is not None else culling
+        for lst in prelim_lists:
+            by_query: dict[int, HSPList] = {}
+            for h in lst.hsps:
+                qi = qblock.contexts[h.context].query_index
+                by_query.setdefault(
+                    qi, HSPList(oid=lst.oid)
+                ).hsps.append(h)
+            for sub in by_query.values():
+                writer.add_hsplist(sub, qblock)
+        for qi in range(qblock.num_queries):
+            if besthit is not None:
+                kept = besthit.export(qi)
+            else:
+                kept = culling.export_query(qblock, qi)
+            for sub in kept:
+                from gblastn_tpu.hits import sort_by_score
+
+                sort_by_score(sub.hsps)
+                hitlist_update(hitlists[qi], sub)
+    else:
+        for lst in prelim_lists:
+            by_query: dict[int, HSPList] = {}
+            for h in lst.hsps:
+                qi = qblock.contexts[h.context].query_index
+                by_query.setdefault(
+                    qi, HSPList(oid=lst.oid)
+                ).hsps.append(h)
+            for qi, sub in by_query.items():
+                hitlist_update(hitlists[qi], sub)
 
     return PrelimResult(qblock=qblock, params=params, hitlists=hitlists)
 

@@ -24,7 +24,12 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
-from gblastn_tpu.ops.seeding import mini_extend, scan_block, ungapped_extend
+from gblastn_tpu.ops.seeding import (
+    mini_extend,
+    scan_block,
+    seeding_pipeline,
+    ungapped_extend,
+)
 from gblastn_tpu.utils.profiling import slog
 
 
@@ -127,82 +132,63 @@ def run_seeding(
     cmax: int = 8,
     max_cmax: int = 4096,
     hit_cap: int = 16384,
+    seed_cap: int = 16384,
 ) -> InitHits:
     """Full seeding pass over one subject buffer; returns saved init hits.
 
-    ``hit_cap`` bounds the device-side compaction of PV-positive scan
-    positions (0 disables compaction); ``cmax`` bounds per-word seed
-    fan-out. Either capacity overflowing triggers a doubling retry.
+    Runs the fused device pipeline (ops.seeding.seeding_pipeline): one
+    XLA program for scan + mini-extension + on-device seed compaction +
+    ungapped extension, one device->host transfer of [seed_cap] arrays.
+    Capacity overflows (hit_cap / cmax / seed_cap) trigger doubling
+    retries; compiled variants are bounded by the power-of-two buckets.
     """
     s_pad = int(dev.subject2.shape[0])
     n_scan = max((s_pad - lut_word) // scan_step + 1, 1)
 
+    # pad per-context arrays to a bucketed size for shape stability
+    n_ctx = len(word_cutoffs)
+    ctx_cap = 64
+    while ctx_cap < n_ctx:
+        ctx_cap *= 2
+    ctx_off_dev = np.full(ctx_cap + 1, np.iinfo(np.int32).max, np.int32)
+    ctx_off_dev[: n_ctx + 1] = context_offsets[: n_ctx + 1]
+    xdrop_dev = np.ones(ctx_cap, np.int32)
+    xdrop_dev[:n_ctx] = x_dropoffs
+
     while True:
-        with slog.time("device.seeding.scan"):
-            q_off, s_off, valid, n_dropped = scan_block(
+        with slog.time("device.seeding.pipeline"):
+            out = seeding_pipeline(
                 dev.subject2, dev.subject_valid,
                 dev.lut_offsets, dev.lut_positions,
-                scan_step=scan_step, lut_word=lut_word, word_size=word_size,
-                cmax=cmax, n_scan=n_scan, hit_cap=hit_cap,
+                dev.query, dev.matrix16,
+                jnp.asarray(ctx_off_dev), jnp.asarray(xdrop_dev),
+                scan_step=scan_step, lut_word=lut_word,
+                word_size=word_size, cmax=cmax, n_scan=n_scan,
+                hit_cap=hit_cap, seed_cap=seed_cap,
             )
-            n_dropped = int(n_dropped)
-        if n_dropped == 0:
+            (qs, ss, fill, ctx, ug_q, ug_s, ug_len, ug_score,
+             n_overflow) = (np.asarray(o) for o in out)
+        if int(n_overflow) == 0:
             break
-        if hit_cap:
-            hit_cap *= 2
-            if hit_cap > max(n_scan * 2, 1 << 22):
-                hit_cap = 0  # fall back to dense fan-out
-        else:
-            cmax *= 2
-            if cmax > max_cmax:
-                raise RuntimeError(
-                    f"seed fan-out exceeded {max_cmax} positions per word"
-                )
+        # double every capacity that could have overflowed; buckets keep
+        # the number of compiled variants logarithmic
+        hit_cap *= 2
+        seed_cap *= 2
+        if hit_cap > max(n_scan * 4, 1 << 23):
+            raise RuntimeError("seeding capacity overflow did not clear")
 
-    with slog.time("device.seeding.mini_extend"):
-        q_adj, s_adj, ok = mini_extend(
-            dev.query, dev.subject2, dev.subject_valid,
-            q_off, s_off, valid, lut_word=lut_word, word_size=word_size,
-        )
-        ok_np = np.asarray(ok)
-
-    # Host compaction of surviving seeds.
-    idx = np.nonzero(ok_np)[0]
-    if len(idx) == 0:
+    n = int(fill.sum())
+    if n == 0:
         z = np.zeros(0, dtype=np.int32)
         return InitHits(z, z, z, z, z, z, z, z)
-    q_np = np.asarray(q_adj)[idx]
-    s_np = np.asarray(s_adj)[idx]
-
-    # Deduplicate identical adjusted seeds: the diag filter would drop all
-    # but the first anyway (s_off < last_hit), and duplicates arise whenever
-    # a long exact run is hit at several scan positions. Keep first in
-    # (diag, s) order, which is the scan order (see module docstring).
-    ctx = (
-        np.searchsorted(context_offsets, q_np, side="right") - 1
-    ).astype(np.int32)
-    ctx = np.clip(ctx, 0, len(word_cutoffs) - 1)
-    x_drop = x_dropoffs[ctx].astype(np.int32)
+    q_np = qs[:n]
+    s_np = ss[:n]
+    ctx = np.clip(ctx[:n], 0, n_ctx - 1)
+    ug_q = ug_q[:n]
+    ug_s = ug_s[:n]
+    ug_len = ug_len[:n]
+    ug_score = ug_score[:n]
     cutoff = word_cutoffs[ctx].astype(np.int32)
-
-    # Device ungapped extension on the compacted (padded) seed set.
-    n = len(idx)
-    cap = _round_up_pow2(n)
-    pad = cap - n
-    qp = np.concatenate([q_np, np.zeros(pad, np.int32)])
-    sp = np.concatenate([s_np, np.zeros(pad, np.int32)])
-    vp = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
-    xp = np.concatenate([x_drop, np.ones(pad, np.int32)])
-    with slog.time("device.seeding.ungapped"):
-        ug_q, ug_s, ug_len, ug_score = ungapped_extend(
-            dev.query, dev.subject2, dev.subject_valid, dev.matrix16,
-            jnp.asarray(qp), jnp.asarray(sp), jnp.asarray(vp),
-            jnp.asarray(xp),
-        )
-        ug_q = np.asarray(ug_q)[:n]
-    ug_s = np.asarray(ug_s)[:n]
-    ug_len = np.asarray(ug_len)[:n]
-    ug_score = np.asarray(ug_score)[:n]
 
     oid = (
         np.searchsorted(subject_starts, s_np, side="right") - 1

@@ -343,3 +343,69 @@ def ungapped_extend(
         length.astype(jnp.int32),
         jnp.where(valid, score, 0).astype(jnp.int32),
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "scan_step", "lut_word", "word_size", "cmax", "n_scan", "hit_cap",
+        "seed_cap", "chunk",
+    ),
+)
+def seeding_pipeline(
+    subject2: jnp.ndarray,        # int8[S_pad]
+    subject_valid: jnp.ndarray,   # bool[S_pad]
+    lut_offsets: jnp.ndarray,     # int32[4^w + 1]
+    lut_positions: jnp.ndarray,   # int32[P]
+    query: jnp.ndarray,           # uint8[Q]
+    matrix16: jnp.ndarray,        # int32[16, 4]
+    ctx_offsets: jnp.ndarray,     # int32[CTX_CAP] padded with INT32_MAX
+    x_dropoffs: jnp.ndarray,      # int32[CTX_CAP] per-context raw X-drop
+    *,
+    scan_step: int,
+    lut_word: int,
+    word_size: int,
+    cmax: int,
+    n_scan: int,
+    hit_cap: int,
+    seed_cap: int,
+    chunk: int = 64,
+):
+    """Fused device seeding: scan -> mini-extension -> seed compaction ->
+    X-drop ungapped extension, one XLA program, one D2H transfer.
+
+    Returns (q_off, s_off, valid, ctx, q_start, s_start, length, score,
+    n_overflow) with all seed arrays sized [seed_cap]; n_overflow > 0
+    means a capacity (hit_cap / cmax / seed_cap) overflowed and the
+    caller must retry larger.
+    """
+    q_off, s_off, take, n_dropped = scan_block(
+        subject2, subject_valid, lut_offsets, lut_positions,
+        scan_step=scan_step, lut_word=lut_word, word_size=word_size,
+        cmax=cmax, n_scan=n_scan, hit_cap=hit_cap,
+    )
+    q_adj, s_adj, ok = mini_extend(
+        query, subject2, subject_valid, q_off, s_off, take,
+        lut_word=lut_word, word_size=word_size,
+    )
+    # device-side compaction of mini-extension survivors
+    n_seeds = ok.sum()
+    sidx = jnp.nonzero(ok, size=seed_cap, fill_value=0)[0]
+    fill = (
+        jax.lax.broadcasted_iota(jnp.int32, (seed_cap,), 0)
+        < jnp.minimum(n_seeds, seed_cap)
+    )
+    qs = jnp.where(fill, q_adj[sidx], 0)
+    ss = jnp.where(fill, s_adj[sidx], 0)
+    ctx = (
+        jnp.searchsorted(ctx_offsets, qs, side="right").astype(jnp.int32)
+        - 1
+    )
+    ctx = jnp.clip(ctx, 0, x_dropoffs.shape[0] - 1)
+    xd = x_dropoffs[ctx]
+    uq, us, ulen, uscore = ungapped_extend(
+        query, subject2, subject_valid, matrix16, qs, ss, fill, xd,
+        chunk=chunk,
+    )
+    n_overflow = n_dropped + jnp.maximum(n_seeds - seed_cap, 0)
+    return qs, ss, fill, ctx, uq, us, ulen, uscore, n_overflow

@@ -53,6 +53,9 @@ class SearchOptions:
     min_diag_separation: int = 6        # 50 for blastn
     cutoff_score: int = 0               # 0 = derive from evalue
     low_score_perc: float = 0.0    # off by default (calloc'd options)
+    best_hit_overhang: float = 0.0      # 0 = best-hit filter off
+    best_hit_score_edge: float = 0.0
+    culling_limit: int = 0              # 0 = culling filter off
     max_target_seqs: int | None = None  # alias of hitlist_size at CLI level
 
     # Query handling
