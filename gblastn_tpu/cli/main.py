@@ -79,6 +79,10 @@ def _add_blastn_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-print_thread", type=int, default=1)
     p.add_argument("-logfile", default=None,
                    help="write the stage timing report here")
+    p.add_argument("-export_search_strategy", default=None,
+                   help="save the search request (query/db/options)")
+    p.add_argument("-import_search_strategy", default=None,
+                   help="recover a saved search request")
 
 
 def _build_options(args):
@@ -135,10 +139,53 @@ def run_blastn(argv) -> int:
     # import jax lazily so `makedb` works without device init
     from gblastn_tpu.engine.search import search
 
+    if args.import_search_strategy:
+        # RecoverSearchStrategy (blastn_app.cpp:423, search_strategy.cpp)
+        import dataclasses
+        import json
+
+        saved = json.loads(Path(args.import_search_strategy).read_text())
+        for k, v in saved.get("args", {}).items():
+            if getattr(args, k, None) in (None, 0, 0.0, "both", "megablast",
+                                          "6", "yes", 10.0, "true", 1):
+                setattr(args, k, v)
+
     if not args.query and not args.query_list:
         p.error("one of -query / -query_list is required")
 
     options = _build_options(args)
+
+    if args.export_search_strategy:
+        # SaveSearchStrategy (blastn_app.cpp:593)
+        import dataclasses
+        import json
+
+        strategy = {
+            "format_version": 1,
+            "program": "blastn",
+            "args": {
+                "query": args.query,
+                "query_list": args.query_list,
+                "db": args.db,
+                "task": args.task,
+                "evalue": args.evalue,
+                "word_size": args.word_size,
+                "reward": args.reward,
+                "penalty": args.penalty,
+                "gapopen": args.gapopen,
+                "gapextend": args.gapextend,
+                "max_target_seqs": args.max_target_seqs,
+                "outfmt": args.outfmt,
+                "strand": args.strand,
+                "perc_identity": args.perc_identity,
+                "dust": args.dust,
+                "window_masker_db": args.window_masker_db,
+            },
+            "options": dataclasses.asdict(options),
+        }
+        Path(args.export_search_strategy).write_text(
+            json.dumps(strategy, indent=1, default=str)
+        )
     db = SequenceDB.load(args.db)
     kind, fields = _parse_outfmt(args.outfmt)
 
