@@ -299,5 +299,41 @@ def search(
     db: SequenceDB,
     options: SearchOptions,
 ) -> BlastResults:
-    """Run a complete gapped nucleotide search end to end."""
-    return finish_search(prelim_search(records, db, options), db, options)
+    """Run a complete gapped nucleotide search end to end.
+
+    Queries longer than the task chunk size are transparently split
+    into overlapping chunks and the results stitched back
+    (engine.split, the role of split_query_cxx.cpp)."""
+    from gblastn_tpu.engine.split import (
+        chunk_size_for_task,
+        merge_chunk_results,
+        overlap_size,
+        split_records,
+    )
+
+    chunk = chunk_size_for_task(options.task.value)
+    recs2, info, any_split = split_records(
+        records, chunk, overlap_size()
+    )
+    if not any_split:
+        return finish_search(
+            prelim_search(records, db, options), db, options
+        )
+
+    sub = finish_search(prelim_search(recs2, db, options), db, options)
+    qblock_orig = build_query_block(records, options.strand)
+    n_ctx_per_query = 2 if options.strand == "both" else 1
+    hitlist_size = options.max_target_seqs or options.hitlist_size
+    merged = merge_chunk_results(
+        sub, info, len(records), n_ctx_per_query, hitlist_size
+    )
+    params_orig = derive_params(
+        options, [c.length for c in qblock_orig.contexts],
+        db.total_length, db.num_seqs,
+    )
+    results = BlastResults(qblock=qblock_orig, params=params_orig)
+    for qi in range(len(records)):
+        results.queries.append(
+            QueryResult(query_index=qi, hsplists=merged[qi])
+        )
+    return results

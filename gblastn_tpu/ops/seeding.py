@@ -215,11 +215,11 @@ def _xdrop_direction(
     x = jnp.broadcast_to(jnp.asarray(x_drop, dtype=jnp.int32), (n,))
 
     def cond(state):
-        base, _s, _b, _p, done = state
+        base, _s, _b, _p, done, _bound = state
         return jnp.logical_not(jnp.all(done))
 
     def body(state):
-        base, s, best, best_pos, done = state
+        base, s, best, best_pos, done, bound = state
         j = base + jnp.arange(1, chunk + 1, dtype=jnp.int32)[None, :]
         sc = scores_at(j)
         sc = jnp.where(j <= max_steps[:, None], sc, NEG_BIG)
@@ -248,17 +248,26 @@ def _xdrop_direction(
         new_pos = jnp.where(
             improved & jnp.logical_not(done), base + first_pos + 1, best_pos
         )
-        now_done = done | jnp.any(dropped, axis=1) | (
-            base + chunk >= max_steps
+        dropped_any = jnp.any(dropped, axis=1)
+        exceeded = base + chunk >= max_steps
+        # terminated by the step bound without an X-drop decision: either
+        # the chunk ran out with no drop, or the "drop" happened past
+        # max_steps (the NEG_BIG mask region, i.e. the bound itself)
+        stop_j = base + stop + 1
+        artificial = dropped_any & (stop_j > max_steps)
+        new_bound = bound | (
+            jnp.logical_not(done)
+            & (artificial | (jnp.logical_not(dropped_any) & exceeded))
         )
+        now_done = done | dropped_any | exceeded
         last_live = jnp.where(done, s, cs[:, -1])
         stop_s = jnp.where(
-            jnp.any(dropped, axis=1),
+            dropped_any,
             jnp.take_along_axis(cs, stop[:, None], axis=1)[:, 0],
             last_live,
         )
         new_s = jnp.where(done, s, stop_s)
-        return (base + chunk, new_s, new_best, new_pos, now_done)
+        return (base + chunk, new_s, new_best, new_pos, now_done, new_bound)
 
     # derive the zero carries from max_steps so they inherit its
     # device-varying type under shard_map (jax vma rules)
@@ -269,12 +278,13 @@ def _xdrop_direction(
         zero_n,
         zero_n,
         max_steps <= 0,
+        max_steps < 0,   # all-False, derived for shard_map vma typing
     )
-    _, _, best, best_pos, _ = jax.lax.while_loop(cond, body, init)
-    return best, best_pos
+    _, _, best, best_pos, _, bound = jax.lax.while_loop(cond, body, init)
+    return best, best_pos, bound
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
+@functools.partial(jax.jit, static_argnames=("chunk", "max_extend"))
 def ungapped_extend(
     query: jnp.ndarray,           # uint8[Q] BLASTNA
     subject2: jnp.ndarray,        # int8[S_pad]
@@ -286,14 +296,19 @@ def ungapped_extend(
     x_dropoff: jnp.ndarray,       # int32[n] per-seed raw X-drop magnitude
     *,
     chunk: int = 64,
+    max_extend: int = 0,          # 0 = unbounded; else clamp per direction
 ):
     """Exact bidirectional X-drop ungapped extension
     (s_NuclUngappedExtendExact, na_ungapped.c:152).
 
-    Returns (q_start, s_start, length, score) per seed. The right pass
-    starts at the seed start (re-scoring the word region); the left pass
-    starts one base before it. Scores use the BLASTNA-row matrix so query
-    ambiguity codes and sentinels score identically to the reference.
+    Returns (q_start, s_start, length, score, truncated) per seed. The
+    right pass starts at the seed start (re-scoring the word region);
+    the left pass starts one base before it. Scores use the BLASTNA-row
+    matrix so query ambiguity codes and sentinels score identically to
+    the reference. With ``max_extend`` set, extensions stop after that
+    many steps per direction and ``truncated`` marks seeds whose result
+    is inexact (the caller re-runs those unclamped -- the escalation
+    pattern bounding the while_loop cost to the short common case).
     """
     Q = query.shape[0]
     S = subject2.shape[0]
@@ -321,11 +336,15 @@ def ungapped_extend(
     max_right = jnp.where(
         valid, jnp.minimum(Q - q_off, S - s_off), 0
     )
+    if max_extend:
+        true_left, true_right = max_left, max_right
+        max_left = jnp.minimum(max_left, max_extend)
+        max_right = jnp.minimum(max_right, max_extend)
 
-    left_best, left_pos = _xdrop_direction(
+    left_best, left_pos, left_bound = _xdrop_direction(
         make_scores(-1), max_left.astype(jnp.int32), x_dropoff, chunk
     )
-    right_best, right_pos = _xdrop_direction(
+    right_best, right_pos, right_bound = _xdrop_direction(
         make_scores(+1), max_right.astype(jnp.int32), x_dropoff, chunk
     )
     left_best = jnp.maximum(left_best, 0)
@@ -337,11 +356,21 @@ def ungapped_extend(
     q_start = q_off - left_pos
     s_start = s_off - left_pos
     length = left_pos + right_pos
+    # a result is truncated (inexact) only if a direction stopped at the
+    # artificial clamp rather than the true sequence bound
+    if max_extend:
+        truncated = valid & (
+            (left_bound & (true_left > max_extend))
+            | (right_bound & (true_right > max_extend))
+        )
+    else:
+        truncated = jnp.zeros_like(valid)
     return (
         q_start.astype(jnp.int32),
         s_start.astype(jnp.int32),
         length.astype(jnp.int32),
         jnp.where(valid, score, 0).astype(jnp.int32),
+        truncated,
     )
 
 
@@ -349,7 +378,7 @@ def ungapped_extend(
     jax.jit,
     static_argnames=(
         "scan_step", "lut_word", "word_size", "cmax", "n_scan", "hit_cap",
-        "seed_cap", "chunk",
+        "seed_cap", "chunk", "phase1_extend", "live_cap",
     ),
 )
 def seeding_pipeline(
@@ -370,42 +399,84 @@ def seeding_pipeline(
     hit_cap: int,
     seed_cap: int,
     chunk: int = 64,
+    phase1_extend: int = 96,
+    live_cap: int = 2048,
 ):
-    """Fused device seeding: scan -> mini-extension -> seed compaction ->
-    X-drop ungapped extension, one XLA program, one D2H transfer.
+    """Fused device seeding: scan -> seed compaction -> mini-extension
+    -> survivor compaction -> two-phase X-drop ungapped extension, one
+    XLA program, one D2H transfer.
+
+    The ungapped stage escalates: phase 1 clamps every extension to
+    ``phase1_extend`` steps (random seeds die to the X-drop in a few
+    bases); the few seeds that were still running (true matches) are
+    compacted to ``live_cap`` lanes and re-run unclamped. This keeps
+    the gather-heavy while_loop iterations proportional to the short
+    common case rather than the longest alignment.
 
     Returns (q_off, s_off, valid, ctx, q_start, s_start, length, score,
-    n_overflow) with all seed arrays sized [seed_cap]; n_overflow > 0
-    means a capacity (hit_cap / cmax / seed_cap) overflowed and the
-    caller must retry larger.
+    n_overflow): seed arrays [seed_cap]; n_overflow > 0 => a capacity
+    (hit_cap / cmax / seed_cap / live_cap) overflowed, retry larger.
     """
     q_off, s_off, take, n_dropped = scan_block(
         subject2, subject_valid, lut_offsets, lut_positions,
         scan_step=scan_step, lut_word=lut_word, word_size=word_size,
         cmax=cmax, n_scan=n_scan, hit_cap=hit_cap,
     )
-    q_adj, s_adj, ok = mini_extend(
-        query, subject2, subject_valid, q_off, s_off, take,
+    # compact raw seeds before the gather-heavy mini-extension
+    n_raw = take.sum()
+    ridx = jnp.nonzero(take, size=seed_cap, fill_value=0)[0]
+    rfill = (
+        jax.lax.broadcasted_iota(jnp.int32, (seed_cap,), 0)
+        < jnp.minimum(n_raw, seed_cap)
+    )
+    q_off = jnp.where(rfill, q_off[ridx], 0)
+    s_off = jnp.where(rfill, s_off[ridx], 0)
+
+    qs, ss, ok = mini_extend(
+        query, subject2, subject_valid, q_off, s_off, rfill,
         lut_word=lut_word, word_size=word_size,
     )
-    # device-side compaction of mini-extension survivors
-    n_seeds = ok.sum()
-    sidx = jnp.nonzero(ok, size=seed_cap, fill_value=0)[0]
-    fill = (
-        jax.lax.broadcasted_iota(jnp.int32, (seed_cap,), 0)
-        < jnp.minimum(n_seeds, seed_cap)
-    )
-    qs = jnp.where(fill, q_adj[sidx], 0)
-    ss = jnp.where(fill, s_adj[sidx], 0)
+    qs = jnp.where(ok, qs, 0)
+    ss = jnp.where(ok, ss, 0)
+
     ctx = (
         jnp.searchsorted(ctx_offsets, qs, side="right").astype(jnp.int32)
         - 1
     )
     ctx = jnp.clip(ctx, 0, x_dropoffs.shape[0] - 1)
     xd = x_dropoffs[ctx]
-    uq, us, ulen, uscore = ungapped_extend(
-        query, subject2, subject_valid, matrix16, qs, ss, fill, xd,
-        chunk=chunk,
+
+    # phase 1: clamped extension over all surviving seeds
+    uq, us, ulen, uscore, trunc = ungapped_extend(
+        query, subject2, subject_valid, matrix16, qs, ss, ok, xd,
+        chunk=chunk, max_extend=phase1_extend,
     )
-    n_overflow = n_dropped + jnp.maximum(n_seeds - seed_cap, 0)
-    return qs, ss, fill, ctx, uq, us, ulen, uscore, n_overflow
+    # phase 2: unclamped re-run of the (few) truncated seeds. Unfilled
+    # lanes get an out-of-range scatter index so their writes are
+    # dropped (duplicate in-range fill indices would race with a real
+    # truncated seed living at that index).
+    n_live = trunc.sum()
+    lidx = jnp.nonzero(trunc, size=live_cap, fill_value=seed_cap)[0]
+    lfill = (
+        jax.lax.broadcasted_iota(jnp.int32, (live_cap,), 0)
+        < jnp.minimum(n_live, live_cap)
+    )
+    lidx_g = jnp.minimum(lidx, seed_cap - 1)   # clamp for gathers only
+    lq = jnp.where(lfill, qs[lidx_g], 0)
+    ls = jnp.where(lfill, ss[lidx_g], 0)
+    lxd = jnp.where(lfill, xd[lidx_g], 1)
+    fq, fs, flen, fscore, _ = ungapped_extend(
+        query, subject2, subject_valid, matrix16, lq, ls, lfill, lxd,
+        chunk=chunk, max_extend=0,
+    )
+    uq = uq.at[lidx].set(fq, mode="drop")
+    us = us.at[lidx].set(fs, mode="drop")
+    ulen = ulen.at[lidx].set(flen, mode="drop")
+    uscore = uscore.at[lidx].set(fscore, mode="drop")
+
+    n_overflow = (
+        n_dropped
+        + jnp.maximum(n_raw - seed_cap, 0)
+        + jnp.maximum(n_live - live_cap, 0)
+    )
+    return qs, ss, ok, ctx, uq, us, ulen, uscore, n_overflow

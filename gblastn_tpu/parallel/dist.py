@@ -120,7 +120,7 @@ def make_sharded_seeding(
             lut_word=lut_word, word_size=word_size,
         )
         xd = jnp.broadcast_to(x_drop, q_adj.shape)
-        uq, us, ulen, uscore = ungapped_extend(
+        uq, us, ulen, uscore, _trunc = ungapped_extend(
             query, subject2, valid, matrix16, q_adj, s_adj, ok2, xd,
             chunk=chunk,
         )

@@ -161,7 +161,7 @@ class TestUngappedExtend:
         qo = rng.integers(1, 450, n).astype(np.int32)
         so = rng.integers(0, 500, n).astype(np.int32)
         xd = np.full(n, 11, dtype=np.int32)
-        gq, gs, gl, gsc = ungapped_extend(
+        gq, gs, gl, gsc, _tr = ungapped_extend(
             jnp.asarray(qb.buffer), jnp.asarray(sub2), jnp.asarray(valid),
             jnp.asarray(mat), jnp.asarray(qo), jnp.asarray(so),
             jnp.ones(n, bool), jnp.asarray(xd), chunk=16,
@@ -181,7 +181,7 @@ class TestUngappedExtend:
         sub2 = db.unpacked().astype(np.int8)
         valid = db.valid_mask()
         mat = matrix16x4(1, -2)
-        gq, gs, gl, gsc = ungapped_extend(
+        gq, gs, gl, gsc, _tr = ungapped_extend(
             jnp.asarray(qb.buffer), jnp.asarray(sub2), jnp.asarray(valid),
             jnp.asarray(mat),
             jnp.asarray(np.array([1 + 1500], np.int32)),
