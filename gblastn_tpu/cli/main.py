@@ -124,10 +124,10 @@ def _parse_outfmt(outfmt: str):
     parts = outfmt.split()
     kind = int(parts[0])
     fields = parts[1:] or None
-    if kind not in (0, 6, 7, 17):
+    if kind not in (0, 5, 6, 7, 17):
         raise SystemExit(
             f"-outfmt {kind} not supported yet "
-            "(0 pairwise, 6/7 tabular, 17 SAM)"
+            "(0 pairwise, 5 XML, 6/7 tabular, 17 SAM)"
         )
     return kind, fields
 
@@ -200,9 +200,23 @@ def run_blastn(argv) -> int:
 
     out = sys.stdout if args.out == "-" else open(args.out, "w")
     try:
-        pairwise = sam = None
+        pairwise = sam = xmlw = None
         writer = None
-        if kind in (6, 7):
+        if kind == 5:
+            from gblastn_tpu.format.xmlout import XmlWriter
+
+            xmlw = XmlWriter(
+                out=out, dbname=db.title or args.db,
+                params={
+                    "expect": options.evalue,
+                    "sc-match": options.reward,
+                    "sc-mismatch": options.penalty,
+                    "gap-open": options.gap_open,
+                    "gap-extend": options.gap_extend,
+                    "filter": "L;m;" if options.dust else "F",
+                },
+            )
+        elif kind in (6, 7):
             writer = TabularWriter(
                 out=out,
                 commented=(kind == 7),
@@ -310,6 +324,8 @@ def run_blastn(argv) -> int:
             writer.finalize(num_queries)
         elif pairwise is not None:
             pairwise.finalize()
+        elif xmlw is not None:
+            xmlw.finalize()
         print(
             f"# {num_queries} queries in {time.time() - t0:.2f}s",
             file=sys.stderr,

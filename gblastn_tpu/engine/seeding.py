@@ -166,7 +166,7 @@ def run_seeding(
                 word_size=word_size, cmax=cmax, n_scan=n_scan,
                 hit_cap=hit_cap, seed_cap=seed_cap,
             )
-            (qs, ss, fill, ctx, ug_q, ug_s, ug_len, ug_score,
+            (qs, ss, fill, ctx, ug_q, ug_s, ug_len, ug_score, trunc,
              n_overflow) = (np.asarray(o) for o in out)
         if int(n_overflow) == 0:
             break
@@ -176,6 +176,36 @@ def run_seeding(
         seed_cap *= 2
         if hit_cap > max(n_scan * 4, 1 << 23):
             raise RuntimeError("seeding capacity overflow did not clear")
+
+    # phase 2: re-run clamp-truncated extensions unclamped on a host-
+    # compacted seed set (typically the true matches only)
+    tidx = np.nonzero(trunc)[0]
+    if len(tidx):
+        # np.asarray of a jax array is a read-only view; copy to patch
+        ug_q = ug_q.copy()
+        ug_s = ug_s.copy()
+        ug_len = ug_len.copy()
+        ug_score = ug_score.copy()
+        cap2 = _round_up_pow2(len(tidx))
+        pad2 = cap2 - len(tidx)
+        q2 = np.concatenate([qs[tidx], np.zeros(pad2, qs.dtype)])
+        s2 = np.concatenate([ss[tidx], np.zeros(pad2, ss.dtype)])
+        v2 = np.concatenate([np.ones(len(tidx), bool),
+                             np.zeros(pad2, bool)])
+        x2 = np.concatenate([
+            xdrop_dev[np.clip(ctx[tidx], 0, ctx_cap - 1)],
+            np.ones(pad2, np.int32),
+        ])
+        with slog.time("device.seeding.phase2"):
+            f_q, f_s, f_len, f_score, _t = ungapped_extend(
+                dev.query, dev.subject2, dev.subject_valid, dev.matrix16,
+                jnp.asarray(q2), jnp.asarray(s2), jnp.asarray(v2),
+                jnp.asarray(x2),
+            )
+            ug_q[tidx] = np.asarray(f_q)[: len(tidx)]
+            ug_s[tidx] = np.asarray(f_s)[: len(tidx)]
+            ug_len[tidx] = np.asarray(f_len)[: len(tidx)]
+            ug_score[tidx] = np.asarray(f_score)[: len(tidx)]
 
     n = int(fill.sum())
     if n == 0:

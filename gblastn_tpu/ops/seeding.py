@@ -378,7 +378,7 @@ def ungapped_extend(
     jax.jit,
     static_argnames=(
         "scan_step", "lut_word", "word_size", "cmax", "n_scan", "hit_cap",
-        "seed_cap", "chunk", "phase1_extend", "live_cap",
+        "seed_cap", "chunk", "phase1_extend",
     ),
 )
 def seeding_pipeline(
@@ -400,22 +400,21 @@ def seeding_pipeline(
     seed_cap: int,
     chunk: int = 64,
     phase1_extend: int = 96,
-    live_cap: int = 2048,
 ):
     """Fused device seeding: scan -> seed compaction -> mini-extension
-    -> survivor compaction -> two-phase X-drop ungapped extension, one
+    -> survivor compaction -> clamped X-drop ungapped extension, one
     XLA program, one D2H transfer.
 
-    The ungapped stage escalates: phase 1 clamps every extension to
-    ``phase1_extend`` steps (random seeds die to the X-drop in a few
-    bases); the few seeds that were still running (true matches) are
-    compacted to ``live_cap`` lanes and re-run unclamped. This keeps
-    the gather-heavy while_loop iterations proportional to the short
-    common case rather than the longest alignment.
+    The ungapped stage is clamped to ``phase1_extend`` steps per
+    direction (random seeds die to the X-drop within a few bases); the
+    returned ``trunc`` flags mark seeds still running at the clamp,
+    which the host re-runs unclamped in a second, compacted device call
+    (engine.seeding.run_seeding). This keeps the gather-heavy
+    while_loop iterations proportional to the short common case.
 
     Returns (q_off, s_off, valid, ctx, q_start, s_start, length, score,
-    n_overflow): seed arrays [seed_cap]; n_overflow > 0 => a capacity
-    (hit_cap / cmax / seed_cap / live_cap) overflowed, retry larger.
+    trunc, n_overflow): seed arrays [seed_cap]; n_overflow > 0 => a
+    capacity (hit_cap / cmax / seed_cap) overflowed, retry larger.
     """
     q_off, s_off, take, n_dropped = scan_block(
         subject2, subject_valid, lut_offsets, lut_positions,
@@ -451,32 +450,5 @@ def seeding_pipeline(
         query, subject2, subject_valid, matrix16, qs, ss, ok, xd,
         chunk=chunk, max_extend=phase1_extend,
     )
-    # phase 2: unclamped re-run of the (few) truncated seeds. Unfilled
-    # lanes get an out-of-range scatter index so their writes are
-    # dropped (duplicate in-range fill indices would race with a real
-    # truncated seed living at that index).
-    n_live = trunc.sum()
-    lidx = jnp.nonzero(trunc, size=live_cap, fill_value=seed_cap)[0]
-    lfill = (
-        jax.lax.broadcasted_iota(jnp.int32, (live_cap,), 0)
-        < jnp.minimum(n_live, live_cap)
-    )
-    lidx_g = jnp.minimum(lidx, seed_cap - 1)   # clamp for gathers only
-    lq = jnp.where(lfill, qs[lidx_g], 0)
-    ls = jnp.where(lfill, ss[lidx_g], 0)
-    lxd = jnp.where(lfill, xd[lidx_g], 1)
-    fq, fs, flen, fscore, _ = ungapped_extend(
-        query, subject2, subject_valid, matrix16, lq, ls, lfill, lxd,
-        chunk=chunk, max_extend=0,
-    )
-    uq = uq.at[lidx].set(fq, mode="drop")
-    us = us.at[lidx].set(fs, mode="drop")
-    ulen = ulen.at[lidx].set(flen, mode="drop")
-    uscore = uscore.at[lidx].set(fscore, mode="drop")
-
-    n_overflow = (
-        n_dropped
-        + jnp.maximum(n_raw - seed_cap, 0)
-        + jnp.maximum(n_live - live_cap, 0)
-    )
-    return qs, ss, ok, ctx, uq, us, ulen, uscore, n_overflow
+    n_overflow = n_dropped + jnp.maximum(n_raw - seed_cap, 0)
+    return qs, ss, ok, ctx, uq, us, ulen, uscore, trunc, n_overflow

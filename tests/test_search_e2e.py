@@ -175,3 +175,55 @@ class TestFormatter:
         assert cols[4] == "0" and cols[5] == "0"
         assert cols[6:10] == ["1", "200", "5001", "5200"]
         assert lines[6] == "# BLAST processed 1 queries"
+
+
+class TestXmlOutput:
+    def test_xml_well_formed(self, genome, db):
+        import io as _io
+        import xml.dom.minidom as minidom
+
+        from gblastn_tpu.format.xmlout import XmlWriter
+
+        q = genome[5000:5200]
+        qm = revcomp(genome[8000:8100])
+        res = search(
+            [FastaRecord("q1", "fwd", q), FastaRecord("q2", "rev", qm)],
+            db, megablast_options(),
+        )
+        buf = _io.StringIO()
+        w = XmlWriter(out=buf, dbname="testdb",
+                      params={"expect": 10, "sc-match": 1,
+                              "sc-mismatch": -2})
+        qb = res.qblock
+        ctx_off = qb.context_offsets()
+
+        def get_query(ctx):
+            q0 = int(ctx_off[ctx])
+            return qb.buffer[q0: q0 + qb.contexts[ctx].length]
+
+        w.write_prolog("q1", "q1 fwd", 200)
+        for qres in res.queries:
+            qi = qres.query_index
+            hits = [
+                (db.ids[l.oid], db.titles[l.oid], int(db.lengths[l.oid]),
+                 l.hsps, db.get_sequence_blastna(l.oid))
+                for l in qres.hsplists
+            ]
+            w.write_iteration(
+                qb.ids[qi], qb.titles[qi], qb.lengths[qi], hits,
+                get_query, 10000, 0.7, 1.28, 1.0,
+            )
+        w.finalize()
+        doc = minidom.parseString(buf.getvalue())
+        hsps = doc.getElementsByTagName("Hsp")
+        assert len(hsps) == 2
+        # minus-strand hit: hit-from > hit-to, frame -1
+        frames = [
+            int(h.getElementsByTagName("Hsp_hit-frame")[0]
+                .firstChild.data) for h in hsps
+        ]
+        assert -1 in frames and 1 in frames
+        for h in hsps:
+            qseq = h.getElementsByTagName("Hsp_qseq")[0].firstChild.data
+            hseq = h.getElementsByTagName("Hsp_hseq")[0].firstChild.data
+            assert qseq == hseq  # exact matches
