@@ -207,17 +207,19 @@ def run_seeding(
             ug_len[tidx] = np.asarray(f_len)[: len(tidx)]
             ug_score[tidx] = np.asarray(f_score)[: len(tidx)]
 
-    n = int(fill.sum())
-    if n == 0:
+    # mini-extension kills seeds in place, so survivors are scattered
+    # through the [seed_cap] arrays -- compact by the mask, not a prefix
+    sel = np.nonzero(fill)[0]
+    if len(sel) == 0:
         z = np.zeros(0, dtype=np.int32)
         return InitHits(z, z, z, z, z, z, z, z)
-    q_np = qs[:n]
-    s_np = ss[:n]
-    ctx = np.clip(ctx[:n], 0, n_ctx - 1)
-    ug_q = ug_q[:n]
-    ug_s = ug_s[:n]
-    ug_len = ug_len[:n]
-    ug_score = ug_score[:n]
+    q_np = qs[sel]
+    s_np = ss[sel]
+    ctx = np.clip(ctx[sel], 0, n_ctx - 1)
+    ug_q = ug_q[sel]
+    ug_s = ug_s[sel]
+    ug_len = ug_len[sel]
+    ug_score = ug_score[sel]
     cutoff = word_cutoffs[ctx].astype(np.int32)
 
     oid = (

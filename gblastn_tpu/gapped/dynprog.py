@@ -37,6 +37,59 @@ SCRIPT_EXTEND_GAP_A = 0x10
 SCRIPT_EXTEND_GAP_B = 0x40
 
 
+def semi_gapped_align_native(
+    A: np.ndarray,
+    B: np.ndarray,
+    M: int,
+    N: int,
+    matrix: np.ndarray,
+    gap_open: int,
+    gap_extend: int,
+    x_dropoff: int,
+    reverse_sequence: bool,
+    score_only: bool = True,
+) -> tuple[int, int, int, EditScript | None] | None:
+    """Dispatch to the C++ DP aligner (native/dynprog.cpp); None if the
+    native library is unavailable."""
+    from gblastn_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gblastn_semi_gapped_align"):
+        return None
+    import ctypes
+
+    a = np.ascontiguousarray(A, dtype=np.uint8)
+    b = np.ascontiguousarray(B, dtype=np.uint8)
+    m = np.ascontiguousarray(matrix, dtype=np.int32)
+    out = np.zeros(4, dtype=np.int64)
+    max_ops = 256
+    while True:
+        op_types = np.zeros(max_ops, dtype=np.int32)
+        op_nums = np.zeros(max_ops, dtype=np.int32)
+        rc = lib.gblastn_semi_gapped_align(
+            a.ctypes.data_as(ctypes.c_void_p), len(a),
+            b.ctypes.data_as(ctypes.c_void_p), len(b),
+            int(M), int(N),
+            m.ctypes.data_as(ctypes.c_void_p),
+            int(gap_open), int(gap_extend), int(x_dropoff),
+            int(reverse_sequence), int(score_only),
+            op_types.ctypes.data_as(ctypes.c_void_p),
+            op_nums.ctypes.data_as(ctypes.c_void_p),
+            max_ops,
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        if rc == 0:
+            break
+        max_ops *= 4
+        if max_ops > 1 << 24:
+            return None
+    ops: EditScript | None = None
+    if not score_only:
+        n = int(out[3])
+        ops = [(int(op_types[i]), int(op_nums[i])) for i in range(n)]
+    return int(out[0]), int(out[1]), int(out[2]), ops
+
+
 def semi_gapped_align(
     A: np.ndarray,
     B: np.ndarray,
@@ -48,6 +101,7 @@ def semi_gapped_align(
     x_dropoff: int,
     reverse_sequence: bool,
     score_only: bool = True,
+    use_native: bool = True,
 ) -> tuple[int, int, int, EditScript | None]:
     """Returns (best_score, a_offset, b_offset, edit_ops).
 
@@ -57,6 +111,13 @@ def semi_gapped_align(
     edit_ops (traceback mode) is the prelim block: single-step ops
     emitted walking backwards from the best cell.
     """
+    if use_native:
+        res = semi_gapped_align_native(
+            A, B, M, N, matrix, gap_open, gap_extend, x_dropoff,
+            reverse_sequence, score_only,
+        )
+        if res is not None:
+            return res
     gap_open_extend = gap_open + gap_extend
     x_dropoff = max(x_dropoff, gap_open_extend)
     a_offset = 0

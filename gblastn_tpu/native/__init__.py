@@ -96,6 +96,19 @@ def get_lib():
         ctypes.c_int64,                       # max_ops
         ctypes.c_void_p,                      # out_vals[7]
     ]
+    lib.gblastn_semi_gapped_align.restype = ctypes.c_int
+    lib.gblastn_semi_gapped_align.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,      # A, a_avail
+        ctypes.c_void_p, ctypes.c_int64,      # B, b_avail
+        ctypes.c_int64, ctypes.c_int64,       # M, N
+        ctypes.c_void_p,                      # matrix [16*16] int32
+        ctypes.c_int64, ctypes.c_int64,       # gap_open, gap_extend
+        ctypes.c_int64,                       # x_dropoff
+        ctypes.c_int, ctypes.c_int,           # reverse, score_only
+        ctypes.c_void_p, ctypes.c_void_p,     # op_types, op_nums
+        ctypes.c_int64,                       # max_ops
+        ctypes.c_void_p,                      # out_vals[4]
+    ]
     _lib = lib
     return _lib
 

@@ -64,3 +64,36 @@ def test_native_empty_sequences():
     s = np.arange(4, dtype=np.uint8)
     nat = affine_greedy_align_native(e, s, False, 40, 1, 2, 0, 0, True)
     assert nat.seq1_align_len == 0 and nat.seq2_align_len == 0
+
+
+class TestNativeDP:
+    @pytest.mark.parametrize("go,ge,xdrop", [(5, 2, 60), (4, 1, 40)])
+    @pytest.mark.parametrize("score_only", [True, False])
+    def test_dp_matches_python(self, go, ge, xdrop, score_only):
+        from gblastn_tpu.gapped.dynprog import (
+            semi_gapped_align,
+            semi_gapped_align_native,
+        )
+        from gblastn_tpu.stats.karlin import nucl_score_matrix
+
+        mat = nucl_score_matrix(2, -3)
+        rng = np.random.default_rng(404)
+        for trial in range(30):
+            n = int(rng.integers(20, 300))
+            s = rng.integers(0, 4, n).astype(np.uint8)
+            q = mutate(rng, s, 0.07, 0.03)
+            a = np.concatenate([[0], q]).astype(np.uint8)
+            b = np.concatenate([[0], s]).astype(np.uint8)
+            M, N = len(q), len(s)
+            for rev in (False, True):
+                py = semi_gapped_align(
+                    a, b, M, N, mat, go, ge, xdrop, rev, score_only,
+                    use_native=False,
+                )
+                nat = semi_gapped_align_native(
+                    a, b, M, N, mat, go, ge, xdrop, rev, score_only,
+                )
+                assert nat is not None
+                assert nat[:3] == py[:3], (trial, rev)
+                if not score_only:
+                    assert nat[3] == py[3], (trial, rev)

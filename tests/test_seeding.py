@@ -279,3 +279,45 @@ class TestDiagFilter:
             cutoff=np.array([20, 20]),
         )
         assert list(saved) == [False, True]
+
+
+class TestScatteredSurvivors:
+    def test_decoy_seeds_before_match(self):
+        """Mini-extension kills decoy seeds interleaved before the true
+        match; the survivor compaction must select by mask, not prefix
+        (regression: prefix slicing dropped late survivors)."""
+        rng = np.random.default_rng(1234)
+        W, w = 28, 11
+        # subject: noise + many copies of an 11-mer decoy + true region
+        core = rng.integers(0, 4, 11)
+        decoy = np.concatenate([
+            np.concatenate([core, rng.integers(0, 4, 25)])
+            for _ in range(40)
+        ])
+        true_region = rng.integers(0, 4, 200)
+        subject = np.concatenate(
+            [rng.integers(0, 4, 500), decoy, rng.integers(0, 4, 300),
+             true_region, rng.integers(0, 4, 200)]
+        ).astype(np.uint8)
+        true_start = 500 + len(decoy) + 300
+
+        # query: the decoy 11-mer alone (cannot extend to 28) plus the
+        # full true region
+        query_seq = "".join(
+            "ACGT"[i] for i in np.concatenate([core, true_region])
+        )
+        from gblastn_tpu.io.fasta import FastaRecord
+        from gblastn_tpu.io.seqdb import SequenceDB
+        from gblastn_tpu.engine.search import search
+        from gblastn_tpu.params.options import megablast_options
+
+        genome = "".join("ACGT"[i] for i in subject)
+        db = SequenceDB.from_records([FastaRecord("g", "", genome)])
+        res = search(
+            [FastaRecord("q", "", query_seq)], db,
+            megablast_options(dust=False),
+        )
+        assert res.queries[0].hsplists, "true match lost behind decoys"
+        h = res.queries[0].hsplists[0].hsps[0]
+        assert h.s_off <= true_start <= h.s_end
+        assert h.num_ident >= 195
