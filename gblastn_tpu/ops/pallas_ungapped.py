@@ -32,34 +32,56 @@ NEG_BIG = -(1 << 24)
 WINDOW = 2048          # bases per direction held in VMEM
 
 
-def _direction_scan(scores, max_steps, xdrop):
-    """Exact reset-at-best X-drop over a [WINDOW] score vector.
+ROWS = 16
+COLS = 128  # ROWS * COLS == WINDOW
 
-    scores[j-1] is the score of 1-based step j. Returns (best,
-    best_pos, bound_hit): best prefix sum (>= 0), its earliest step,
-    and whether the walk was still live at min(max_steps, WINDOW)
-    without an X-drop decision.
-    """
-    steps = (
-        jax.lax.broadcasted_iota(jnp.int32, (WINDOW, 1), 0).reshape(
-            WINDOW
-        )
-        + 1
-    )
-    sc = jnp.where(steps <= max_steps, scores, NEG_BIG)
-    cs = jnp.cumsum(sc)
-    runmax = jax.lax.associative_scan(jnp.maximum, cs)
-    prev_best = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), runmax[:-1]]
-    )
-    prev_best = jnp.maximum(prev_best, 0)
+
+def _flat_scan(x2, op, identity):
+    """Inclusive scan of [ROWS, COLS] in flattened row-major order via
+    log-step rolls (Mosaic has no cumsum/associative_scan)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (ROWS, COLS), 1)
+    d = 1
+    while d < COLS:
+        sh = pltpu.roll(x2, d, 1)
+        x2 = op(x2, jnp.where(col >= d, sh, identity))
+        d *= 2
+    # carry row totals (now in the last column) across rows
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0)
+    t = x2[:, COLS - 1:COLS]
+    d = 1
+    while d < ROWS:
+        sh = pltpu.roll(t, d, 0)
+        t = op(t, jnp.where(rowi >= d, sh, identity))
+        d *= 2
+    excl = jnp.where(rowi >= 1, pltpu.roll(t, 1, 0), identity)
+    return op(x2, excl)
+
+
+def _shift1_flat(x2, fill):
+    """x2 shifted by one position in flattened order (x[i-1])."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (ROWS, COLS), 1)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (ROWS, COLS), 0)
+    sh = pltpu.roll(x2, 1, 1)
+    prev_last = pltpu.roll(x2[:, COLS - 1:COLS], 1, 0)  # [ROWS, 1]
+    prev_last = jnp.where(rowi[:, :1] >= 1, prev_last, fill)
+    return jnp.where(col == 0, prev_last, sh)
+
+
+def _direction_scan(scores2, max_steps, xdrop):
+    """Exact reset-at-best X-drop over a [ROWS, COLS] score layout
+    (flattened order = steps 1..WINDOW). Returns (best, best_pos,
+    bound_hit) as scalars."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (ROWS, COLS), 1)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (ROWS, COLS), 0)
+    steps = rowi * COLS + col + 1
+    sc = jnp.where(steps <= max_steps, scores2, NEG_BIG)
+    cs = _flat_scan(sc, jnp.add, 0)
+    runmax = _flat_scan(cs, jnp.maximum, NEG_BIG)
+    prev_best = jnp.maximum(_shift1_flat(runmax, 0), 0)
     dropped = (cs - prev_best) < -xdrop
-    any_drop = jnp.any(dropped)
-    stop = jnp.where(
-        any_drop,
-        jnp.argmax(dropped).astype(jnp.int32) + 1,   # 1-based drop step
-        jnp.minimum(max_steps, WINDOW),
-    )
+    any_drop = jnp.max(jnp.where(dropped, 1, 0)) > 0
+    first_drop = jnp.min(jnp.where(dropped, steps, WINDOW + 1))
+    stop = jnp.where(any_drop, first_drop, jnp.minimum(max_steps, WINDOW))
     live = steps <= stop
     cand = jnp.where(live, cs, NEG_BIG)
     best = jnp.maximum(jnp.max(cand), 0)
@@ -70,6 +92,43 @@ def _direction_scan(scores, max_steps, xdrop):
 
 
 SEEDS_PER_BLOCK = 8
+ALIGN = 4096                 # DMA start alignment in bases
+BUF_ROWS = (WINDOW + ALIGN) // COLS   # rows per direction buffer
+
+
+SUB = 8  # sublane alignment required for dynamic row slices
+
+
+def _extract_window(ref, slot, d, o):
+    """[ROWS, COLS] window starting at flattened offset o (< ALIGN) of
+    scratch ref[slot, d].
+
+    Dynamic sublane slices must start at multiples of SUB rows, so the
+    slice starts at the containing 8-row boundary; the residual row
+    shift (< 8) is applied with a lax.switch over static rolls, and the
+    lane remainder with a roll + cross-row carry select.
+    """
+    nrows = ROWS + SUB
+    o_row8 = (o // (SUB * COLS)) * SUB
+    o2 = o - o_row8 * COLS
+    o2_row = o2 // COLS
+    r = o2 % COLS
+    x = ref[slot, d, pl.ds(o_row8, nrows), :].astype(jnp.int32)
+
+    def shifted(k):
+        def f():
+            # out[i] = x[i + k], out2[i] = x[i + k + 1]
+            y1 = pltpu.roll(x, (nrows - k) % nrows, 0)
+            y2 = pltpu.roll(x, (nrows - k - 1) % nrows, 0)
+            return y1, y2
+        return f
+
+    y1, y2 = jax.lax.switch(o2_row, [shifted(k) for k in range(SUB)])
+    a = pltpu.roll(y1, (COLS - r) % COLS, 1)   # out[l] = in[(l+r)%C]
+    b = pltpu.roll(y2, (COLS - r) % COLS, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (nrows, COLS), 1)
+    out = jnp.where(lane < COLS - r, a, b)
+    return out[0:ROWS, :]
 
 
 def _kernel(
@@ -83,27 +142,19 @@ def _kernel(
     qwin, swin, sem,
 ):
     blk = pl.program_id(0)
-    qlen_p = query_hbm.shape[0]      # padded length
-    slen_p = subject_hbm.shape[0]
-    table = table_ref[:].astype(jnp.float32)
+    # padded FORWARD length in bases (the reversed copies carry an
+    # extra ALIGN tail guard not counted here)
+    qlen_p = query_hbm.shape[0] * COLS
+    slen_p = subject_hbm.shape[0] * COLS
+    def scores_for(qcodes2, scodes2):
+        # 64-way select chain on the 2-D layout (Mosaic has no lane-
+        # remixing reshapes, so the one-hot matmul form is unavailable)
+        code = jnp.clip(qcodes2, 0, 15) * 4 + jnp.clip(scodes2, 0, 3)
+        sc = jnp.full((ROWS, COLS), NEG_BIG, jnp.int32)
+        for k in range(64):
+            sc = jnp.where(code == k, table_ref[k], sc)
+        return sc
 
-    def scores_for(qcodes, scodes):
-        code = (
-            jnp.clip(qcodes.astype(jnp.int32), 0, 15) * 4
-            + jnp.clip(scodes.astype(jnp.int32), 0, 3)
-        )
-        onehot = (
-            code[:, None]
-            == jax.lax.broadcasted_iota(jnp.int32, (WINDOW, 64), 1)
-        ).astype(jnp.float32)
-        sc = jax.lax.dot_general(
-            onehot, table[:, None],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(WINDOW)
-        return sc.astype(jnp.int32)
-
-    # one seed at a time within the block, with 2-slot scratch
     for k in range(SEEDS_PER_BLOCK):
         i = blk * SEEDS_PER_BLOCK + k
         q_off = q_off_ref[i]
@@ -112,38 +163,39 @@ def _kernel(
         # guard-padded inputs: original position p lives at padded
         # index p + WINDOW. Right steps j=1..W read original positions
         # [q_off, q_off+W) = padded [q_off+W, q_off+2W). Left steps
-        # read (q_off - j) which in the REVERSED padded array (R[x] =
+        # read (q_off - j), which in the REVERSED padded array (R[x] =
         # P[len-1-x]) is the ascending run starting at len - W - q_off.
-        slot = k % 2
-        ql0 = qlen_p - WINDOW - q_off
-        sl0 = slen_p - WINDOW - s_off
-        cps = [
-            pltpu.make_async_copy(
-                query_rev_hbm.at[pl.ds(ql0, WINDOW)],
-                qwin.at[slot, 0], sem.at[4 * slot + 0],
-            ),
-            pltpu.make_async_copy(
-                query_hbm.at[pl.ds(q_off + WINDOW, WINDOW)],
-                qwin.at[slot, 1], sem.at[4 * slot + 1],
-            ),
-            pltpu.make_async_copy(
-                subject_rev_hbm.at[pl.ds(sl0, WINDOW)],
-                swin.at[slot, 0], sem.at[4 * slot + 2],
-            ),
-            pltpu.make_async_copy(
-                subject_hbm.at[pl.ds(s_off + WINDOW, WINDOW)],
-                swin.at[slot, 1], sem.at[4 * slot + 3],
-            ),
+        # DMA starts are ALIGN-aligned rows; the remainder is resolved
+        # by _extract_window.
+        starts = [
+            (query_rev_hbm, qlen_p - WINDOW - q_off),
+            (query_hbm, q_off + WINDOW),
+            (subject_rev_hbm, slen_p - WINDOW - s_off),
+            (subject_hbm, s_off + WINDOW),
         ]
+        slot = k % 2
+        offs = []
+        cps = []
+        for idx, (src, start) in enumerate(starts):
+            arow = pl.multiple_of(
+                (start // ALIGN) * (ALIGN // COLS), ALIGN // COLS
+            )
+            offs.append(start - (start // ALIGN) * ALIGN)
+            dst = qwin if idx < 2 else swin
+            cps.append(pltpu.make_async_copy(
+                src.at[pl.ds(arow, BUF_ROWS)],
+                dst.at[slot, idx % 2],
+                sem.at[4 * slot + idx],
+            ))
         for c in cps:
             c.start()
         for c in cps:
             c.wait()
 
-        q_left = qwin[slot, 0]
-        s_left = swin[slot, 0]
-        q_right = qwin[slot, 1]
-        s_right = swin[slot, 1]
+        q_left = _extract_window(qwin, slot, 0, offs[0])
+        q_right = _extract_window(qwin, slot, 1, offs[1])
+        s_left = _extract_window(swin, slot, 0, offs[2])
+        s_right = _extract_window(swin, slot, 1, offs[3])
 
         xdrop = xdrop_ref[i]
         l_best, l_pos, l_bound = _direction_scan(
@@ -189,8 +241,8 @@ def _call(
             for _ in range(5)
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 2, WINDOW), jnp.uint8),
-            pltpu.VMEM((2, 2, WINDOW), jnp.int8),
+            pltpu.VMEM((2, 2, BUF_ROWS, COLS), jnp.uint8),
+            pltpu.VMEM((2, 2, BUF_ROWS, COLS), jnp.int8),
             pltpu.SemaphoreType.DMA((8,)),
         ],
     )
@@ -233,12 +285,34 @@ def ungapped_extend_pallas(
     """
     Q = query.shape[0]
     S = subject2.shape[0]
-    qpad = jnp.full((WINDOW,), 15, jnp.uint8)
-    query_p = jnp.concatenate([qpad, query.astype(jnp.uint8), qpad])
-    spad = jnp.zeros((WINDOW,), jnp.int8)
-    subject_p = jnp.concatenate([spad, subject2.astype(jnp.int8), spad])
-    query_r = jnp.flip(query_p)
-    subject_r = jnp.flip(subject_p)
+    def pad_and_shape(arr, fill, dtype):
+        # guard W on the left, W + ALIGN slack on the right, rounded to
+        # an ALIGN multiple so every DMA window stays in range
+        n0 = arr.shape[0]
+        total = WINDOW + n0 + WINDOW + ALIGN
+        total += (-total) % ALIGN
+        right = total - WINDOW - n0
+        out = jnp.concatenate([
+            jnp.full((WINDOW,), fill, dtype),
+            arr.astype(dtype),
+            jnp.full((right,), fill, dtype),
+        ])
+        return out
+
+    query_p = pad_and_shape(query, 15, jnp.uint8)
+    subject_p = pad_and_shape(subject2, 0, jnp.int8)
+    # reversed-array DMA windows for seeds near the sequence start run
+    # up to ALIGN bases past the original length: extra tail guard
+    query_r = jnp.concatenate(
+        [jnp.flip(query_p), jnp.full((ALIGN,), 15, jnp.uint8)]
+    )
+    subject_r = jnp.concatenate(
+        [jnp.flip(subject_p), jnp.zeros((ALIGN,), jnp.int8)]
+    )
+    query_p = query_p.reshape(-1, 128)
+    query_r = query_r.reshape(-1, 128)
+    subject_p = subject_p.reshape(-1, 128)
+    subject_r = subject_r.reshape(-1, 128)
 
     max_l = jnp.minimum(
         jnp.where(valid, jnp.minimum(q_off, s_off), 0), subject_max_l
