@@ -154,21 +154,32 @@ def prelim_search(
     # device arrays, gpu_blastn_MB_and_smallNa.cu:63-152)
     dev_subject = getattr(db, "_device_cache", None)
     if dev_subject is None:
+        from gblastn_tpu.ops.pallas_ungapped import prepare_subject
+
         with slog.time("setup.subject_upload"):
+            sub2 = jnp.asarray(db.unpacked().astype(np.int8))
             dev_subject = (
-                jnp.asarray(db.unpacked().astype(np.int8)),
+                sub2,
                 jnp.asarray(db.valid_mask()),
+                prepare_subject(sub2),
             )
             jax.block_until_ready(dev_subject)
         db._device_cache = dev_subject
 
+    from gblastn_tpu.ops.pallas_ungapped import make_table64, prepare_query
+
+    m16 = device_matrix16(options.reward, options.penalty)
+    qdev = jnp.asarray(qbuf_padded)
     dev = SeedingDeviceData(
-        query=jnp.asarray(qbuf_padded),
+        query=qdev,
         subject2=dev_subject[0],
         subject_valid=dev_subject[1],
         lut_offsets=jnp.asarray(lut.counts_offsets),
         lut_positions=jnp.asarray(pos_padded),
-        matrix16=jnp.asarray(device_matrix16(options.reward, options.penalty)),
+        matrix16=jnp.asarray(m16),
+        pallas_query=prepare_query(qdev),
+        pallas_subject=dev_subject[2],
+        table64=jnp.asarray(make_table64(m16)),
     )
 
     # the LUT builder knows the longest chain, so the scan's per-word
@@ -184,6 +195,7 @@ def prelim_search(
             lut_word=lut.lut_word_size,
             scan_step=lut.scan_step,
             subject_starts=db.starts,
+            subject_lengths=db.lengths,
             context_offsets=ctx_offsets,
             word_cutoffs=word_cutoffs,
             x_dropoffs=x_dropoffs,

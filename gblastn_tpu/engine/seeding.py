@@ -60,6 +60,10 @@ class SeedingDeviceData:
     lut_offsets: jnp.ndarray
     lut_positions: jnp.ndarray
     matrix16: jnp.ndarray       # int32[16, 4]
+    # padded forms for the Pallas ungapped kernel (None = XLA fallback)
+    pallas_query: tuple | None = None     # (fwd2d, rev2d)
+    pallas_subject: tuple | None = None   # (fwd2d, rev2d)
+    table64: jnp.ndarray | None = None
 
 
 def _round_up_pow2(n: int, lo: int = 256) -> int:
@@ -126,6 +130,7 @@ def run_seeding(
     lut_word: int,
     scan_step: int,
     subject_starts: np.ndarray,     # int64[num_subjects] base starts
+    subject_lengths: np.ndarray | None = None,  # int64[num_subjects]
     context_offsets: np.ndarray,    # int32[n_ctx+1]
     word_cutoffs: np.ndarray,       # int32[n_ctx] per-context word cutoff
     x_dropoffs: np.ndarray,         # int32[n_ctx] per-context raw X-drop
@@ -178,7 +183,10 @@ def run_seeding(
             raise RuntimeError("seeding capacity overflow did not clear")
 
     # phase 2: re-run clamp-truncated extensions unclamped on a host-
-    # compacted seed set (typically the true matches only)
+    # compacted seed set (typically the true matches only). The Pallas
+    # window kernel handles extensions up to its WINDOW; anything it
+    # still truncates (queries longer than WINDOW) escalates to the
+    # XLA path.
     tidx = np.nonzero(trunc)[0]
     if len(tidx):
         # np.asarray of a jax array is a read-only view; copy to patch
@@ -196,16 +204,84 @@ def run_seeding(
             xdrop_dev[np.clip(ctx[tidx], 0, ctx_cap - 1)],
             np.ones(pad2, np.int32),
         ])
-        with slog.time("device.seeding.phase2"):
-            f_q, f_s, f_len, f_score, _t = ungapped_extend(
-                dev.query, dev.subject2, dev.subject_valid, dev.matrix16,
-                jnp.asarray(q2), jnp.asarray(s2), jnp.asarray(v2),
-                jnp.asarray(x2),
+        done2 = False
+        use_pallas = (
+            dev.pallas_query is not None
+            and dev.pallas_subject is not None
+            and next(iter(dev.subject2.devices())).platform == "tpu"
+        )
+        if use_pallas:
+            from gblastn_tpu.ops.pallas_ungapped import (
+                ungapped_extend_pallas_prepared,
             )
-            ug_q[tidx] = np.asarray(f_q)[: len(tidx)]
-            ug_s[tidx] = np.asarray(f_s)[: len(tidx)]
-            ug_len[tidx] = np.asarray(f_len)[: len(tidx)]
-            ug_score[tidx] = np.asarray(f_score)[: len(tidx)]
+
+            # per-seed subject bounds take the validity-mask role
+            oid2 = np.clip(
+                np.searchsorted(subject_starts, s2, side="right") - 1,
+                0, len(subject_starts) - 1,
+            )
+            sub_l = (s2 - subject_starts[oid2]).astype(np.int64)
+            if subject_lengths is not None:
+                sub_r = (
+                    subject_starts[oid2] + subject_lengths[oid2] - s2
+                )
+            else:
+                ends = np.concatenate(
+                    [subject_starts[1:],
+                     [int(dev.subject2.shape[0])]]
+                )
+                sub_r = ends[oid2] - s2
+            Q = int(dev.query.shape[0])
+            S = int(dev.subject2.shape[0])
+            max_l = np.minimum(np.minimum(q2, s2), sub_l)
+            max_l = np.where(v2, max_l, 0).astype(np.int32)
+            max_r = np.minimum(np.minimum(Q - q2, S - s2), sub_r)
+            max_r = np.where(v2, max_r, 0).astype(np.int32)
+            with slog.time("device.seeding.phase2_pallas"):
+                prepared = (*dev.pallas_query, *dev.pallas_subject)
+                f_q, f_s, f_len, f_score, f_tr = (
+                    ungapped_extend_pallas_prepared(
+                        prepared, dev.table64,
+                        jnp.asarray(q2), jnp.asarray(s2),
+                        jnp.asarray(v2), jnp.asarray(x2),
+                        jnp.asarray(max_l), jnp.asarray(max_r),
+                    )
+                )
+                f_q = np.asarray(f_q)[: len(tidx)]
+                f_s = np.asarray(f_s)[: len(tidx)]
+                f_len = np.asarray(f_len)[: len(tidx)]
+                f_score = np.asarray(f_score)[: len(tidx)]
+                f_tr = np.asarray(f_tr)[: len(tidx)]
+            ug_q[tidx] = f_q
+            ug_s[tidx] = f_s
+            ug_len[tidx] = f_len
+            ug_score[tidx] = f_score
+            # escalate still-truncated seeds (> WINDOW extensions)
+            tidx = tidx[f_tr.astype(bool)]
+            done2 = len(tidx) == 0
+            if not done2:
+                cap2 = _round_up_pow2(len(tidx))
+                pad2 = cap2 - len(tidx)
+                q2 = np.concatenate([qs[tidx], np.zeros(pad2, qs.dtype)])
+                s2 = np.concatenate([ss[tidx], np.zeros(pad2, ss.dtype)])
+                v2 = np.concatenate([np.ones(len(tidx), bool),
+                                     np.zeros(pad2, bool)])
+                x2 = np.concatenate([
+                    xdrop_dev[np.clip(ctx[tidx], 0, ctx_cap - 1)],
+                    np.ones(pad2, np.int32),
+                ])
+        if not done2:
+            with slog.time("device.seeding.phase2"):
+                f_q, f_s, f_len, f_score, _t = ungapped_extend(
+                    dev.query, dev.subject2, dev.subject_valid,
+                    dev.matrix16,
+                    jnp.asarray(q2), jnp.asarray(s2), jnp.asarray(v2),
+                    jnp.asarray(x2),
+                )
+                ug_q[tidx] = np.asarray(f_q)[: len(tidx)]
+                ug_s[tidx] = np.asarray(f_s)[: len(tidx)]
+                ug_len[tidx] = np.asarray(f_len)[: len(tidx)]
+                ug_score[tidx] = np.asarray(f_score)[: len(tidx)]
 
     # mini-extension kills seeds in place, so survivors are scattered
     # through the [seed_cap] arrays -- compact by the mask, not a prefix

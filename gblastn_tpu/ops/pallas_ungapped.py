@@ -262,66 +262,55 @@ def _call(
     return tuple(o[:, 0] for o in outs)
 
 
-def ungapped_extend_pallas(
-    query: jnp.ndarray,          # uint8[Q] BLASTNA (sentinel-separated)
-    subject2: jnp.ndarray,       # int8[S] 2-bit codes
-    table64: jnp.ndarray,        # int32[64] score for code q*4+s
-    q_off: jnp.ndarray,          # int32[n] seed starts
+def _pad_fwd_rev(arr, fill, dtype):
+    n0 = arr.shape[0]
+    total = WINDOW + n0 + WINDOW + ALIGN
+    total += (-total) % ALIGN
+    right = total - WINDOW - n0
+    fwd = jnp.concatenate([
+        jnp.full((WINDOW,), fill, dtype),
+        arr.astype(dtype),
+        jnp.full((right,), fill, dtype),
+    ])
+    # reversed-array DMA windows for seeds near the sequence start run
+    # up to ALIGN bases past the original length: extra tail guard
+    rev = jnp.concatenate(
+        [jnp.flip(fwd), jnp.full((ALIGN,), fill, dtype)]
+    )
+    return fwd.reshape(-1, 128), rev.reshape(-1, 128)
+
+
+def prepare_query(query: jnp.ndarray):
+    """Guard-padded forward + reversed query forms (per batch)."""
+    return _pad_fwd_rev(query, 15, jnp.uint8)
+
+
+def prepare_subject(subject2: jnp.ndarray):
+    """Guard-padded forward + reversed subject forms (per database --
+    cache alongside the other device-resident subject arrays)."""
+    return _pad_fwd_rev(subject2, 0, jnp.int8)
+
+
+def prepare_padded(query: jnp.ndarray, subject2: jnp.ndarray):
+    """Build all four padded forms (convenience for tests)."""
+    qf, qr = prepare_query(query)
+    sf, sr = prepare_subject(subject2)
+    return (qf, qr, sf, sr)
+
+
+def ungapped_extend_pallas_prepared(
+    prepared,                    # output of prepare_padded
+    table64: jnp.ndarray,
+    q_off: jnp.ndarray,
     s_off: jnp.ndarray,
-    valid: jnp.ndarray,          # bool[n]
-    x_dropoff: jnp.ndarray,      # int32[n]
-    subject_max_l: jnp.ndarray,  # int32[n] steps to the subject start
-    subject_max_r: jnp.ndarray,  # int32[n] steps to the subject end
+    valid: jnp.ndarray,
+    x_dropoff: jnp.ndarray,
+    max_l: jnp.ndarray,          # per-seed left step bound
+    max_r: jnp.ndarray,          # per-seed right step bound
     *,
     interpret: bool = False,
 ):
-    """Returns (q_start, s_start, length, score, truncated); exact
-    ungapped_extend semantics for extensions within WINDOW bases.
-
-    ``subject_max_l/r`` bound the walk to the seed's own subject (the
-    validity-mask role: inter-subject padding must not be crossed).
-    Inputs are guard-padded here; offsets passed to the kernel stay in
-    original coordinates because the pad shifts cancel.
-    """
-    Q = query.shape[0]
-    S = subject2.shape[0]
-    def pad_and_shape(arr, fill, dtype):
-        # guard W on the left, W + ALIGN slack on the right, rounded to
-        # an ALIGN multiple so every DMA window stays in range
-        n0 = arr.shape[0]
-        total = WINDOW + n0 + WINDOW + ALIGN
-        total += (-total) % ALIGN
-        right = total - WINDOW - n0
-        out = jnp.concatenate([
-            jnp.full((WINDOW,), fill, dtype),
-            arr.astype(dtype),
-            jnp.full((right,), fill, dtype),
-        ])
-        return out
-
-    query_p = pad_and_shape(query, 15, jnp.uint8)
-    subject_p = pad_and_shape(subject2, 0, jnp.int8)
-    # reversed-array DMA windows for seeds near the sequence start run
-    # up to ALIGN bases past the original length: extra tail guard
-    query_r = jnp.concatenate(
-        [jnp.flip(query_p), jnp.full((ALIGN,), 15, jnp.uint8)]
-    )
-    subject_r = jnp.concatenate(
-        [jnp.flip(subject_p), jnp.zeros((ALIGN,), jnp.int8)]
-    )
-    query_p = query_p.reshape(-1, 128)
-    query_r = query_r.reshape(-1, 128)
-    subject_p = subject_p.reshape(-1, 128)
-    subject_r = subject_r.reshape(-1, 128)
-
-    max_l = jnp.minimum(
-        jnp.where(valid, jnp.minimum(q_off, s_off), 0), subject_max_l
-    )
-    max_r = jnp.minimum(
-        jnp.where(valid, jnp.minimum(Q - q_off, S - s_off), 0),
-        subject_max_r,
-    )
-    # the grid covers SEEDS_PER_BLOCK seeds per step: pad n up
+    query_p, query_r, subject_p, subject_r = prepared
     n = q_off.shape[0]
     pad = (-n) % SEEDS_PER_BLOCK
 
@@ -341,6 +330,41 @@ def ungapped_extend_pallas(
         interpret=interpret,
     )
     return tuple(o[:n] for o in outs)
+
+
+def ungapped_extend_pallas(
+    query: jnp.ndarray,          # uint8[Q] BLASTNA (sentinel-separated)
+    subject2: jnp.ndarray,       # int8[S] 2-bit codes
+    table64: jnp.ndarray,        # int32[64] score for code q*4+s
+    q_off: jnp.ndarray,          # int32[n] seed starts
+    s_off: jnp.ndarray,
+    valid: jnp.ndarray,          # bool[n]
+    x_dropoff: jnp.ndarray,      # int32[n]
+    subject_max_l: jnp.ndarray,  # int32[n] steps to the subject start
+    subject_max_r: jnp.ndarray,  # int32[n] steps to the subject end
+    *,
+    interpret: bool = False,
+):
+    """Returns (q_start, s_start, length, score, truncated); exact
+    ungapped_extend semantics for extensions within WINDOW bases.
+
+    ``subject_max_l/r`` bound the walk to the seed's own subject (the
+    validity-mask role: inter-subject padding must not be crossed).
+    """
+    Q = query.shape[0]
+    S = subject2.shape[0]
+    prepared = prepare_padded(query, subject2)
+    max_l = jnp.minimum(
+        jnp.where(valid, jnp.minimum(q_off, s_off), 0), subject_max_l
+    )
+    max_r = jnp.minimum(
+        jnp.where(valid, jnp.minimum(Q - q_off, S - s_off), 0),
+        subject_max_r,
+    )
+    return ungapped_extend_pallas_prepared(
+        prepared, table64, q_off, s_off, valid, x_dropoff,
+        max_l, max_r, interpret=interpret,
+    )
 
 
 def make_table64(matrix16: np.ndarray) -> np.ndarray:
