@@ -188,19 +188,56 @@ def prelim_search(
     cmax = 4
     while cmax < max(lut.max_positions_per_word, 1):
         cmax *= 2
-    with slog.time("device.seeding"):
-        init = run_seeding(
-            dev,
-            word_size=lut.word_size,
-            lut_word=lut.lut_word_size,
-            scan_step=lut.scan_step,
-            subject_starts=db.starts,
-            subject_lengths=db.lengths,
-            context_offsets=ctx_offsets,
-            word_cutoffs=word_cutoffs,
-            x_dropoffs=x_dropoffs,
-            cmax=cmax,
-        )
+
+    import os
+
+    try:
+        n_shards = int(os.environ.get("GBLASTN_TPU_SHARDS", "0"))
+    except ValueError:
+        import sys
+
+        print("gblastn_tpu: ignoring non-numeric GBLASTN_TPU_SHARDS",
+              file=sys.stderr)
+        n_shards = 0
+    if (n_shards == 0 and jax.default_backend() == "tpu"
+            and len(jax.devices()) > 1):
+        n_shards = len(jax.devices())
+    n_shards = min(n_shards, len(jax.devices()))
+    if n_shards > 1:
+        # multi-chip: DB-sharded seeding over the device mesh
+        from gblastn_tpu.engine.seeding import run_seeding_sharded
+        from gblastn_tpu.parallel.dist import make_mesh
+
+        mesh = getattr(db, "_mesh_cache", None)
+        if mesh is None or mesh.devices.size != n_shards:
+            mesh = make_mesh(n_shards)
+            db._mesh_cache = mesh
+        with slog.time("device.seeding"):
+            init = run_seeding_sharded(
+                mesh, db.unpacked().astype(np.int8), db.valid_mask(),
+                qbuf_padded, lut,
+                device_matrix16(options.reward, options.penalty),
+                word_size=lut.word_size,
+                subject_starts=db.starts,
+                context_offsets=ctx_offsets,
+                word_cutoffs=word_cutoffs,
+                x_dropoffs=x_dropoffs,
+                cmax=cmax,
+            )
+    else:
+        with slog.time("device.seeding"):
+            init = run_seeding(
+                dev,
+                word_size=lut.word_size,
+                lut_word=lut.lut_word_size,
+                scan_step=lut.scan_step,
+                subject_starts=db.starts,
+                subject_lengths=db.lengths,
+                context_offsets=ctx_offsets,
+                word_cutoffs=word_cutoffs,
+                x_dropoffs=x_dropoffs,
+                cmax=cmax,
+            )
     slog.diagnostics.good_init_extends += len(init)
 
     with slog.time("host.prelim_gapped"):

@@ -289,13 +289,19 @@ def run_seeding(
     if len(sel) == 0:
         z = np.zeros(0, dtype=np.int32)
         return InitHits(z, z, z, z, z, z, z, z)
-    q_np = qs[sel]
-    s_np = ss[sel]
-    ctx = np.clip(ctx[sel], 0, n_ctx - 1)
-    ug_q = ug_q[sel]
-    ug_s = ug_s[sel]
-    ug_len = ug_len[sel]
-    ug_score = ug_score[sel]
+    return _finish_init_hits(
+        qs[sel], ss[sel], np.clip(ctx[sel], 0, n_ctx - 1),
+        ug_q[sel], ug_s[sel], ug_len[sel], ug_score[sel],
+        word_cutoffs, subject_starts, word_size,
+    )
+
+
+def _finish_init_hits(
+    q_np, s_np, ctx, ug_q, ug_s, ug_len, ug_score,
+    word_cutoffs, subject_starts, word_size,
+) -> InitHits:
+    """Host finishing: per-context cutoffs, oid mapping, one-hit
+    diagonal replay, final score ordering."""
     cutoff = word_cutoffs[ctx].astype(np.int32)
 
     oid = (
@@ -320,4 +326,55 @@ def run_seeding(
         score=ug_score[keep],
         context=ctx[keep],
         oid=oid[keep],
+    )
+
+
+def run_seeding_sharded(
+    mesh,
+    subject2: np.ndarray,
+    subject_valid: np.ndarray,
+    query_buffer: np.ndarray,
+    lut,
+    matrix16: np.ndarray,
+    *,
+    word_size: int,
+    subject_starts: np.ndarray,
+    context_offsets: np.ndarray,
+    word_cutoffs: np.ndarray,
+    x_dropoffs: np.ndarray,
+    cmax: int = 8,
+) -> InitHits:
+    """Multi-chip seeding over a DB-sharded device mesh
+    (gblastn_tpu.parallel.dist), then the same host finishing as the
+    single-chip path. Nucleotide KA parameters are context-independent,
+    so the sharded kernel takes one scalar X-drop."""
+    from gblastn_tpu.parallel.dist import run_sharded_seeding
+
+    x_drop = int(np.max(x_dropoffs)) if len(x_dropoffs) else 1
+    with slog.time("device.seeding.sharded"):
+        q_off, s_off, ok, ug_q, ug_s, ug_len, ug_score = (
+            run_sharded_seeding(
+                mesh, subject2, subject_valid, query_buffer,
+                lut.counts_offsets,
+                lut.positions if len(lut.positions)
+                else np.zeros(1, np.int32),
+                matrix16, x_drop,
+                scan_step=lut.scan_step, lut_word=lut.lut_word_size,
+                word_size=word_size, cmax=cmax,
+            )
+        )
+    sel = np.nonzero(ok)[0]
+    if len(sel) == 0:
+        z = np.zeros(0, dtype=np.int32)
+        return InitHits(z, z, z, z, z, z, z, z)
+    n_ctx = len(word_cutoffs)
+    ctx = (
+        np.searchsorted(context_offsets, q_off[sel], side="right") - 1
+    ).astype(np.int32)
+    return _finish_init_hits(
+        q_off[sel].astype(np.int32), s_off[sel].astype(np.int32),
+        np.clip(ctx, 0, n_ctx - 1),
+        ug_q[sel].astype(np.int32), ug_s[sel].astype(np.int32),
+        ug_len[sel].astype(np.int32), ug_score[sel].astype(np.int32),
+        word_cutoffs, subject_starts, word_size,
     )

@@ -74,6 +74,54 @@ def test_sharded_matches_planted(problem):
         assert np.array_equal(qw.astype(int), sw.astype(int))
 
 
+def test_production_sharded_path_matches_single(monkeypatch):
+    """GBLASTN_TPU_SHARDS routes prelim_search through the sharded
+    seeding stage; whole-search output must equal the single-buffer
+    path (matches here never straddle a shard core boundary)."""
+    from gblastn_tpu.engine.search import search
+    from gblastn_tpu.format.tabular import hsp_to_tabular
+    from gblastn_tpu.io.seqdb import SequenceDB
+    from gblastn_tpu.params.options import megablast_options
+
+    rng = np.random.default_rng(77)
+    bases = "ACGT"
+    chr1 = "".join(bases[i] for i in rng.integers(0, 4, 30000))
+    chr2 = "".join(bases[i] for i in rng.integers(0, 4, 20000))
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    queries = [
+        FastaRecord("q1", "", chr1[4000:4350]),
+        FastaRecord("q2", "", "".join(
+            comp[c] for c in reversed(chr2[9000:9300]))),
+        FastaRecord("q3", "", chr1[21000:21200] + chr2[500:700]),
+    ]
+
+    def run():
+        db = SequenceDB.from_records(
+            [FastaRecord("chr1", "", chr1), FastaRecord("chr2", "", chr2)],
+            title="distdb",
+        )
+        res = search(queries, db, megablast_options(evalue=10.0))
+        rows = []
+        for qr in res.queries:
+            qrec = queries[qr.query_index]
+            for hl in qr.hsplists:
+                sid = db.ids[hl.oid]
+                for h in hl.hsps:
+                    t = hsp_to_tabular(
+                        h, qrec.seq_id, sid, len(qrec.sequence),
+                        int(db.lengths[hl.oid]),
+                    )
+                    rows.append(tuple(vars(t).values()))
+        return rows
+
+    monkeypatch.delenv("GBLASTN_TPU_SHARDS", raising=False)
+    single = run()
+    monkeypatch.setenv("GBLASTN_TPU_SHARDS", "8")
+    sharded = run()
+    assert len(single) >= 4            # q1, q2, and both q3 halves
+    assert sharded == single
+
+
 def test_graft_entry_single_and_multichip():
     import __graft_entry__ as ge
 
