@@ -347,9 +347,20 @@ def run_makedb(argv) -> int:
                    help="input FASTA file")
     p.add_argument("-out", required=True, help="output database directory")
     p.add_argument("-title", default="")
+    p.add_argument("-blastdb_version", type=int, default=0,
+                   help="4 = also write an NCBI v4 volume "
+                        "(<out>.nin/.nhr/.nsq) next to the native db")
     args = p.parse_args(argv)
     db = SequenceDB.from_fasta(args.input, title=args.title or args.input)
     db.save(args.out)
+    if args.blastdb_version == 4:
+        from gblastn_tpu.io.fasta import parse_fasta
+        from gblastn_tpu.io.ncbidb import write_volume
+
+        write_volume(args.out, list(parse_fasta(args.input)),
+                     title=args.title or args.input)
+    elif args.blastdb_version:
+        p.error("only -blastdb_version 4 is supported")
     info = db.info()
     print(
         f"Built database {args.out}: {info.num_seqs} sequences, "

@@ -1,0 +1,468 @@
+"""NCBI BLAST database volume reader/writer (.nin/.nhr/.nsq, .nal).
+
+Lets a user point this framework at databases built by NCBI
+``makeblastdb`` (the format the reference searches through CSeqDB,
+/root/reference/c++/src/objtools/blast/seqdb_reader/seqdb.cpp) and,
+in the other direction, export our databases for NCBI tools.
+
+Format sources (reference documentation, transcribed not copied):
+* index file  — seqdb_reader/index_files.txt: big-endian Int4 fields,
+  the one little-endian Int8X volume-length quirk, and the
+  header/sequence/ambiguity offset arrays (num_oids + 1 entries each);
+* sequence file — seqdb_reader/sequence_files.txt: ncbi2na packing
+  (first base in the high bits), the 0-3 "remainder" count stored in
+  the low 2 bits of the final byte, and the old (Int4) / new (Int8)
+  ambiguity segment formats selected by the high bit of num-segments;
+* header file — seqdb_reader/header_files.txt: concatenated BER
+  Blast-def-line-set objects (schema src/objects/blastdb/blastdb.asn);
+  NCBI's binary ASN.1 wraps every SEQUENCE member and CHOICE variant
+  in a context-specific constructed tag numbered by declaration order
+  (src/serial/objostrasnb.cpp:1000-1046,1206) with indefinite lengths;
+* alias file — seqdb_reader/alias_files.txt: text key/value lines,
+  DBLIST aggregation and TITLE override.
+"""
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+
+import numpy as np
+
+from gblastn_tpu.io.encoding import NCBI4NA_TO_BLASTNA, unpack_2na
+from gblastn_tpu.io.fasta import FastaRecord
+
+# ----------------------------------------------------------------- BER decode
+
+_EOC = object()
+
+
+def _ber_parse(buf: bytes, off: int):
+    """Parse one BER element at ``off``.
+
+    Returns (cls, tag, constructed, value, end): ``value`` is a list of
+    child elements when constructed, else the raw content bytes;
+    returns (_EOC, ...) for an end-of-contents marker.
+    """
+    ident = buf[off]
+    off += 1
+    cls = ident >> 6
+    constructed = bool(ident & 0x20)
+    tag = ident & 0x1F
+    if tag == 0x1F:  # high tag number form
+        tag = 0
+        while True:
+            b = buf[off]
+            off += 1
+            tag = (tag << 7) | (b & 0x7F)
+            if not b & 0x80:
+                break
+    if ident == 0 and buf[off] == 0:  # end-of-contents
+        return _EOC, 0, False, b"", off + 1
+    length = buf[off]
+    off += 1
+    if length == 0x80:  # indefinite
+        if not constructed:
+            raise ValueError("indefinite length on primitive")
+        children = []
+        while True:
+            c, t, k, v, off = _ber_parse(buf, off)
+            if c is _EOC:
+                return cls, tag, True, children, off
+            children.append((c, t, k, v))
+    if length & 0x80:
+        nb = length & 0x7F
+        length = int.from_bytes(buf[off: off + nb], "big")
+        off += nb
+    end = off + length
+    if constructed:
+        children = []
+        while off < end:
+            c, t, k, v, off = _ber_parse(buf, off)
+            if c is _EOC:
+                continue
+            children.append((c, t, k, v))
+        return cls, tag, True, children, end
+    return cls, tag, False, buf[off:end], end
+
+
+def _ber_int(node) -> int:
+    _, _, _, v = node
+    return int.from_bytes(v, "big", signed=True) if v else 0
+
+
+def _ber_str(node) -> str:
+    _, _, _, v = node
+    return v.decode("ascii", "replace")
+
+
+def _unwrap(node):
+    """NCBI member/variant wrappers hold exactly one child."""
+    _, _, constructed, v = node
+    if constructed and len(v) == 1:
+        return v[0]
+    return node
+
+
+def _textseq_id(children) -> str:
+    name = accession = None
+    version = 0
+    for ch in children:
+        cls, tag, _, _ = ch
+        if cls != 2:
+            continue
+        inner = _unwrap(ch)
+        if tag == 0:
+            name = _ber_str(inner)
+        elif tag == 1:
+            accession = _ber_str(inner)
+        elif tag == 3:
+            version = _ber_int(inner)
+    base = accession or name or ""
+    return f"{base}.{version}" if version else base
+
+
+def _seq_id_str(choice) -> str:
+    """Render a Seq-id CHOICE (seqloc.asn declaration order: local=0,
+    gibbsq, gibbmt, giim, genbank, embl, pir, swissprot, patent, other,
+    general, gi, ddbj, prf, pdb)."""
+    cls, tag, _, v = choice
+    if cls != 2:
+        return ""
+    inner = _unwrap(choice)
+    if tag == 0:  # local Object-id: CHOICE id [0] / str [1]
+        icl, itag, _, _ = inner
+        obj = _unwrap(inner)
+        if itag == 1:
+            return _ber_str(obj)
+        return str(_ber_int(obj))
+    if tag == 11:  # gi
+        return f"gi|{_ber_int(inner)}"
+    if tag in (4, 5, 6, 7, 9, 12, 13):  # Textseq-id families
+        _, _, _, ch = inner
+        return _textseq_id(ch if isinstance(ch, list) else [])
+    if tag == 10:  # general Dbtag {db [0], tag Object-id [1]}
+        _, _, _, ch = inner
+        db = tagv = ""
+        for m in ch if isinstance(ch, list) else []:
+            mcls, mtag, _, _ = m
+            if mcls != 2:
+                continue
+            mi = _unwrap(m)
+            if mtag == 0:
+                db = _ber_str(mi)
+            elif mtag == 1:
+                oi = _unwrap(mi)
+                _, otag, _, _ = mi
+                tagv = (_ber_str(oi) if otag == 1 else str(_ber_int(oi)))
+        return f"{db}|{tagv}"
+    return f"seqid{tag}"
+
+
+def parse_defline_set(blob: bytes) -> list[tuple[str, str, int]]:
+    """Parse one Blast-def-line-set -> [(seq_id, title, taxid), ...]."""
+    cls, tag, constructed, deflines, _ = _ber_parse(blob, 0)
+    out = []
+    for dl in deflines if constructed else []:
+        _, _, _, members = dl
+        title, sid, taxid = "", "", 0
+        for m in members if isinstance(members, list) else []:
+            mcls, mtag, _, mv = m
+            if mcls != 2:
+                continue
+            if mtag == 0:
+                title = _ber_str(_unwrap(m))
+            elif mtag == 1 and isinstance(mv, list):
+                # seqid SEQUENCE OF Seq-id: wrapper -> SEQUENCE -> ids
+                seq = mv[0] if len(mv) == 1 and mv[0][2] else m
+                _, _, _, ids = seq
+                for sid_node in ids if isinstance(ids, list) else []:
+                    s = _seq_id_str(sid_node)
+                    if s and not sid:
+                        sid = s
+            elif mtag == 2:
+                taxid = _ber_int(_unwrap(m))
+        out.append((sid, title, taxid))
+    return out
+
+
+# ----------------------------------------------------------------- BER encode
+
+def _enc_len(n: int) -> bytes:
+    if n < 0x80:
+        return bytes([n])
+    b = n.to_bytes((n.bit_length() + 7) // 8, "big")
+    return bytes([0x80 | len(b)]) + b
+
+
+def _enc_prim(tag: int, content: bytes, cls: int = 0) -> bytes:
+    return bytes([(cls << 6) | tag]) + _enc_len(len(content)) + content
+
+
+def _enc_member(tag: int, inner: bytes) -> bytes:
+    """Context-specific constructed wrapper, indefinite length (the
+    NCBI style, objostrasnb.cpp:1000)."""
+    return bytes([0xA0 | tag, 0x80]) + inner + b"\x00\x00"
+
+
+def _enc_vstring(s: str) -> bytes:
+    return _enc_prim(26, s.encode("ascii"))
+
+
+def _enc_int(v: int) -> bytes:
+    n = 1
+    while not -(1 << (8 * n - 1)) <= v < (1 << (8 * n - 1)):
+        n += 1
+    return _enc_prim(2, v.to_bytes(n, "big", signed=True))
+
+
+def _enc_seq(inner: bytes) -> bytes:
+    return b"\x30\x80" + inner + b"\x00\x00"
+
+
+def encode_defline_set(seq_id: str, title: str, taxid: int = 0) -> bytes:
+    """Encode a one-defline Blast-def-line-set with a local string id."""
+    object_id = _enc_member(1, _enc_vstring(seq_id))       # str variant
+    seqid = _enc_member(0, object_id)                      # local variant
+    members = (
+        _enc_member(0, _enc_vstring(title))
+        + _enc_member(1, _enc_seq(seqid))
+        + _enc_member(2, _enc_int(taxid))
+    )
+    return _enc_seq(_enc_seq(members))
+
+
+# ----------------------------------------------------------------- index file
+
+def parse_index(path) -> dict:
+    buf = Path(path).read_bytes()
+    version, seqtype = struct.unpack_from(">ii", buf, 0)
+    if seqtype != 0:
+        raise ValueError(f"{path}: protein volume (this engine is "
+                         "nucleotide-only, like G-BLASTN)")
+    off = 8
+    tlen, = struct.unpack_from(">i", buf, off)
+    off += 4
+    title = buf[off: off + tlen].decode("ascii", "replace")
+    off += tlen
+    dlen, = struct.unpack_from(">i", buf, off)
+    off += 4
+    date = buf[off: off + dlen].rstrip(b"\x00").decode("ascii", "replace")
+    off += dlen
+    num, = struct.unpack_from(">i", buf, off)
+    off += 4
+    total, = struct.unpack_from("<q", buf, off)  # the Int8X quirk
+    off += 8
+    maxlen, = struct.unpack_from(">i", buf, off)
+    off += 4
+    arr = np.frombuffer(buf, dtype=">u4", count=3 * (num + 1), offset=off)
+    return {
+        "version": version,
+        "title": title,
+        "date": date,
+        "num": num,
+        "total": total,
+        "maxlen": maxlen,
+        "hdr": arr[: num + 1].astype(np.int64),
+        "seq": arr[num + 1: 2 * (num + 1)].astype(np.int64),
+        "amb": arr[2 * (num + 1):].astype(np.int64),
+    }
+
+
+def _apply_ambiguities(codes: np.ndarray, amb: bytes) -> None:
+    """Overwrite BLASTNA codes in place from an ambiguity blob."""
+    if len(amb) < 4:
+        return
+    head, = struct.unpack_from(">I", amb, 0)
+    new_fmt = bool(head & 0x80000000)
+    n_words = head & 0x7FFFFFFF
+    words = np.frombuffer(amb, dtype=">u4", count=n_words, offset=4)
+    if new_fmt:
+        for k in range(0, n_words, 2):
+            w0, w1 = int(words[k]), int(words[k + 1])
+            val = (w0 >> 28) & 0xF
+            ln = ((w0 >> 16) & 0xFFF) + 1
+            start = w1
+            codes[start: start + ln] = NCBI4NA_TO_BLASTNA[val]
+    else:
+        for k in range(n_words):
+            w = int(words[k])
+            val = (w >> 28) & 0xF
+            ln = ((w >> 24) & 0xF) + 1
+            start = w & 0xFFFFFF
+            codes[start: start + ln] = NCBI4NA_TO_BLASTNA[val]
+
+
+def read_volume_records(prefix):
+    """Yield FastaRecord-compatible entries from one .n?? volume."""
+    prefix = Path(prefix)
+    idx = parse_index(prefix.with_suffix(".nin"))
+    seq_data = np.fromfile(prefix.with_suffix(".nsq"), dtype=np.uint8)
+    hdr_data = Path(prefix.with_suffix(".nhr")).read_bytes()
+    for oid in range(idx["num"]):
+        s0, a0, s1 = int(idx["seq"][oid]), int(idx["amb"][oid]), int(
+            idx["seq"][oid + 1])
+        packed = seq_data[s0:a0]
+        remainder = int(packed[-1]) & 3
+        length = (len(packed) - 1) * 4 + remainder
+        codes = unpack_2na(packed, length)
+        _apply_ambiguities(codes, seq_data[a0:s1].tobytes())
+        deflines = parse_defline_set(
+            hdr_data[int(idx["hdr"][oid]): int(idx["hdr"][oid + 1])]
+        )
+        sid, title, _tax = deflines[0] if deflines else ("", "", 0)
+        yield sid or f"oid{oid}", title, codes
+
+
+# ----------------------------------------------------------------- alias file
+
+def parse_alias(path) -> dict:
+    values: dict[str, str] = {}
+    for line in Path(path).read_text().splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split(None, 1)
+        if len(parts) == 2:
+            values[parts[0]] = parts[1].strip()
+    return values
+
+
+def resolve_db(prefix) -> tuple[list[Path], str]:
+    """Resolve a db name to volume prefixes, following .nal aliases
+    (DBLIST entries are relative to the alias file's directory)."""
+    prefix = Path(prefix)
+    if prefix.with_suffix(".nin").exists():
+        return [prefix], ""
+    nal = prefix.with_suffix(".nal")
+    if prefix.suffix != ".nal" and not nal.exists():
+        nal = Path(str(prefix) + ".nal")
+    if not nal.exists():
+        raise FileNotFoundError(f"no .nin or .nal for {prefix}")
+    values = parse_alias(nal)
+    vols: list[Path] = []
+    for name in values.get("DBLIST", "").split():
+        name = name.strip('"')
+        sub = nal.parent / name
+        v, _ = resolve_db(sub)
+        vols.extend(v)
+    return vols, values.get("TITLE", "")
+
+
+def is_ncbi_db(prefix) -> bool:
+    p = Path(prefix)
+    return (p.with_suffix(".nin").exists() or p.with_suffix(".nal").exists()
+            or Path(str(p) + ".nin").exists()
+            or Path(str(p) + ".nal").exists())
+
+
+def load_ncbi_db(prefix):
+    """Read an NCBI BLAST nucleotide db (volumes + aliases) into our
+    in-memory SequenceDB."""
+    from gblastn_tpu.io.encoding import blastna_to_seq
+    from gblastn_tpu.io.seqdb import SequenceDB
+
+    vols, title = resolve_db(prefix)
+    records = []
+    for vol in vols:
+        for sid, rtitle, codes in read_volume_records(vol):
+            records.append(
+                FastaRecord(sid, rtitle, blastna_to_seq(codes).encode())
+            )
+    if not records:
+        raise ValueError(f"{prefix}: empty NCBI database")
+    db = SequenceDB.from_records(records, title=title or str(prefix))
+    return db
+
+
+# ----------------------------------------------------------------- writer
+
+def write_volume(prefix, records, title: str = "",
+                 date: str = "Jan 1, 2026  12:00 AM") -> None:
+    """Write records (FastaRecord or (id, title, blastna codes)) as an
+    NCBI v4 nucleotide volume: .nin + .nhr + .nsq."""
+    from gblastn_tpu.io.encoding import (
+        BLASTNA_TO_NCBI4NA,
+        blastna_to_2na,
+        pack_2na,
+        seq_to_blastna,
+    )
+
+    prefix = Path(prefix)
+    hdr_parts: list[bytes] = []
+    seq_parts: list[bytes] = []
+    hdr_off = [0]
+    seq_off = [0]
+    amb_off: list[int] = []
+    total = 0
+    maxlen = 0
+    for oid, rec in enumerate(records):
+        if isinstance(rec, tuple):
+            sid, rtitle, codes = rec
+        else:
+            sid, rtitle = rec.seq_id, rec.title
+            codes = seq_to_blastna(rec.sequence)
+        n = len(codes)
+        total += n
+        maxlen = max(maxlen, n)
+        hdr_parts.append(encode_defline_set(sid, rtitle))
+        hdr_off.append(hdr_off[-1] + len(hdr_parts[-1]))
+
+        codes2, ambig = blastna_to_2na(codes, seed=oid)
+        packed = pack_2na(codes2)
+        remainder = n % 4
+        if remainder == 0:
+            packed = np.concatenate([packed, np.zeros(1, np.uint8)])
+        else:
+            packed = packed.copy()
+        packed[-1] = (packed[-1] & 0xFC) | remainder
+        seq_parts.append(packed.tobytes())
+        amb_off.append(seq_off[-1] + len(packed))
+
+        # old-format segments; split runs longer than 16 bases
+        segs: list[int] = []
+        if ambig.any():
+            idx = np.flatnonzero(ambig)
+            run_start = int(idx[0])
+            prev = run_start
+            val = int(BLASTNA_TO_NCBI4NA[codes[run_start]])
+            for i in list(idx[1:]) + [None]:
+                same = (
+                    i is not None and int(i) == prev + 1
+                    and int(BLASTNA_TO_NCBI4NA[codes[int(i)]]) == val
+                    and (prev - run_start) < 15
+                )
+                if same:
+                    prev = int(i)
+                    continue
+                segs.append(
+                    (val << 28) | ((prev - run_start) << 24) | run_start
+                )
+                if i is not None:
+                    run_start = prev = int(i)
+                    val = int(BLASTNA_TO_NCBI4NA[codes[int(i)]])
+        amb_blob = struct.pack(">I", len(segs)) + b"".join(
+            struct.pack(">I", s) for s in segs
+        )
+        seq_parts.append(amb_blob)
+        seq_off.append(amb_off[-1] + len(amb_blob))
+
+    num = len(hdr_off) - 1
+    tb = title.encode("ascii")
+    db = date.encode("ascii")
+    # String#: NUL-pad so the fields after it land 4-byte aligned
+    db += b"\x00" * ((-(len(tb) + len(db))) % 4)
+    head = struct.pack(">ii", 4, 0)
+    head += struct.pack(">i", len(tb)) + tb
+    head += struct.pack(">i", len(db)) + db
+    head += struct.pack(">i", num)
+    head += struct.pack("<q", total)  # Int8X little-endian quirk
+    head += struct.pack(">i", maxlen)
+    # index layout: hdr[num+1], seq[num+1], amb[num+1]; amb[i] points at
+    # each sequence's ambiguity start, closed by the final seq end
+    # (np.concatenate would silently normalize >u4 to native order)
+    arrays = np.array(
+        hdr_off + seq_off + amb_off + [seq_off[-1]], dtype=">u4"
+    )
+    prefix.with_suffix(".nin").write_bytes(head + arrays.tobytes())
+    prefix.with_suffix(".nhr").write_bytes(b"".join(hdr_parts))
+    prefix.with_suffix(".nsq").write_bytes(b"".join(seq_parts))

@@ -258,6 +258,17 @@ class SequenceDB:
     @classmethod
     def load(cls, path) -> "SequenceDB":
         path = Path(path)
+        if not (path / "manifest.json").exists():
+            # fall back to NCBI BLAST database format (.nin/.nal),
+            # so makeblastdb-built dbs work directly
+            from gblastn_tpu.io.ncbidb import is_ncbi_db, load_ncbi_db
+
+            if is_ncbi_db(path):
+                return load_ncbi_db(path)
+            raise FileNotFoundError(
+                f"{path}: no native db (manifest.json) and no NCBI "
+                "BLAST db (.nin/.nal) found"
+            )
         manifest = json.loads((path / "manifest.json").read_text())
         arrays = np.load(path / "arrays.npz")
         return cls(
