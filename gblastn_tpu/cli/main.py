@@ -65,6 +65,8 @@ def _add_blastn_args(p: argparse.ArgumentParser) -> None:
                    help="effective search space override")
     p.add_argument("-dust", default="yes")
     p.add_argument("-window_masker_db", default=None)
+    p.add_argument("-filtering_db", default=None,
+                   help="repeats database for query masking")
     p.add_argument("-num_threads", type=int, default=1)
     # G-BLASTN compatibility flags, mapped to TPU equivalents
     p.add_argument("-use_gpu", default=None, help="alias of -use_tpu")
@@ -117,6 +119,8 @@ def _build_options(args):
     overrides["dust"] = args.dust in ("yes", "true", "T", "20 64 1")
     if args.window_masker_db:
         overrides["window_masker_db"] = args.window_masker_db
+    if args.filtering_db:
+        overrides["filtering_db"] = args.filtering_db
     return options_for_task(args.task, **overrides)
 
 
@@ -180,6 +184,7 @@ def run_blastn(argv) -> int:
                 "perc_identity": args.perc_identity,
                 "dust": args.dust,
                 "window_masker_db": args.window_masker_db,
+                "filtering_db": args.filtering_db,
             },
             "options": dataclasses.asdict(options),
         }

@@ -116,6 +116,22 @@ def prelim_search(
             masks = [
                 sorted(a + b) for a, b in zip(masks, wm_masks)
             ]
+    if options.filtering_db:
+        from gblastn_tpu.masking.repeats import (
+            load_repeat_db,
+            query_repeat_masks,
+        )
+
+        with slog.time("setup.repeat_filter"):
+            rep_masks = query_repeat_masks(
+                qblock, records, load_repeat_db(options.filtering_db)
+            )
+        if masks is None:
+            masks = rep_masks
+        else:
+            masks = [
+                sorted(a + b) for a, b in zip(masks, rep_masks)
+            ]
     locations = unmasked_locations(qblock.buffer, ctx_offsets, masks)
     with slog.time("setup.lookup_table"):
         lut = build_lookup_table(

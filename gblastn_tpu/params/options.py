@@ -62,6 +62,7 @@ class SearchOptions:
     strand: str = "both"                # both|plus|minus
     dust: bool = True
     window_masker_db: str | None = None
+    filtering_db: str | None = None     # repeats database (-filtering_db)
     window_size: int = 0                # two-hit window; 0 = one-hit
 
     # Effective length overrides
