@@ -71,6 +71,9 @@ def main() -> int:
     # long-lived pipeline process amortizing startup)
     search(queries, db, options)
 
+    from gblastn_tpu.utils.profiling import slog
+
+    slog.reset()  # stage report below covers only the timed run
     t0 = time.time()
     results = search(queries, db, options)
     dt = time.time() - t0
@@ -84,8 +87,6 @@ def main() -> int:
         f"# {NUM_QUERIES} queries, {n_hits} HSPs, {aligned} aligned, "
         f"{dt:.2f}s", file=sys.stderr,
     )
-    from gblastn_tpu.utils.profiling import slog
-
     print(slog.report(), file=sys.stderr)
 
     try:

@@ -46,6 +46,8 @@ def _add_blastn_args(p: argparse.ArgumentParser) -> None:
                    choices=["megablast", "blastn"])
     p.add_argument("-evalue", type=float, default=10.0)
     p.add_argument("-word_size", type=int, default=0)
+    p.add_argument("-window_size", type=int, default=None,
+                   help="two-hit window; 0 (default) = one-hit")
     p.add_argument("-reward", type=int, default=0)
     p.add_argument("-penalty", type=int, default=0)
     p.add_argument("-gapopen", type=int, default=None)
@@ -121,6 +123,8 @@ def _build_options(args):
         overrides["window_masker_db"] = args.window_masker_db
     if args.filtering_db:
         overrides["filtering_db"] = args.filtering_db
+    if args.window_size is not None:
+        overrides["window_size"] = args.window_size
     return options_for_task(args.task, **overrides)
 
 

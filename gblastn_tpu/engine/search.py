@@ -197,6 +197,13 @@ def prelim_search(
         pallas_subject=dev_subject[2],
         table64=jnp.asarray(make_table64(m16)),
     )
+    if options.window_size > 0:
+        host_sub = getattr(db, "_host_cache", None)
+        if host_sub is None:
+            host_sub = (db.unpacked().astype(np.int8), db.valid_mask())
+            db._host_cache = host_sub
+        dev.host_query = qbuf_padded
+        dev.host_subject2, dev.host_valid = host_sub
 
     # the LUT builder knows the longest chain, so the scan's per-word
     # fan-out capacity never needs the overflow-retry recompile; bucket
@@ -239,6 +246,7 @@ def prelim_search(
                 word_cutoffs=word_cutoffs,
                 x_dropoffs=x_dropoffs,
                 cmax=cmax,
+                window_size=options.window_size,
             )
     else:
         with slog.time("device.seeding"):
@@ -253,6 +261,7 @@ def prelim_search(
                 word_cutoffs=word_cutoffs,
                 x_dropoffs=x_dropoffs,
                 cmax=cmax,
+                window_size=options.window_size,
             )
     slog.diagnostics.good_init_extends += len(init)
 

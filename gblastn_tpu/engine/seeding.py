@@ -64,6 +64,10 @@ class SeedingDeviceData:
     pallas_query: tuple | None = None     # (fwd2d, rev2d)
     pallas_subject: tuple | None = None   # (fwd2d, rev2d)
     table64: jnp.ndarray | None = None
+    # host copies, needed only by the two-hit (window_size > 0) path
+    host_query: np.ndarray | None = None
+    host_subject2: np.ndarray | None = None
+    host_valid: np.ndarray | None = None
 
 
 def _round_up_pow2(n: int, lo: int = 256) -> int:
@@ -123,6 +127,98 @@ def one_hit_diag_filter(
     return saved
 
 
+def compute_right_runs(
+    query: np.ndarray,       # uint8[Q] BLASTNA with sentinels
+    subject2: np.ndarray,    # int8[S] 2-bit codes
+    valid: np.ndarray,       # bool[S]
+    q_off: np.ndarray,
+    s_off: np.ndarray,
+    word_size: int,
+) -> np.ndarray:
+    """Exact-match run length to the right of each seed's word end,
+    capped at word_size (the double-word probe of s_TypeOfWord,
+    na_ungapped.c:559-586; equality there is checked through lookup
+    membership, which reduces to base equality for unmasked seeds).
+    Sentinels in the query (code 15) and subject padding stop the run,
+    which enforces the reference's context/range bounds ext_max."""
+    n = len(q_off)
+    if n == 0:
+        return np.zeros(0, np.int32)
+    W = word_size
+    k = np.arange(W)
+    qi = np.minimum(q_off.astype(np.int64)[:, None] + W + k,
+                    len(query) - 1)
+    si = np.minimum(s_off.astype(np.int64)[:, None] + W + k,
+                    len(subject2) - 1)
+    match = (
+        (query[qi] == subject2[si].astype(np.uint8))
+        & (query[qi] < 4)
+        & valid[si]
+        & (q_off[:, None] + W + k < len(query))
+        & (s_off[:, None] + W + k < len(subject2))
+    )
+    return np.cumprod(match, axis=1).sum(axis=1).astype(np.int32)
+
+
+def two_hit_diag_filter(
+    q_off: np.ndarray,
+    s_off: np.ndarray,
+    oid: np.ndarray,
+    word_size: int,
+    window: int,
+    ung_s_start: np.ndarray,
+    ung_length: np.ndarray,
+    ung_score: np.ndarray,
+    cutoff: np.ndarray,
+    right_run: np.ndarray,
+) -> np.ndarray:
+    """Two-hit per-diagonal replay for window_size > 0
+    (s_BlastnDiagTableExtendInitialHit, na_ungapped.c:612-755 with the
+    default scan_range 0, so the off-diagonal probe is skipped).
+
+    Per (oid, diag) state: last_hit = right end of the last hit seen,
+    hit_saved flag. A hit is extended when it is the second hit within
+    ``window`` of a pending first hit, or when it is itself a double
+    word (exact run >= 2 * word_size, via ``right_run``).
+    """
+    n = len(q_off)
+    saved = np.zeros(n, dtype=bool)
+    if n == 0:
+        return saved
+    diag = s_off.astype(np.int64) - q_off.astype(np.int64)
+    order = np.lexsort((s_off, diag, oid))
+    last_key = None
+    last_hit = 0
+    flag = 0
+    for i in order:
+        key = (int(oid[i]), int(diag[i]))
+        if key != last_key:
+            last_key = key
+            last_hit = 0
+            flag = 0
+        s = int(s_off[i])
+        s_end = s + word_size
+        if s < last_hit:
+            continue
+        if flag or s_end > last_hit + window:
+            # first hit (or follows a saved hit): record it unless the
+            # word itself extends to a double word
+            ext = int(right_run[i])
+            s_end += ext
+            hit_ready = ext >= word_size
+        else:
+            hit_ready = True
+        if hit_ready:
+            if ung_score[i] >= cutoff[i]:
+                saved[i] = True
+                s_end = int(ung_s_start[i]) + int(ung_length[i])
+            else:
+                hit_ready = False
+        last_hit = s_end
+        flag = 1 if hit_ready else 0
+    return saved
+
+
 def run_seeding(
     dev: SeedingDeviceData,
     *,
@@ -138,6 +234,7 @@ def run_seeding(
     max_cmax: int = 4096,
     hit_cap: int = 16384,
     seed_cap: int = 16384,
+    window_size: int = 0,
 ) -> InitHits:
     """Full seeding pass over one subject buffer; returns saved init hits.
 
@@ -289,19 +386,32 @@ def run_seeding(
     if len(sel) == 0:
         z = np.zeros(0, dtype=np.int32)
         return InitHits(z, z, z, z, z, z, z, z)
+    right_run = None
+    if window_size > 0:
+        if dev.host_query is None or dev.host_subject2 is None:
+            raise ValueError(
+                "window_size > 0 needs host_query/host_subject2/"
+                "host_valid on SeedingDeviceData"
+            )
+        right_run = compute_right_runs(
+            dev.host_query, dev.host_subject2, dev.host_valid,
+            qs[sel], ss[sel], word_size,
+        )
     return _finish_init_hits(
         qs[sel], ss[sel], np.clip(ctx[sel], 0, n_ctx - 1),
         ug_q[sel], ug_s[sel], ug_len[sel], ug_score[sel],
         word_cutoffs, subject_starts, word_size,
+        window_size=window_size, right_run=right_run,
     )
 
 
 def _finish_init_hits(
     q_np, s_np, ctx, ug_q, ug_s, ug_len, ug_score,
     word_cutoffs, subject_starts, word_size,
+    window_size: int = 0, right_run=None,
 ) -> InitHits:
-    """Host finishing: per-context cutoffs, oid mapping, one-hit
-    diagonal replay, final score ordering."""
+    """Host finishing: per-context cutoffs, oid mapping, one- or
+    two-hit diagonal replay, final score ordering."""
     cutoff = word_cutoffs[ctx].astype(np.int32)
 
     oid = (
@@ -309,9 +419,16 @@ def _finish_init_hits(
     ).astype(np.int32)
 
     with slog.time("host.diag_filter"):
-        saved = one_hit_diag_filter(
-            q_np, s_np, oid, word_size, ug_s, ug_len, ug_score, cutoff
-        )
+        if window_size > 0:
+            saved = two_hit_diag_filter(
+                q_np, s_np, oid, word_size, window_size,
+                ug_s, ug_len, ug_score, cutoff, right_run,
+            )
+        else:
+            saved = one_hit_diag_filter(
+                q_np, s_np, oid, word_size, ug_s, ug_len, ug_score,
+                cutoff,
+            )
     keep = np.nonzero(saved)[0]
     order = sort_by_score_order(
         ug_score[keep], ug_s[keep], ug_len[keep], ug_q[keep]
@@ -343,6 +460,7 @@ def run_seeding_sharded(
     word_cutoffs: np.ndarray,
     x_dropoffs: np.ndarray,
     cmax: int = 8,
+    window_size: int = 0,
 ) -> InitHits:
     """Multi-chip seeding over a DB-sharded device mesh
     (gblastn_tpu.parallel.dist), then the same host finishing as the
@@ -371,10 +489,19 @@ def run_seeding_sharded(
     ctx = (
         np.searchsorted(context_offsets, q_off[sel], side="right") - 1
     ).astype(np.int32)
+    right_run = None
+    if window_size > 0:
+        right_run = compute_right_runs(
+            np.asarray(query_buffer), np.asarray(subject2),
+            np.asarray(subject_valid),
+            q_off[sel].astype(np.int64), s_off[sel].astype(np.int64),
+            word_size,
+        )
     return _finish_init_hits(
         q_off[sel].astype(np.int32), s_off[sel].astype(np.int32),
         np.clip(ctx, 0, n_ctx - 1),
         ug_q[sel].astype(np.int32), ug_s[sel].astype(np.int32),
         ug_len[sel].astype(np.int32), ug_score[sel].astype(np.int32),
         word_cutoffs, subject_starts, word_size,
+        window_size=window_size, right_run=right_run,
     )
