@@ -116,44 +116,44 @@ def build_lookup_table(
         raise ValueError("lut_word_size cannot exceed word_size")
     table_size = 1 << (BITS_PER_NUC * w)
 
-    words_list: list[np.ndarray] = []
-    pos_list: list[np.ndarray] = []
-    for a, b in locations:
-        # Locations shorter than the full word can never seed a hit
-        # (blast_nalookup.c:1160, blast_lookup.c:103).
-        if word_size > b - a + 1:
-            continue
-        n = b - a + 1
-        seq = buf[a: b + 1].astype(np.int64)
-        valid_base = seq < 4
-        # Rolling word values at each start position a..b-w+1.
-        num_words = n - w + 1
-        if num_words <= 0:
-            continue
-        # word_valid[q] = all bases q..q+w-1 are unambiguous
-        cumsum = np.concatenate([[0], np.cumsum(valid_base)])
-        word_valid = (cumsum[w:] - cumsum[:-w]) == w
-        # Build word codes with a strided dot (vectorized).
-        weights = 4 ** np.arange(w - 1, -1, -1, dtype=np.int64)
-        # matrix of windows via stride tricks
-        windows = np.lib.stride_tricks.sliding_window_view(seq, w)
-        codes = (windows * weights).sum(axis=1)
-        codes = np.where(word_valid, codes, 0)
-        q_off = np.arange(a, a + num_words, dtype=np.int64)
-        words_list.append(codes[word_valid])
-        pos_list.append(q_off[word_valid])
+    # One whole-buffer pass instead of per-location slices: allowed
+    # start positions come from a range-diff mask, word codes from w
+    # shifted adds, word validity from one cumulative sum.
+    n_starts = len(buf) - w + 1
+    if n_starts > 0:
+        delta = np.zeros(n_starts + 1, dtype=np.int32)
+        for a, b in locations:
+            # Locations shorter than the full word can never seed a hit
+            # (blast_nalookup.c:1160, blast_lookup.c:103).
+            if word_size > b - a + 1:
+                continue
+            hi = min(b - w + 2, n_starts)
+            if hi > a:
+                delta[a] += 1
+                delta[hi] -= 1
+        allowed = np.cumsum(delta[:-1]) > 0
 
-    if words_list:
-        all_words = np.concatenate(words_list)
-        all_pos = np.concatenate(pos_list)
+        valid_base = buf < 4
+        cum = np.concatenate([[0], np.cumsum(valid_base)])
+        word_valid = (cum[w:] - cum[:-w]) == w
+
+        codes = np.zeros(n_starts, dtype=np.int32)
+        b32 = buf.astype(np.int32)
+        for j in range(w):
+            codes += b32[j: j + n_starts] << (2 * (w - 1 - j))
+
+        sel = allowed & word_valid
+        all_words = codes[sel]
+        all_pos = np.flatnonzero(sel).astype(np.int32)
     else:
-        all_words = np.zeros(0, dtype=np.int64)
-        all_pos = np.zeros(0, dtype=np.int64)
+        all_words = np.zeros(0, dtype=np.int32)
+        all_pos = np.zeros(0, dtype=np.int32)
 
-    counts = np.bincount(all_words, minlength=table_size).astype(np.int64)
-    offsets = np.zeros(table_size + 1, dtype=np.int64)
-    np.cumsum(counts, out=offsets[1:])
-    # Order positions ascending within each word via a stable argsort.
+    counts = np.bincount(all_words, minlength=table_size)
+    offsets = np.zeros(table_size + 1, dtype=np.int32)
+    np.cumsum(counts, dtype=np.int32, out=offsets[1:])
+    # Order positions ascending within each word via a stable argsort
+    # (int32 keys halve the radix passes).
     order = np.argsort(all_words, kind="stable")
     positions = all_pos[order]
 
@@ -162,7 +162,7 @@ def build_lookup_table(
         word_size=word_size,
         lut_word_size=w,
         scan_step=word_size - w + 1,
-        counts_offsets=offsets.astype(np.int32),
+        counts_offsets=offsets,
         positions=positions.astype(np.int32),
         max_positions_per_word=max_chain,
     )

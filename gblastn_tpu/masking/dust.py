@@ -195,10 +195,13 @@ def dust_mask(
     level: int = DEFAULT_LEVEL,
     window: int = DEFAULT_WINDOW,
     linker: int = DEFAULT_LINKER,
+    use_native: bool | None = None,
 ) -> list[tuple[int, int]]:
     """Mask a sequence of BLASTNA codes; returns inclusive base intervals.
 
-    CSymDustMasker::operator() (symdust.cpp:211-280).
+    CSymDustMasker::operator() (symdust.cpp:211-280). Runs the native
+    C++ port (native/dust.cpp) when available; the Python state machine
+    below is the parity fallback.
     """
     if not (2 <= level <= 64):
         level = DEFAULT_LEVEL
@@ -206,10 +209,38 @@ def dust_mask(
         window = DEFAULT_WINDOW
     if not (1 <= linker <= 32):
         linker = DEFAULT_LINKER
-    low_k = level // 5
-    thresholds = [1] + [i * level for i in range(1, window - 2)]
 
     seq2 = _BLASTNA_TO_2BIT[np.asarray(seq, dtype=np.uint8)]
+
+    if use_native is not False:
+        from gblastn_tpu.native import get_lib
+
+        lib = get_lib()
+        if lib is not None:
+            import ctypes
+
+            s = np.ascontiguousarray(seq2)
+            cap = max(len(s) // 2 + 16, 64)
+            out = np.empty(2 * cap, dtype=np.int64)
+            m = lib.gblastn_dust_mask(
+                s.ctypes.data_as(ctypes.c_void_p), len(s),
+                level, window, linker,
+                out.ctypes.data_as(ctypes.c_void_p), cap,
+            )
+            if m > cap:  # can't happen (intervals merge), but be safe
+                cap = int(m)
+                out = np.empty(2 * cap, dtype=np.int64)
+                m = lib.gblastn_dust_mask(
+                    s.ctypes.data_as(ctypes.c_void_p), len(s),
+                    level, window, linker,
+                    out.ctypes.data_as(ctypes.c_void_p), cap,
+                )
+            return [
+                (int(out[2 * i]), int(out[2 * i + 1])) for i in range(m)
+            ]
+
+    low_k = level // 5
+    thresholds = [1] + [i * level for i in range(1, window - 2)]
     res: list[tuple[int, int]] = []
     if len(seq2) == 0:
         return res

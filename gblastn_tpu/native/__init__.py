@@ -109,6 +109,12 @@ def get_lib():
         ctypes.c_int64,                       # max_ops
         ctypes.c_void_p,                      # out_vals[4]
     ]
+    lib.gblastn_dust_mask.restype = ctypes.c_int64
+    lib.gblastn_dust_mask.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,      # seq2, n
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,  # level, window, linker
+        ctypes.c_void_p, ctypes.c_int64,      # out pairs, cap
+    ]
     _lib = lib
     return _lib
 

@@ -96,3 +96,47 @@ class TestDustInSearch:
             [FastaRecord("q", "", q)], db, megablast_options(dust=False)
         )
         assert res2.queries[0].hsplists
+
+
+class TestNativeParity:
+    """native/dust.cpp vs the Python state machine, fuzzed."""
+
+    def test_fuzz_native_vs_python(self):
+        from gblastn_tpu.masking.dust import dust_mask
+        from gblastn_tpu.native import native_available
+
+        if not native_available():
+            pytest.skip("native toolchain unavailable")
+        rng = np.random.default_rng(99)
+        for trial in range(40):
+            n = int(rng.integers(4, 800))
+            # mix random with planted low-complexity runs
+            codes = rng.integers(0, 4, n).astype(np.uint8)
+            for _ in range(int(rng.integers(0, 4))):
+                p = int(rng.integers(0, n))
+                ln = int(rng.integers(5, 60))
+                kind = rng.integers(0, 3)
+                if kind == 0:
+                    codes[p: p + ln] = 0
+                elif kind == 1:
+                    seg = np.tile([0, 3], ln)[:ln]
+                    codes[p: p + ln] = seg[: len(codes[p: p + ln])]
+                else:
+                    seg = np.tile([1, 1, 2], ln)[:ln]
+                    codes[p: p + ln] = seg[: len(codes[p: p + ln])]
+            got = dust_mask(codes, use_native=True)
+            ref = dust_mask(codes, use_native=False)
+            assert got == ref, f"trial {trial}: {got} != {ref}"
+
+    def test_fuzz_ambiguity_codes(self):
+        from gblastn_tpu.masking.dust import dust_mask
+        from gblastn_tpu.native import native_available
+
+        if not native_available():
+            pytest.skip("native toolchain unavailable")
+        rng = np.random.default_rng(5)
+        for _ in range(10):
+            n = int(rng.integers(10, 300))
+            codes = rng.integers(0, 16, n).astype(np.uint8)
+            assert dust_mask(codes, use_native=True) == dust_mask(
+                codes, use_native=False)
