@@ -182,7 +182,7 @@ def prelim_search(
             jax.block_until_ready(dev_subject)
         db._device_cache = dev_subject
 
-    from gblastn_tpu.ops.pallas_ungapped import make_table64, prepare_query
+    from gblastn_tpu.ops.pallas_ungapped import make_table64
 
     m16 = device_matrix16(options.reward, options.penalty)
     qdev = jnp.asarray(qbuf_padded)
@@ -193,7 +193,6 @@ def prelim_search(
         lut_offsets=jnp.asarray(lut.counts_offsets),
         lut_positions=jnp.asarray(pos_padded),
         matrix16=jnp.asarray(m16),
-        pallas_query=prepare_query(qdev),
         pallas_subject=dev_subject[2],
         table64=jnp.asarray(make_table64(m16)),
     )

@@ -19,8 +19,10 @@ Correctness notes proven against the reference:
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -219,6 +221,69 @@ def two_hit_diag_filter(
     return saved
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _prepare_query_jit(query):
+    from gblastn_tpu.ops.pallas_ungapped import prepare_query
+
+    return prepare_query(query)
+
+
+@jax.jit
+def _pack10(qs, ss, ok, ctx, f_q, f_s, f_len, f_score, f_tr,
+            n_overflow):
+    return jnp.stack([
+        qs, ss, ok.astype(jnp.int32), ctx,
+        f_q, f_s, f_len, f_score, f_tr.astype(jnp.int32),
+        jnp.broadcast_to(n_overflow.astype(jnp.int32), qs.shape),
+    ])
+
+
+def _seeding_tpu_fused(
+    subject2, subject_valid, lut_offsets, lut_positions, query,
+    ctx_offsets, x_dropoffs, subject_starts, subject_ends,
+    subject_p, subject_r, table64,
+    *, scan_step, lut_word, word_size, cmax, n_scan, hit_cap, seed_cap,
+):
+    """TPU seeding stage: scan+mini (one jit), the Pallas ungapped
+    kernel (its own dispatch -- nesting it inside one mega-jit makes
+    XLA schedule it ~3x slower), and a pack jit so the host needs
+    exactly ONE device fetch. All dispatches are async; over the axon
+    tunnel every synchronous fetch pays a ~27ms round trip."""
+    from gblastn_tpu.ops.pallas_ungapped import (
+        ungapped_extend_pallas_prepared,
+    )
+    from gblastn_tpu.ops.seeding import seeding_scan_mini
+
+    import os
+
+    sync = os.environ.get("GBLASTN_TPU_STAGE_SYNC")
+
+    query_p, query_r = _prepare_query_jit(query)
+    if sync:
+        with slog.time("device.seeding.prep_sync"):
+            jax.block_until_ready((query_p, query_r))
+
+    qs, ss, ok, ctx, xd, maxl, maxr, n_overflow = seeding_scan_mini(
+        subject2, subject_valid, lut_offsets, lut_positions, query,
+        ctx_offsets, x_dropoffs, subject_starts, subject_ends,
+        scan_step=scan_step, lut_word=lut_word, word_size=word_size,
+        cmax=cmax, n_scan=n_scan, hit_cap=hit_cap, seed_cap=seed_cap,
+        out_cap=seed_cap // 2,
+    )
+    if sync:
+        with slog.time("device.seeding.scan_sync"):
+            jax.block_until_ready((qs, ss, ok, ctx, xd, maxl, maxr))
+    f_q, f_s, f_len, f_score, f_tr = ungapped_extend_pallas_prepared(
+        (query_p, query_r, subject_p, subject_r), table64,
+        qs, ss, ok, xd, maxl, maxr,
+    )
+    if sync:
+        with slog.time("device.seeding.pallas_sync"):
+            jax.block_until_ready((f_q, f_s, f_len, f_score, f_tr))
+    return _pack10(qs, ss, ok, ctx, f_q, f_s, f_len, f_score, f_tr,
+                   n_overflow)
+
+
 def run_seeding(
     dev: SeedingDeviceData,
     *,
@@ -257,19 +322,57 @@ def run_seeding(
     xdrop_dev = np.ones(ctx_cap, np.int32)
     xdrop_dev[:n_ctx] = x_dropoffs
 
+    # On TPU, the Pallas window kernel IS the ungapped stage: the
+    # scan+mini program chains into it on device (no host round trip,
+    # no clamped XLA phase-1). Elsewhere, the fused XLA pipeline runs.
+    pallas_primary = (
+        dev.pallas_subject is not None
+        and next(iter(dev.subject2.devices())).platform == "tpu"
+    )
+    if subject_lengths is not None:
+        subject_ends = subject_starts + subject_lengths
+    else:
+        subject_ends = np.concatenate(
+            [subject_starts[1:], [int(dev.subject2.shape[0])]]
+        )
+
     while True:
-        with slog.time("device.seeding.pipeline"):
-            out = seeding_pipeline(
-                dev.subject2, dev.subject_valid,
-                dev.lut_offsets, dev.lut_positions,
-                dev.query, dev.matrix16,
-                jnp.asarray(ctx_off_dev), jnp.asarray(xdrop_dev),
-                scan_step=scan_step, lut_word=lut_word,
-                word_size=word_size, cmax=cmax, n_scan=n_scan,
-                hit_cap=hit_cap, seed_cap=seed_cap,
-            )
-            (qs, ss, fill, ctx, ug_q, ug_s, ug_len, ug_score, trunc,
-             n_overflow) = (np.asarray(o) for o in out)
+        if pallas_primary:
+            with slog.time("device.seeding.pipeline"):
+                packed = np.asarray(_seeding_tpu_fused(
+                    dev.subject2, dev.subject_valid,
+                    dev.lut_offsets, dev.lut_positions, dev.query,
+                    jnp.asarray(ctx_off_dev), jnp.asarray(xdrop_dev),
+                    jnp.asarray(subject_starts),
+                    jnp.asarray(subject_ends),
+                    *dev.pallas_subject,
+                    dev.table64,
+                    scan_step=scan_step, lut_word=lut_word,
+                    word_size=word_size, cmax=cmax, n_scan=n_scan,
+                    hit_cap=hit_cap, seed_cap=seed_cap,
+                ))
+                qs, ss, fill, ctx = (
+                    packed[0], packed[1], packed[2].astype(bool),
+                    packed[3],
+                )
+                ug_q, ug_s, ug_len, ug_score = (
+                    packed[4], packed[5], packed[6], packed[7],
+                )
+                trunc = packed[8].astype(bool)
+                n_overflow = packed[9, 0]
+        else:
+            with slog.time("device.seeding.pipeline"):
+                out = seeding_pipeline(
+                    dev.subject2, dev.subject_valid,
+                    dev.lut_offsets, dev.lut_positions,
+                    dev.query, dev.matrix16,
+                    jnp.asarray(ctx_off_dev), jnp.asarray(xdrop_dev),
+                    scan_step=scan_step, lut_word=lut_word,
+                    word_size=word_size, cmax=cmax, n_scan=n_scan,
+                    hit_cap=hit_cap, seed_cap=seed_cap,
+                )
+                (qs, ss, fill, ctx, ug_q, ug_s, ug_len, ug_score, trunc,
+                 n_overflow) = (np.asarray(o) for o in out)
         if int(n_overflow) == 0:
             break
         # double every capacity that could have overflowed; buckets keep
@@ -302,7 +405,9 @@ def run_seeding(
             np.ones(pad2, np.int32),
         ])
         done2 = False
-        use_pallas = (
+        # when Pallas already ran as the primary stage, its truncations
+        # exceed WINDOW: go straight to the unclamped XLA path
+        use_pallas = not pallas_primary and (
             dev.pallas_query is not None
             and dev.pallas_subject is not None
             and next(iter(dev.subject2.devices())).platform == "tpu"

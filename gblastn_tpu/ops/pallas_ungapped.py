@@ -91,9 +91,29 @@ def _direction_scan(scores2, max_steps, xdrop):
     return best, best_pos, bound_hit
 
 
-SEEDS_PER_BLOCK = 8
+SEEDS_PER_BLOCK = 16
 ALIGN = 4096                 # DMA start alignment in bases
 BUF_ROWS = (WINDOW + ALIGN) // COLS   # rows per direction buffer
+
+
+def _scores_closed_form(qpacked, scodes2, table_ref):
+    """Score from the packed query byte (4na mask | degeneracy << 4)
+    and the 2-bit subject code; constants live at table_ref[64:70]
+    (see make_table64). Equals the 64-entry table exactly."""
+    qmask = jnp.bitwise_and(qpacked, 15)
+    deg = jnp.right_shift(qpacked, 4)
+    sbit = jnp.left_shift(1, jnp.clip(scodes2, 0, 3))
+    member = jnp.bitwise_and(qmask, sbit) != 0
+    exact = qmask == sbit
+    amb = jnp.where(
+        deg == 2, table_ref[66],
+        jnp.where(deg == 3, table_ref[67], table_ref[68]),
+    )
+    return jnp.where(
+        qmask == 0, table_ref[69],
+        jnp.where(exact, table_ref[64],
+                  jnp.where(member, amb, table_ref[65])),
+    )
 
 
 SUB = 8  # sublane alignment required for dynamic row slices
@@ -115,15 +135,9 @@ def _extract_window(ref, slot, d, o):
     r = o2 % COLS
     x = ref[slot, d, pl.ds(o_row8, nrows), :].astype(jnp.int32)
 
-    def shifted(k):
-        def f():
-            # out[i] = x[i + k], out2[i] = x[i + k + 1]
-            y1 = pltpu.roll(x, (nrows - k) % nrows, 0)
-            y2 = pltpu.roll(x, (nrows - k - 1) % nrows, 0)
-            return y1, y2
-        return f
-
-    y1, y2 = jax.lax.switch(o2_row, [shifted(k) for k in range(SUB)])
+    # dynamic sublane shifts: pltpu.roll accepts traced shift amounts
+    y1 = pltpu.roll(x, (nrows - o2_row) % nrows, 0)
+    y2 = pltpu.roll(x, (nrows - o2_row - 1) % nrows, 0)
     a = pltpu.roll(y1, (COLS - r) % COLS, 1)   # out[l] = in[(l+r)%C]
     b = pltpu.roll(y2, (COLS - r) % COLS, 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (nrows, COLS), 1)
@@ -146,14 +160,9 @@ def _kernel(
     # extra ALIGN tail guard not counted here)
     qlen_p = query_hbm.shape[0] * COLS
     slen_p = subject_hbm.shape[0] * COLS
-    def scores_for(qcodes2, scodes2):
-        # 64-way select chain on the 2-D layout (Mosaic has no lane-
-        # remixing reshapes, so the one-hot matmul form is unavailable)
-        code = jnp.clip(qcodes2, 0, 15) * 4 + jnp.clip(scodes2, 0, 3)
-        sc = jnp.full((ROWS, COLS), NEG_BIG, jnp.int32)
-        for k in range(64):
-            sc = jnp.where(code == k, table_ref[k], sc)
-        return sc
+
+    def scores_for(qpacked, scodes2):
+        return _scores_closed_form(qpacked, scodes2, table_ref)
 
     for k in range(SEEDS_PER_BLOCK):
         i = blk * SEEDS_PER_BLOCK + k
@@ -219,6 +228,226 @@ def _kernel(
         )
 
 
+BROWS = SEEDS_PER_BLOCK * ROWS  # batched tile rows (8 seeds x 16)
+
+
+def _flat_scan_grouped(x2, op, identity):
+    """_flat_scan on [BROWS, COLS] with independent scans per 16-row
+    seed group (carries masked at group boundaries)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (BROWS, COLS), 1)
+    d = 1
+    while d < COLS:
+        sh = pltpu.roll(x2, d, 1)
+        x2 = op(x2, jnp.where(col >= d, sh, identity))
+        d *= 2
+    rowg = jax.lax.broadcasted_iota(jnp.int32, (BROWS, 1), 0) % ROWS
+    t = x2[:, COLS - 1:COLS]
+    d = 1
+    while d < ROWS:
+        sh = pltpu.roll(t, d, 0)
+        t = op(t, jnp.where(rowg >= d, sh, identity))
+        d *= 2
+    excl = jnp.where(rowg >= 1, pltpu.roll(t, 1, 0), identity)
+    return op(x2, excl)
+
+
+def _shift1_flat_grouped(x2, fill):
+    col = jax.lax.broadcasted_iota(jnp.int32, (BROWS, COLS), 1)
+    rowg = jax.lax.broadcasted_iota(jnp.int32, (BROWS, COLS), 0) % ROWS
+    sh = pltpu.roll(x2, 1, 1)
+    prev_last = pltpu.roll(x2[:, COLS - 1:COLS], 1, 0)
+    prev_last = jnp.where(rowg[:, :1] >= 1, prev_last, fill)
+    return jnp.where(col == 0, prev_last, sh)
+
+
+def _kernel_batched(
+    # scalar prefetch
+    q_off_ref, s_off_ref, valid_ref, xdrop_ref, max_l_ref, max_r_ref,
+    # inputs
+    query_hbm, query_rev_hbm, subject_hbm, subject_rev_hbm, table_ref,
+    # outputs
+    qs_ref, ss_ref, len_ref, score_ref, trunc_ref,
+    # scratch
+    qwin, swin, ql_c, qr_c, sl_c, sr_c, sem,
+):
+    """All 8 seeds of a block processed as one [128, 128] tile batch:
+    the 32 window DMAs are issued together, window codes land in
+    batched scratch, and the score/select/scan work runs once per
+    direction instead of once per seed (v1 issued ~8x the VPU
+    instructions and serialized the DMA waits)."""
+    blk = pl.program_id(0)
+    qlen_p = query_hbm.shape[0] * COLS
+    slen_p = subject_hbm.shape[0] * COLS
+
+    # ---- phase 1: issue every DMA, then wait
+    cps = []
+    offs_all = []
+    for k in range(SEEDS_PER_BLOCK):
+        i = blk * SEEDS_PER_BLOCK + k
+        q_off = q_off_ref[i]
+        s_off = s_off_ref[i]
+        starts = [
+            (query_rev_hbm, qlen_p - WINDOW - q_off),
+            (query_hbm, q_off + WINDOW),
+            (subject_rev_hbm, slen_p - WINDOW - s_off),
+            (subject_hbm, s_off + WINDOW),
+        ]
+        offs = []
+        for idx, (src, start) in enumerate(starts):
+            arow = pl.multiple_of(
+                (start // ALIGN) * (ALIGN // COLS), ALIGN // COLS
+            )
+            offs.append(start - (start // ALIGN) * ALIGN)
+            dst = qwin if idx < 2 else swin
+            cps.append(pltpu.make_async_copy(
+                src.at[pl.ds(arow, BUF_ROWS)],
+                dst.at[k, idx % 2],
+                sem.at[4 * k + idx],
+            ))
+        offs_all.append(offs)
+    for c in cps:
+        c.start()
+    for c in cps:
+        c.wait()
+
+    # ---- phase 2: extract windows into batched code scratch
+    for k in range(SEEDS_PER_BLOCK):
+        offs = offs_all[k]
+        r0, r1 = k * ROWS, (k + 1) * ROWS
+        ql_c[r0:r1, :] = _extract_window(qwin, k, 0, offs[0])
+        qr_c[r0:r1, :] = _extract_window(qwin, k, 1, offs[1])
+        sl_c[r0:r1, :] = _extract_window(swin, k, 0, offs[2])
+        sr_c[r0:r1, :] = _extract_window(swin, k, 1, offs[3])
+
+    # ---- phase 3: batched scores + scans
+    def scores_for(qpacked, scodes2):
+        return _scores_closed_form(qpacked, scodes2, table_ref)
+
+    rowgid = (
+        jax.lax.broadcasted_iota(jnp.int32, (BROWS, 1), 0) // ROWS
+    )
+
+    def per_row(ref_read):
+        v = jnp.zeros((BROWS, 1), jnp.int32)
+        for k in range(SEEDS_PER_BLOCK):
+            v = jnp.where(rowgid == k,
+                          ref_read(blk * SEEDS_PER_BLOCK + k), v)
+        return v
+
+    xdrop_rows = per_row(lambda i: xdrop_ref[i])
+    col = jax.lax.broadcasted_iota(jnp.int32, (BROWS, COLS), 1)
+    rowg = jax.lax.broadcasted_iota(jnp.int32, (BROWS, COLS), 0) % ROWS
+    steps = rowg * COLS + col + 1
+
+    def direction(scores2, max_steps_rows):
+        sc = jnp.where(steps <= max_steps_rows, scores2, NEG_BIG)
+        cs = _flat_scan_grouped(sc, jnp.add, 0)
+        runmax = _flat_scan_grouped(cs, jnp.maximum, NEG_BIG)
+        prev_best = jnp.maximum(_shift1_flat_grouped(runmax, 0), 0)
+        dropped = (cs - prev_best) < -xdrop_rows
+        return cs, dropped
+
+    l_cs, l_drop = direction(
+        scores_for(ql_c[:, :], sl_c[:, :]),
+        per_row(lambda i: max_l_ref[i]),
+    )
+    r_cs, r_drop = direction(
+        scores_for(qr_c[:, :], sr_c[:, :]),
+        per_row(lambda i: max_r_ref[i]),
+    )
+
+    # ---- phase 4: per-seed reductions
+    steps16 = steps[0:ROWS, :]
+    for k in range(SEEDS_PER_BLOCK):
+        i = blk * SEEDS_PER_BLOCK + k
+        r0, r1 = k * ROWS, (k + 1) * ROWS
+
+        def reduce_dir(cs_all, drop_all, max_steps):
+            cs = cs_all[r0:r1, :]
+            dropped = drop_all[r0:r1, :]
+            any_drop = jnp.max(jnp.where(dropped, 1, 0)) > 0
+            first_drop = jnp.min(
+                jnp.where(dropped, steps16, WINDOW + 1)
+            )
+            stop = jnp.where(
+                any_drop, first_drop, jnp.minimum(max_steps, WINDOW)
+            )
+            live = steps16 <= stop
+            cand = jnp.where(live, cs, NEG_BIG)
+            best = jnp.maximum(jnp.max(cand), 0)
+            is_best = jnp.where(
+                live & (cs == best), steps16, WINDOW + 1
+            )
+            best_pos = jnp.where(best > 0, jnp.min(is_best), 0)
+            bound_hit = jnp.logical_not(any_drop) & (max_steps > WINDOW)
+            return best, best_pos, bound_hit
+
+        l_best, l_pos, l_bound = reduce_dir(l_cs, l_drop, max_l_ref[i])
+        r_best, r_pos, r_bound = reduce_dir(r_cs, r_drop, max_r_ref[i])
+
+        ok = valid_ref[i] != 0
+        q_off = q_off_ref[i]
+        s_off = s_off_ref[i]
+
+        def bcast(v):
+            return jnp.full((128,), v, jnp.int32)
+
+        qs_ref[k, :] = bcast(jnp.where(ok, q_off - l_pos, 0))
+        ss_ref[k, :] = bcast(jnp.where(ok, s_off - l_pos, 0))
+        len_ref[k, :] = bcast(jnp.where(ok, l_pos + r_pos, 0))
+        score_ref[k, :] = bcast(jnp.where(ok, l_best + r_best, 0))
+        trunc_ref[k, :] = bcast(
+            jnp.where(ok & (l_bound | r_bound), 1, 0)
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _call_batched(
+    query_padded, query_rev, subject_padded, subject_rev, table64,
+    q_off, s_off, valid, x_dropoff, max_l, max_r, *, interpret,
+):
+    n = q_off.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(n // SEEDS_PER_BLOCK,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((SEEDS_PER_BLOCK, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(5)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((SEEDS_PER_BLOCK, 2, BUF_ROWS, COLS), jnp.uint8),
+            pltpu.VMEM((SEEDS_PER_BLOCK, 2, BUF_ROWS, COLS), jnp.int8),
+            pltpu.VMEM((BROWS, COLS), jnp.int32),
+            pltpu.VMEM((BROWS, COLS), jnp.int32),
+            pltpu.VMEM((BROWS, COLS), jnp.int32),
+            pltpu.VMEM((BROWS, COLS), jnp.int32),
+            pltpu.SemaphoreType.DMA((4 * SEEDS_PER_BLOCK,)),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((n // SEEDS_PER_BLOCK * SEEDS_PER_BLOCK,
+                              128), jnp.int32)
+    ] * 5
+    outs = pl.pallas_call(
+        _kernel_batched,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(
+        q_off, s_off, valid, x_dropoff, max_l, max_r,
+        query_padded, query_rev, subject_padded, subject_rev, table64,
+    )
+    return tuple(o[:, 0] for o in outs)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _call(
     query_padded, query_rev, subject_padded, subject_rev, table64,
@@ -281,8 +510,12 @@ def _pad_fwd_rev(arr, fill, dtype):
 
 
 def prepare_query(query: jnp.ndarray):
-    """Guard-padded forward + reversed query forms (per batch)."""
-    return _pad_fwd_rev(query, 15, jnp.uint8)
+    """Guard-padded forward + reversed query forms (per batch).
+
+    Bytes are PACKED as (4na mask | degeneracy << 4) so the kernels can
+    score with the closed form; guard fill 0 = sentinel (mask 0)."""
+    packed = jnp.asarray(_QUERY_PACK)[query.astype(jnp.int32)]
+    return _pad_fwd_rev(packed, 0, jnp.uint8)
 
 
 def prepare_subject(subject2: jnp.ndarray):
@@ -310,6 +543,8 @@ def ungapped_extend_pallas_prepared(
     *,
     interpret: bool = False,
 ):
+    import os
+
     query_p, query_r, subject_p, subject_r = prepared
     n = q_off.shape[0]
     pad = (-n) % SEEDS_PER_BLOCK
@@ -322,7 +557,11 @@ def ungapped_extend_pallas_prepared(
             )
         return x
 
-    outs = _call(
+    call = (
+        _call if os.environ.get("GBLASTN_TPU_PALLAS_V1")
+        else _call_batched
+    )
+    outs = call(
         query_p, query_r, subject_p, subject_r,
         jnp.asarray(table64, jnp.int32),
         p32(q_off), p32(s_off), p32(valid.astype(jnp.int32)),
@@ -368,6 +607,53 @@ def ungapped_extend_pallas(
 
 
 def make_table64(matrix16: np.ndarray) -> np.ndarray:
-    """Flatten the BLASTNA x 2na matrix into the (q*4+s) code table."""
+    """(q*4+s) code table + closed-form score constants.
+
+    Entries [0:64] hold the flattened BLASTNA x 2na table; [64:72] hold
+    [reward, penalty, amb_deg2, amb_deg3, amb_deg4, sentinel, 0, 0].
+    The kernels score with the closed form (the nucleotide matrix of
+    BlastScoreBlkNuclMatrixCreate depends only on exact/member/
+    degeneracy — asserted here), which needs ~10 VPU ops instead of a
+    64-way select chain."""
     m = np.asarray(matrix16, dtype=np.int64)[:16, :4]
-    return np.clip(m.reshape(-1), NEG_BIG, None).astype(np.int32)
+    table = np.clip(m.reshape(-1), NEG_BIG, None).astype(np.int32)
+    consts = np.zeros(8, dtype=np.int32)
+    consts[0] = table[0]          # reward  (A vs A)
+    consts[1] = table[1]          # penalty (A vs C)
+    consts[2] = table[4 * 4 + 0]  # amb deg2 member (R vs A)
+    consts[3] = table[10 * 4 + 1]  # amb deg3 member (B vs C)
+    consts[4] = table[14 * 4 + 0]  # amb deg4 member (N vs A)
+    consts[5] = table[15 * 4 + 0]  # sentinel
+
+    # verify the closed form reproduces the table exactly
+    from gblastn_tpu.io.encoding import BLASTNA_TO_NCBI4NA
+
+    for q in range(16):
+        mask = int(BLASTNA_TO_NCBI4NA[q]) if q != 15 else 0
+        deg = bin(mask).count("1")
+        for s in range(4):
+            if mask == 0:
+                want = consts[5]
+            elif mask == (1 << s):
+                want = consts[0]
+            elif mask & (1 << s):
+                want = consts[deg]  # deg 2/3/4 -> consts[2]/[3]/[4]
+            else:
+                want = consts[1]
+            assert table[q * 4 + s] == want, (q, s)
+    return np.concatenate([table, consts])
+
+
+# BLASTNA code -> packed (4na mask | degeneracy << 4); sentinel mask 0
+def _make_query_pack_table() -> np.ndarray:
+    from gblastn_tpu.io.encoding import BLASTNA_TO_NCBI4NA
+
+    t = np.zeros(256, dtype=np.uint8)
+    for q in range(16):
+        mask = int(BLASTNA_TO_NCBI4NA[q]) if q != 15 else 0
+        deg = bin(mask).count("1")
+        t[q] = mask | (deg << 4)
+    return t
+
+
+_QUERY_PACK = _make_query_pack_table()

@@ -452,3 +452,107 @@ def seeding_pipeline(
     )
     n_overflow = n_dropped + jnp.maximum(n_raw - seed_cap, 0)
     return qs, ss, ok, ctx, uq, us, ulen, uscore, trunc, n_overflow
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "scan_step", "lut_word", "word_size", "cmax", "n_scan", "hit_cap",
+        "seed_cap", "out_cap",
+    ),
+)
+def seeding_scan_mini(
+    subject2: jnp.ndarray,
+    subject_valid: jnp.ndarray,
+    lut_offsets: jnp.ndarray,
+    lut_positions: jnp.ndarray,
+    query: jnp.ndarray,
+    ctx_offsets: jnp.ndarray,
+    x_dropoffs: jnp.ndarray,
+    subject_starts: jnp.ndarray,   # int64[num_subjects] base starts
+    subject_ends: jnp.ndarray,     # int64[num_subjects] true ends
+    *,
+    scan_step: int,
+    lut_word: int,
+    word_size: int,
+    cmax: int,
+    n_scan: int,
+    hit_cap: int,
+    seed_cap: int,
+    out_cap: int = 0,
+):
+    """Device seeding WITHOUT the ungapped stage: scan -> compaction ->
+    mini-extension -> per-seed context/X-drop/subject-bound lookup.
+    ``out_cap`` > 0 compacts the mini-extension survivors to that many
+    slots (they are scattered through [seed_cap]; the ungapped kernel
+    then runs ~seed_cap/out_cap times fewer lanes); survivors beyond
+    out_cap count as overflow, triggering the caller's capacity retry.
+
+    Used when the Pallas ungapped kernel is the primary extension path
+    (TPU): this program's outputs chain straight into
+    ops.pallas_ungapped.ungapped_extend_pallas_prepared with no host
+    round trip. Returns (q_off, s_off, valid, ctx, x_drop, max_l,
+    max_r, n_overflow), all [seed_cap].
+    """
+    q_off, s_off, take, n_dropped = scan_block(
+        subject2, subject_valid, lut_offsets, lut_positions,
+        scan_step=scan_step, lut_word=lut_word, word_size=word_size,
+        cmax=cmax, n_scan=n_scan, hit_cap=hit_cap,
+    )
+    n_raw = take.sum()
+    ridx = jnp.nonzero(take, size=seed_cap, fill_value=0)[0]
+    rfill = (
+        jax.lax.broadcasted_iota(jnp.int32, (seed_cap,), 0)
+        < jnp.minimum(n_raw, seed_cap)
+    )
+    q_off = jnp.where(rfill, q_off[ridx], 0)
+    s_off = jnp.where(rfill, s_off[ridx], 0)
+
+    qs, ss, ok = mini_extend(
+        query, subject2, subject_valid, q_off, s_off, rfill,
+        lut_word=lut_word, word_size=word_size,
+    )
+    qs = jnp.where(ok, qs, 0)
+    ss = jnp.where(ok, ss, 0)
+
+    ctx = (
+        jnp.searchsorted(ctx_offsets, qs, side="right").astype(jnp.int32)
+        - 1
+    )
+    ctx = jnp.clip(ctx, 0, x_dropoffs.shape[0] - 1)
+    xd = x_dropoffs[ctx]
+
+    # per-seed subject bounds for the Pallas kernel's window clamp
+    oid = jnp.clip(
+        jnp.searchsorted(subject_starts, ss, side="right") - 1,
+        0, subject_starts.shape[0] - 1,
+    )
+    sub_l = (ss - subject_starts[oid]).astype(jnp.int32)
+    sub_r = (subject_ends[oid] - ss).astype(jnp.int32)
+    Q = query.shape[0]
+    S = subject2.shape[0]
+    max_l = jnp.minimum(jnp.minimum(qs, ss), sub_l)
+    max_r = jnp.minimum(jnp.minimum(Q - qs, S - ss), sub_r)
+    max_l = jnp.maximum(jnp.where(ok, max_l, 0), 0).astype(jnp.int32)
+    max_r = jnp.maximum(jnp.where(ok, max_r, 0), 0).astype(jnp.int32)
+
+    n_overflow = n_dropped + jnp.maximum(n_raw - seed_cap, 0)
+
+    if out_cap and out_cap < seed_cap:
+        n_srv = ok.sum()
+        sidx = jnp.nonzero(ok, size=out_cap, fill_value=0)[0]
+        sfill = (
+            jax.lax.broadcasted_iota(jnp.int32, (out_cap,), 0)
+            < jnp.minimum(n_srv, out_cap)
+        )
+
+        def compact(a, fill=0):
+            return jnp.where(sfill, a[sidx], fill)
+
+        qs, ss, ctx = compact(qs), compact(ss), compact(ctx)
+        xd = compact(xd, 1)
+        max_l, max_r = compact(max_l), compact(max_r)
+        ok = sfill
+        n_overflow = n_overflow + jnp.maximum(n_srv - out_cap, 0)
+
+    return qs, ss, ok, ctx, xd, max_l, max_r, n_overflow
