@@ -109,6 +109,19 @@ def get_lib():
         ctypes.c_int64,                       # max_ops
         ctypes.c_void_p,                      # out_vals[4]
     ]
+    lib.gblastn_reevaluate_gapped.restype = ctypes.c_int64
+    lib.gblastn_reevaluate_gapped.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,      # q, qlen
+        ctypes.c_void_p, ctypes.c_int64,      # s, slen
+        ctypes.c_void_p,                      # matrix 16x16 int32
+        ctypes.c_int64, ctypes.c_int64,       # q_off, s_off
+        ctypes.c_int64,                       # cutoff
+        ctypes.c_int64, ctypes.c_int64,       # reward, penalty
+        ctypes.c_int64, ctypes.c_int64,       # gap_open, gap_extend
+        ctypes.c_void_p, ctypes.c_void_p,     # ops int8, nums int64
+        ctypes.c_int64,                       # n_ops
+        ctypes.c_void_p,                      # out int64[8]
+    ]
     lib.gblastn_dust_mask.restype = ctypes.c_int64
     lib.gblastn_dust_mask.argtypes = [
         ctypes.c_void_p, ctypes.c_int64,      # seq2, n

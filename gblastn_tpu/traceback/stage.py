@@ -178,15 +178,56 @@ def reevaluate_with_ambiguities_gapped(
     penalty: int,
     gap_open: int,
     gap_extend: int,
+    use_native: bool | None = None,
 ) -> bool:
     """Blast_HSPReevaluateWithAmbiguitiesGapped (blast_hits.c:350).
 
     Re-scores the edit script against the true subject, keeps the best
     scoring contiguous section, extends it by flanking exact matches, and
     updates the HSP in place. Returns True if the HSP should be deleted.
+    Runs native (native/reevaluate.cpp) when available.
     """
     if not hsp.edit_script:
         return True
+
+    if use_native is not False:
+        from gblastn_tpu.native import get_lib
+
+        lib = get_lib()
+        if lib is not None:
+            import ctypes
+
+            n = len(hsp.edit_script)
+            ops = np.array([op for op, _ in hsp.edit_script], np.int8)
+            nums = np.array([num for _, num in hsp.edit_script],
+                            np.int64)
+            m256 = np.ascontiguousarray(
+                np.asarray(matrix, np.int32)[:16, :16]
+            )
+            qa = np.ascontiguousarray(q, np.uint8)
+            sa = np.ascontiguousarray(s, np.uint8)
+            out = np.zeros(8, np.int64)
+            r = lib.gblastn_reevaluate_gapped(
+                qa.ctypes.data_as(ctypes.c_void_p), len(qa),
+                sa.ctypes.data_as(ctypes.c_void_p), len(sa),
+                m256.ctypes.data_as(ctypes.c_void_p),
+                hsp.q_off, hsp.s_off, cutoff_score,
+                reward, penalty, gap_open, gap_extend,
+                ops.ctypes.data_as(ctypes.c_void_p),
+                nums.ctypes.data_as(ctypes.c_void_p), n,
+                out.ctypes.data_as(ctypes.c_void_p),
+            )
+            hsp.score = int(out[0])
+            if r < 0:
+                return True
+            hsp.q_off = int(out[1])
+            hsp.q_end = int(out[2])
+            hsp.s_off = int(out[3])
+            hsp.s_end = int(out[4])
+            hsp.edit_script = [
+                (int(ops[i]), int(nums[i])) for i in range(r)
+            ]
+            return False
     if gap_open == 0 and gap_extend == 0:
         factor = 2 if reward % 2 == 1 else 1
         g_open = 0

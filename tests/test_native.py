@@ -97,3 +97,63 @@ class TestNativeDP:
                 assert nat[:3] == py[:3], (trial, rev)
                 if not score_only:
                     assert nat[3] == py[3], (trial, rev)
+
+
+class TestReevaluateNativeParity:
+    """native/reevaluate.cpp vs the Python walk, fuzzed edit scripts."""
+
+    def test_fuzz(self):
+        import numpy as np
+        from gblastn_tpu.hits import HSP, OP_DEL, OP_INS, OP_SUB
+        from gblastn_tpu.native import native_available
+        from gblastn_tpu.stats.karlin import nucl_score_matrix
+        from gblastn_tpu.traceback.stage import (
+            reevaluate_with_ambiguities_gapped,
+        )
+
+        if not native_available():
+            import pytest
+
+            pytest.skip("native toolchain unavailable")
+        rng = np.random.default_rng(123)
+        matrix = nucl_score_matrix(1, -2)
+        for trial in range(60):
+            # random subject + query copied with noise and ambiguities
+            S = int(rng.integers(300, 1200))
+            s = rng.integers(0, 4, S).astype(np.uint8)
+            for p in np.flatnonzero(rng.random(S) < 0.02):
+                s[p] = int(rng.integers(4, 15))  # ambiguity codes
+            q = s.copy()
+            for p in np.flatnonzero(rng.random(S) < 0.05):
+                q[p] = (q[p] + 1) % 4
+            # random edit script around the middle
+            q_off = s_off = int(rng.integers(10, 40))
+            esp = []
+            total = int(rng.integers(50, S - 100))
+            left = total
+            while left > 0:
+                kind = int(rng.integers(0, 8))
+                if kind < 6 or not esp:
+                    n = int(rng.integers(1, min(left, 60) + 1))
+                    esp.append((OP_SUB, n))
+                    left -= n
+                elif kind == 6:
+                    esp.append((OP_DEL, int(rng.integers(1, 4))))
+                else:
+                    esp.append((OP_INS, int(rng.integers(1, 4))))
+
+            def run(native):
+                h = HSP(q_off=q_off, q_end=0, s_off=s_off, s_end=0,
+                        score=0, context=0)
+                h.edit_script = list(esp)
+                deleted = reevaluate_with_ambiguities_gapped(
+                    h, q, s, matrix, cutoff_score=20, reward=1,
+                    penalty=-2, gap_open=0, gap_extend=0,
+                    use_native=native,
+                )
+                return deleted, h.score, h.q_off, h.q_end, h.s_off, \
+                    h.s_end, tuple(h.edit_script)
+
+            a = run(True)
+            b = run(False)
+            assert a == b, f"trial {trial}: {a} != {b}"
