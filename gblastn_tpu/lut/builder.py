@@ -97,11 +97,50 @@ def choose_lut_width(word_size: int, approx_table_entries: int) -> int:
     return 12
 
 
+def _build_native(buf, locations, word_size, w, table_size):
+    """native/lut.cpp fast path; None = fall back to NumPy."""
+    from gblastn_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    locs = np.asarray(
+        [c for ab in locations for c in ab], dtype=np.int64
+    )
+    offsets = np.zeros(table_size + 1, dtype=np.int32)
+    pos_cap = max(len(buf), 1)
+    positions = np.empty(pos_cap, dtype=np.int32)
+    out = np.zeros(2, dtype=np.int64)
+    bufc = np.ascontiguousarray(buf)
+    r = lib.gblastn_lut_build(
+        bufc.ctypes.data_as(ctypes.c_void_p), len(bufc),
+        locs.ctypes.data_as(ctypes.c_void_p), len(locations),
+        word_size, w,
+        offsets.ctypes.data_as(ctypes.c_void_p),
+        positions.ctypes.data_as(ctypes.c_void_p), pos_cap,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if r != 0:
+        return None
+    n = int(out[0])
+    return LookupTable(
+        word_size=word_size,
+        lut_word_size=w,
+        scan_step=word_size - w + 1,
+        counts_offsets=offsets,
+        positions=positions[:n].copy(),
+        max_positions_per_word=int(out[1]),
+    )
+
+
 def build_lookup_table(
     query_buffer: np.ndarray,
     locations: list[tuple[int, int]],
     word_size: int,
     lut_word_size: int = 0,
+    use_native: bool | None = None,
 ) -> LookupTable:
     """Build the CSR lookup table over the concatenated query block.
 
@@ -115,6 +154,11 @@ def build_lookup_table(
     if w > word_size:
         raise ValueError("lut_word_size cannot exceed word_size")
     table_size = 1 << (BITS_PER_NUC * w)
+
+    if use_native is not False:
+        native = _build_native(buf, locations, word_size, w, table_size)
+        if native is not None:
+            return native
 
     # One whole-buffer pass instead of per-location slices: allowed
     # start positions come from a range-diff mask, word codes from w

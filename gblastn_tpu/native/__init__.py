@@ -122,6 +122,15 @@ def get_lib():
         ctypes.c_int64,                       # n_ops
         ctypes.c_void_p,                      # out int64[8]
     ]
+    lib.gblastn_lut_build.restype = ctypes.c_int
+    lib.gblastn_lut_build.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,      # buf, n
+        ctypes.c_void_p, ctypes.c_int64,      # locs pairs, n_locs
+        ctypes.c_int64, ctypes.c_int64,       # word_size, w
+        ctypes.c_void_p, ctypes.c_void_p,     # offsets, positions
+        ctypes.c_int64,                       # pos_cap
+        ctypes.c_void_p,                      # out int64[2]
+    ]
     lib.gblastn_dust_mask.restype = ctypes.c_int64
     lib.gblastn_dust_mask.argtypes = [
         ctypes.c_void_p, ctypes.c_int64,      # seq2, n

@@ -201,3 +201,39 @@ class TestLookupTable:
         for p in lut.positions:
             w = qb.buffer[p:p + 4]
             assert (w < 4).all()
+
+
+class TestLutNativeParity:
+    def test_fuzz_native_vs_numpy(self):
+        import numpy as np
+        from gblastn_tpu.lut.builder import build_lookup_table
+        from gblastn_tpu.native import native_available
+
+        if not native_available():
+            import pytest
+
+            pytest.skip("native toolchain unavailable")
+        rng = np.random.default_rng(44)
+        for trial in range(25):
+            n = int(rng.integers(50, 4000))
+            buf = rng.integers(0, 4, n).astype(np.uint8)
+            for p in np.flatnonzero(rng.random(n) < 0.03):
+                buf[p] = int(rng.integers(4, 16))
+            # random disjoint locations
+            cuts = np.sort(rng.integers(0, n, 6))
+            locations = []
+            for i in range(0, len(cuts) - 1, 2):
+                if cuts[i + 1] > cuts[i]:
+                    locations.append((int(cuts[i]), int(cuts[i + 1])))
+            if not locations:
+                locations = [(0, n - 1)]
+            word = int(rng.choice([11, 16, 28]))
+            a = build_lookup_table(buf, locations, word, 0,
+                                   use_native=True)
+            b = build_lookup_table(buf, locations, word, 0,
+                                   use_native=False)
+            assert a.lut_word_size == b.lut_word_size
+            assert a.max_positions_per_word == b.max_positions_per_word
+            np.testing.assert_array_equal(a.counts_offsets,
+                                          b.counts_offsets)
+            np.testing.assert_array_equal(a.positions, b.positions)
