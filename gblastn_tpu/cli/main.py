@@ -48,6 +48,8 @@ def _add_blastn_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-word_size", type=int, default=0)
     p.add_argument("-window_size", type=int, default=None,
                    help="two-hit window; 0 (default) = one-hit")
+    p.add_argument("-ungapped", action="store_true",
+                   help="ungapped search (sum-statistics e-values)")
     p.add_argument("-reward", type=int, default=0)
     p.add_argument("-penalty", type=int, default=0)
     p.add_argument("-gapopen", type=int, default=None)
@@ -125,6 +127,8 @@ def _build_options(args):
         overrides["filtering_db"] = args.filtering_db
     if args.window_size is not None:
         overrides["window_size"] = args.window_size
+    if args.ungapped:
+        overrides["gapped"] = False
     return options_for_task(args.task, **overrides)
 
 

@@ -264,10 +264,18 @@ def prelim_search(
             )
     slog.diagnostics.good_init_extends += len(init)
 
-    with slog.time("host.prelim_gapped"):
-        prelim_lists = run_gapped_prelim(
-            init, qblock, db.get_sequence_2na, db.starts, params
-        )
+    if options.gapped:
+        with slog.time("host.prelim_gapped"):
+            prelim_lists = run_gapped_prelim(
+                init, qblock, db.get_sequence_2na, db.starts, params
+            )
+    else:
+        from gblastn_tpu.engine.ungapped import run_ungapped_prelim
+
+        with slog.time("host.prelim_ungapped"):
+            prelim_lists = run_ungapped_prelim(
+                init, qblock, db.starts, db.lengths, params
+            )
     slog.diagnostics.good_gapped += sum(len(l.hsps) for l in prelim_lists)
 
     # split per-subject lists by query and collect per-query hitlists
@@ -349,9 +357,19 @@ def finish_search(
             for lst in hl.hsplists:
                 if lst.oid not in subj_cache:
                     subj_cache[lst.oid] = db.get_sequence_blastna(lst.oid)
-                traceback_from_hsplist(
-                    lst, qblock, subj_cache[lst.oid], matrix, params
-                )
+                if options.gapped:
+                    traceback_from_hsplist(
+                        lst, qblock, subj_cache[lst.oid], matrix, params
+                    )
+                else:
+                    from gblastn_tpu.engine.ungapped import (
+                        finish_ungapped_hsplist,
+                    )
+
+                    finish_ungapped_hsplist(
+                        lst, qblock, subj_cache[lst.oid], matrix,
+                        params, int(db.lengths[lst.oid]),
+                    )
                 if lst.hsps:
                     qres.hsplists.append(lst)
             # final ranking (Blast_HSPResultsSortByEvalue)

@@ -64,6 +64,7 @@ class HSP:
     num_ident: int = 0
     edit_script: EditScript | None = None
     was_cut: bool = False   # trimmed by the common-endpoint purge
+    num: int = 1            # linked-set size (sum statistics)
 
     def copy(self) -> "HSP":
         es = list(self.edit_script) if self.edit_script is not None else None
