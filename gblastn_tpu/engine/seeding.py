@@ -62,9 +62,8 @@ class SeedingDeviceData:
     lut_offsets: jnp.ndarray
     lut_positions: jnp.ndarray
     matrix16: jnp.ndarray       # int32[16, 4]
-    # padded forms for the Pallas ungapped kernel (None = XLA fallback)
-    pallas_query: tuple | None = None     # (fwd2d, rev2d)
-    pallas_subject: tuple | None = None   # (fwd2d, rev2d)
+    # padded form for the Pallas ungapped kernel (None = XLA fallback)
+    pallas_subject: jnp.ndarray | None = None  # guard-padded fwd2d
     table64: jnp.ndarray | None = None
     # host copies, needed only by the two-hit (window_size > 0) path
     host_query: np.ndarray | None = None
@@ -241,7 +240,7 @@ def _pack10(qs, ss, ok, ctx, f_q, f_s, f_len, f_score, f_tr,
 def _seeding_tpu_fused(
     subject2, subject_valid, lut_offsets, lut_positions, query,
     ctx_offsets, x_dropoffs, subject_starts, subject_ends,
-    subject_p, subject_r, table64,
+    subject_p, table64,
     *, scan_step, lut_word, word_size, cmax, n_scan, hit_cap, seed_cap,
 ):
     """TPU seeding stage: scan+mini (one jit), the Pallas ungapped
@@ -258,10 +257,10 @@ def _seeding_tpu_fused(
 
     sync = os.environ.get("GBLASTN_TPU_STAGE_SYNC")
 
-    query_p, query_r = _prepare_query_jit(query)
+    query_p = _prepare_query_jit(query)
     if sync:
         with slog.time("device.seeding.prep_sync"):
-            jax.block_until_ready((query_p, query_r))
+            jax.block_until_ready(query_p)
 
     qs, ss, ok, ctx, xd, maxl, maxr, n_overflow = seeding_scan_mini(
         subject2, subject_valid, lut_offsets, lut_positions, query,
@@ -274,7 +273,7 @@ def _seeding_tpu_fused(
         with slog.time("device.seeding.scan_sync"):
             jax.block_until_ready((qs, ss, ok, ctx, xd, maxl, maxr))
     f_q, f_s, f_len, f_score, f_tr = ungapped_extend_pallas_prepared(
-        (query_p, query_r, subject_p, subject_r), table64,
+        (query_p, subject_p), table64,
         qs, ss, ok, xd, maxl, maxr,
     )
     if sync:
@@ -345,7 +344,7 @@ def run_seeding(
                     jnp.asarray(ctx_off_dev), jnp.asarray(xdrop_dev),
                     jnp.asarray(subject_starts),
                     jnp.asarray(subject_ends),
-                    *dev.pallas_subject,
+                    dev.pallas_subject,
                     dev.table64,
                     scan_step=scan_step, lut_word=lut_word,
                     word_size=word_size, cmax=cmax, n_scan=n_scan,
@@ -404,86 +403,19 @@ def run_seeding(
             xdrop_dev[np.clip(ctx[tidx], 0, ctx_cap - 1)],
             np.ones(pad2, np.int32),
         ])
-        done2 = False
-        # when Pallas already ran as the primary stage, its truncations
-        # exceed WINDOW: go straight to the unclamped XLA path
-        use_pallas = not pallas_primary and (
-            dev.pallas_query is not None
-            and dev.pallas_subject is not None
-            and next(iter(dev.subject2.devices())).platform == "tpu"
-        )
-        if use_pallas:
-            from gblastn_tpu.ops.pallas_ungapped import (
-                ungapped_extend_pallas_prepared,
+        # truncated seeds exceeded the Pallas WINDOW (or we ran
+        # the XLA pipeline): finish them unclamped through XLA
+        with slog.time("device.seeding.phase2"):
+            f_q, f_s, f_len, f_score, _t = ungapped_extend(
+                dev.query, dev.subject2, dev.subject_valid,
+                dev.matrix16,
+                jnp.asarray(q2), jnp.asarray(s2), jnp.asarray(v2),
+                jnp.asarray(x2),
             )
-
-            # per-seed subject bounds take the validity-mask role
-            oid2 = np.clip(
-                np.searchsorted(subject_starts, s2, side="right") - 1,
-                0, len(subject_starts) - 1,
-            )
-            sub_l = (s2 - subject_starts[oid2]).astype(np.int64)
-            if subject_lengths is not None:
-                sub_r = (
-                    subject_starts[oid2] + subject_lengths[oid2] - s2
-                )
-            else:
-                ends = np.concatenate(
-                    [subject_starts[1:],
-                     [int(dev.subject2.shape[0])]]
-                )
-                sub_r = ends[oid2] - s2
-            Q = int(dev.query.shape[0])
-            S = int(dev.subject2.shape[0])
-            max_l = np.minimum(np.minimum(q2, s2), sub_l)
-            max_l = np.where(v2, max_l, 0).astype(np.int32)
-            max_r = np.minimum(np.minimum(Q - q2, S - s2), sub_r)
-            max_r = np.where(v2, max_r, 0).astype(np.int32)
-            with slog.time("device.seeding.phase2_pallas"):
-                prepared = (*dev.pallas_query, *dev.pallas_subject)
-                f_q, f_s, f_len, f_score, f_tr = (
-                    ungapped_extend_pallas_prepared(
-                        prepared, dev.table64,
-                        jnp.asarray(q2), jnp.asarray(s2),
-                        jnp.asarray(v2), jnp.asarray(x2),
-                        jnp.asarray(max_l), jnp.asarray(max_r),
-                    )
-                )
-                f_q = np.asarray(f_q)[: len(tidx)]
-                f_s = np.asarray(f_s)[: len(tidx)]
-                f_len = np.asarray(f_len)[: len(tidx)]
-                f_score = np.asarray(f_score)[: len(tidx)]
-                f_tr = np.asarray(f_tr)[: len(tidx)]
-            ug_q[tidx] = f_q
-            ug_s[tidx] = f_s
-            ug_len[tidx] = f_len
-            ug_score[tidx] = f_score
-            # escalate still-truncated seeds (> WINDOW extensions)
-            tidx = tidx[f_tr.astype(bool)]
-            done2 = len(tidx) == 0
-            if not done2:
-                cap2 = _round_up_pow2(len(tidx))
-                pad2 = cap2 - len(tidx)
-                q2 = np.concatenate([qs[tidx], np.zeros(pad2, qs.dtype)])
-                s2 = np.concatenate([ss[tidx], np.zeros(pad2, ss.dtype)])
-                v2 = np.concatenate([np.ones(len(tidx), bool),
-                                     np.zeros(pad2, bool)])
-                x2 = np.concatenate([
-                    xdrop_dev[np.clip(ctx[tidx], 0, ctx_cap - 1)],
-                    np.ones(pad2, np.int32),
-                ])
-        if not done2:
-            with slog.time("device.seeding.phase2"):
-                f_q, f_s, f_len, f_score, _t = ungapped_extend(
-                    dev.query, dev.subject2, dev.subject_valid,
-                    dev.matrix16,
-                    jnp.asarray(q2), jnp.asarray(s2), jnp.asarray(v2),
-                    jnp.asarray(x2),
-                )
-                ug_q[tidx] = np.asarray(f_q)[: len(tidx)]
-                ug_s[tidx] = np.asarray(f_s)[: len(tidx)]
-                ug_len[tidx] = np.asarray(f_len)[: len(tidx)]
-                ug_score[tidx] = np.asarray(f_score)[: len(tidx)]
+            ug_q[tidx] = np.asarray(f_q)[: len(tidx)]
+            ug_s[tidx] = np.asarray(f_s)[: len(tidx)]
+            ug_len[tidx] = np.asarray(f_len)[: len(tidx)]
+            ug_score[tidx] = np.asarray(f_score)[: len(tidx)]
 
     # mini-extension kills seeds in place, so survivors are scattered
     # through the [seed_cap] arrays -- compact by the mask, not a prefix

@@ -2,21 +2,24 @@
 
 The XLA implementation (ops.seeding.ungapped_extend) is bound by random
 HBM gathers: every while_loop chunk gathers [n, chunk] query/subject
-bytes through three indirections. But each seed's extension reads two
-CONTIGUOUS sequence windows -- exactly the access pattern TPU DMA
-engines like. This kernel assigns one seed per grid step, DMAs the
-+-WINDOW base windows around the seed into VMEM (the inputs carry
-WINDOW guard bases on each side, so the window layout is static: seed
-at index WINDOW), converts code pairs to scores with a one-hot matmul
-against the 64-entry score table (MXU), and runs the exact X-drop
-prefix-scan semantics of s_NuclUngappedExtendExact (na_ungapped.c:152;
-the same recurrence as ops.seeding._xdrop_direction) on the VPU.
+bytes through three indirections. But each seed's extension reads one
+CONTIGUOUS sequence window -- exactly the access pattern TPU DMA
+engines like. This kernel processes SEEDS_PER_BLOCK seeds per grid
+step as one [BROWS, 128] tile batch: a single DMA per seed per
+sequence brings [off-WINDOW, off+WINDOW) of the guard-padded forward
+array into VMEM (all DMAs issued before one wait), scores come from a
+closed form over packed query bytes (equal to the 64-entry matrix
+table, asserted at build), and the exact X-drop reset-at-best
+recurrence of s_NuclUngappedExtendExact (na_ungapped.c:152) runs as
+grouped log-roll prefix scans -- forward flat order for the right
+direction, mirrored suffix order for the left (which sits unreversed
+in the same window).
 
 Sequence/subject boundaries are enforced by per-seed step clamps
-(query sentinels additionally score NEG_BIG via the table), so the
-kernel needs no validity mask. Extensions that would run past WINDOW
-bases in either direction return a truncation flag; the host re-runs
-those few seeds through the XLA path.
+(query sentinels additionally score NEG_BIG), so the kernel needs no
+validity mask. Extensions that would run past WINDOW bases in either
+direction return a truncation flag; the host re-runs those few seeds
+through the XLA path.
 """
 from __future__ import annotations
 
@@ -36,64 +39,10 @@ ROWS = 16
 COLS = 128  # ROWS * COLS == WINDOW
 
 
-def _flat_scan(x2, op, identity):
-    """Inclusive scan of [ROWS, COLS] in flattened row-major order via
-    log-step rolls (Mosaic has no cumsum/associative_scan)."""
-    col = jax.lax.broadcasted_iota(jnp.int32, (ROWS, COLS), 1)
-    d = 1
-    while d < COLS:
-        sh = pltpu.roll(x2, d, 1)
-        x2 = op(x2, jnp.where(col >= d, sh, identity))
-        d *= 2
-    # carry row totals (now in the last column) across rows
-    rowi = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0)
-    t = x2[:, COLS - 1:COLS]
-    d = 1
-    while d < ROWS:
-        sh = pltpu.roll(t, d, 0)
-        t = op(t, jnp.where(rowi >= d, sh, identity))
-        d *= 2
-    excl = jnp.where(rowi >= 1, pltpu.roll(t, 1, 0), identity)
-    return op(x2, excl)
-
-
-def _shift1_flat(x2, fill):
-    """x2 shifted by one position in flattened order (x[i-1])."""
-    col = jax.lax.broadcasted_iota(jnp.int32, (ROWS, COLS), 1)
-    rowi = jax.lax.broadcasted_iota(jnp.int32, (ROWS, COLS), 0)
-    sh = pltpu.roll(x2, 1, 1)
-    prev_last = pltpu.roll(x2[:, COLS - 1:COLS], 1, 0)  # [ROWS, 1]
-    prev_last = jnp.where(rowi[:, :1] >= 1, prev_last, fill)
-    return jnp.where(col == 0, prev_last, sh)
-
-
-def _direction_scan(scores2, max_steps, xdrop):
-    """Exact reset-at-best X-drop over a [ROWS, COLS] score layout
-    (flattened order = steps 1..WINDOW). Returns (best, best_pos,
-    bound_hit) as scalars."""
-    col = jax.lax.broadcasted_iota(jnp.int32, (ROWS, COLS), 1)
-    rowi = jax.lax.broadcasted_iota(jnp.int32, (ROWS, COLS), 0)
-    steps = rowi * COLS + col + 1
-    sc = jnp.where(steps <= max_steps, scores2, NEG_BIG)
-    cs = _flat_scan(sc, jnp.add, 0)
-    runmax = _flat_scan(cs, jnp.maximum, NEG_BIG)
-    prev_best = jnp.maximum(_shift1_flat(runmax, 0), 0)
-    dropped = (cs - prev_best) < -xdrop
-    any_drop = jnp.max(jnp.where(dropped, 1, 0)) > 0
-    first_drop = jnp.min(jnp.where(dropped, steps, WINDOW + 1))
-    stop = jnp.where(any_drop, first_drop, jnp.minimum(max_steps, WINDOW))
-    live = steps <= stop
-    cand = jnp.where(live, cs, NEG_BIG)
-    best = jnp.maximum(jnp.max(cand), 0)
-    is_best = jnp.where(live & (cs == best), steps, WINDOW + 1)
-    best_pos = jnp.where(best > 0, jnp.min(is_best), 0)
-    bound_hit = jnp.logical_not(any_drop) & (max_steps > WINDOW)
-    return best, best_pos, bound_hit
-
-
 SEEDS_PER_BLOCK = 16
 ALIGN = 4096                 # DMA start alignment in bases
 BUF_ROWS = (WINDOW + ALIGN) // COLS   # rows per direction buffer
+BUF2_ROWS = (2 * WINDOW + ALIGN) // COLS  # combined-window buffer
 
 
 def _scores_closed_form(qpacked, scodes2, table_ref):
@@ -119,21 +68,21 @@ def _scores_closed_form(qpacked, scodes2, table_ref):
 SUB = 8  # sublane alignment required for dynamic row slices
 
 
-def _extract_window(ref, slot, d, o):
-    """[ROWS, COLS] window starting at flattened offset o (< ALIGN) of
-    scratch ref[slot, d].
+def _extract_window(ref, slot, o, out_rows):
+    """[out_rows, COLS] window starting at flattened offset o (< ALIGN)
+    of scratch ref[slot].
 
     Dynamic sublane slices must start at multiples of SUB rows, so the
     slice starts at the containing 8-row boundary; the residual row
-    shift (< 8) is applied with a lax.switch over static rolls, and the
-    lane remainder with a roll + cross-row carry select.
+    shift (< 8) uses a dynamic pltpu.roll, and the lane remainder a
+    roll + cross-row carry select.
     """
-    nrows = ROWS + SUB
+    nrows = out_rows + SUB
     o_row8 = (o // (SUB * COLS)) * SUB
     o2 = o - o_row8 * COLS
     o2_row = o2 // COLS
     r = o2 % COLS
-    x = ref[slot, d, pl.ds(o_row8, nrows), :].astype(jnp.int32)
+    x = ref[slot, pl.ds(o_row8, nrows), :].astype(jnp.int32)
 
     # dynamic sublane shifts: pltpu.roll accepts traced shift amounts
     y1 = pltpu.roll(x, (nrows - o2_row) % nrows, 0)
@@ -142,90 +91,7 @@ def _extract_window(ref, slot, d, o):
     b = pltpu.roll(y2, (COLS - r) % COLS, 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (nrows, COLS), 1)
     out = jnp.where(lane < COLS - r, a, b)
-    return out[0:ROWS, :]
-
-
-def _kernel(
-    # scalar prefetch
-    q_off_ref, s_off_ref, valid_ref, xdrop_ref, max_l_ref, max_r_ref,
-    # inputs
-    query_hbm, query_rev_hbm, subject_hbm, subject_rev_hbm, table_ref,
-    # outputs
-    qs_ref, ss_ref, len_ref, score_ref, trunc_ref,
-    # scratch
-    qwin, swin, sem,
-):
-    blk = pl.program_id(0)
-    # padded FORWARD length in bases (the reversed copies carry an
-    # extra ALIGN tail guard not counted here)
-    qlen_p = query_hbm.shape[0] * COLS
-    slen_p = subject_hbm.shape[0] * COLS
-
-    def scores_for(qpacked, scodes2):
-        return _scores_closed_form(qpacked, scodes2, table_ref)
-
-    for k in range(SEEDS_PER_BLOCK):
-        i = blk * SEEDS_PER_BLOCK + k
-        q_off = q_off_ref[i]
-        s_off = s_off_ref[i]
-
-        # guard-padded inputs: original position p lives at padded
-        # index p + WINDOW. Right steps j=1..W read original positions
-        # [q_off, q_off+W) = padded [q_off+W, q_off+2W). Left steps
-        # read (q_off - j), which in the REVERSED padded array (R[x] =
-        # P[len-1-x]) is the ascending run starting at len - W - q_off.
-        # DMA starts are ALIGN-aligned rows; the remainder is resolved
-        # by _extract_window.
-        starts = [
-            (query_rev_hbm, qlen_p - WINDOW - q_off),
-            (query_hbm, q_off + WINDOW),
-            (subject_rev_hbm, slen_p - WINDOW - s_off),
-            (subject_hbm, s_off + WINDOW),
-        ]
-        slot = k % 2
-        offs = []
-        cps = []
-        for idx, (src, start) in enumerate(starts):
-            arow = pl.multiple_of(
-                (start // ALIGN) * (ALIGN // COLS), ALIGN // COLS
-            )
-            offs.append(start - (start // ALIGN) * ALIGN)
-            dst = qwin if idx < 2 else swin
-            cps.append(pltpu.make_async_copy(
-                src.at[pl.ds(arow, BUF_ROWS)],
-                dst.at[slot, idx % 2],
-                sem.at[4 * slot + idx],
-            ))
-        for c in cps:
-            c.start()
-        for c in cps:
-            c.wait()
-
-        q_left = _extract_window(qwin, slot, 0, offs[0])
-        q_right = _extract_window(qwin, slot, 1, offs[1])
-        s_left = _extract_window(swin, slot, 0, offs[2])
-        s_right = _extract_window(swin, slot, 1, offs[3])
-
-        xdrop = xdrop_ref[i]
-        l_best, l_pos, l_bound = _direction_scan(
-            scores_for(q_left, s_left), max_l_ref[i], xdrop
-        )
-        r_best, r_pos, r_bound = _direction_scan(
-            scores_for(q_right, s_right), max_r_ref[i], xdrop
-        )
-
-        ok = valid_ref[i] != 0
-
-        def bcast(v):
-            return jnp.full((128,), v, jnp.int32)
-
-        qs_ref[k, :] = bcast(jnp.where(ok, q_off - l_pos, 0))
-        ss_ref[k, :] = bcast(jnp.where(ok, s_off - l_pos, 0))
-        len_ref[k, :] = bcast(jnp.where(ok, l_pos + r_pos, 0))
-        score_ref[k, :] = bcast(jnp.where(ok, l_best + r_best, 0))
-        trunc_ref[k, :] = bcast(
-            jnp.where(ok & (l_bound | r_bound), 1, 0)
-        )
+    return out[0:out_rows, :]
 
 
 BROWS = SEEDS_PER_BLOCK * ROWS  # batched tile rows (8 seeds x 16)
@@ -260,49 +126,76 @@ def _shift1_flat_grouped(x2, fill):
     return jnp.where(col == 0, prev_last, sh)
 
 
+def _flat_scan_grouped_rev(x2, op, identity):
+    """Suffix (right-to-left flattened) scan per 16-row group: the left
+    extension window sits in FORWARD order in VMEM (one DMA covers both
+    directions), so its step order is descending flat index."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (BROWS, COLS), 1)
+    d = 1
+    while d < COLS:
+        sh = pltpu.roll(x2, COLS - d, 1)       # out[i] = x[i + d]
+        x2 = op(x2, jnp.where(col < COLS - d, sh, identity))
+        d *= 2
+    rowg = jax.lax.broadcasted_iota(jnp.int32, (BROWS, 1), 0) % ROWS
+    t = x2[:, 0:1]                              # row totals (col 0)
+    d = 1
+    while d < ROWS:
+        sh = pltpu.roll(t, BROWS - d, 0)       # out[r] = t[r + d]
+        t = op(t, jnp.where(rowg < ROWS - d, sh, identity))
+        d *= 2
+    excl = jnp.where(rowg <= ROWS - 2, pltpu.roll(t, BROWS - 1, 0),
+                     identity)
+    return op(x2, excl)
+
+
+def _shift1_flat_grouped_rev(x2, fill):
+    """x2 shifted one step in REVERSED flattened order (x[p+1])."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (BROWS, COLS), 1)
+    rowg = jax.lax.broadcasted_iota(jnp.int32, (BROWS, COLS), 0) % ROWS
+    sh = pltpu.roll(x2, COLS - 1, 1)           # out[i] = x[i + 1]
+    nxt_first = pltpu.roll(x2[:, 0:1], BROWS - 1, 0)
+    nxt_first = jnp.where(rowg[:, :1] <= ROWS - 2, nxt_first, fill)
+    return jnp.where(col == COLS - 1, nxt_first, sh)
+
+
 def _kernel_batched(
     # scalar prefetch
     q_off_ref, s_off_ref, valid_ref, xdrop_ref, max_l_ref, max_r_ref,
     # inputs
-    query_hbm, query_rev_hbm, subject_hbm, subject_rev_hbm, table_ref,
+    query_hbm, subject_hbm, table_ref,
     # outputs
     qs_ref, ss_ref, len_ref, score_ref, trunc_ref,
     # scratch
     qwin, swin, ql_c, qr_c, sl_c, sr_c, sem,
 ):
-    """All 8 seeds of a block processed as one [128, 128] tile batch:
-    the 32 window DMAs are issued together, window codes land in
-    batched scratch, and the score/select/scan work runs once per
-    direction instead of once per seed (v1 issued ~8x the VPU
-    instructions and serialized the DMA waits)."""
+    """All seeds of a block processed as one [BROWS, 128] tile batch:
+    ONE DMA per seed per sequence covers both extension directions
+    ([off-WINDOW, off+WINDOW) of the forward guard-padded array); the
+    left direction is evaluated in place with mirrored suffix scans.
+    All DMAs are issued before one wait, and the score/scan work runs
+    once per direction instead of once per seed."""
     blk = pl.program_id(0)
-    qlen_p = query_hbm.shape[0] * COLS
-    slen_p = subject_hbm.shape[0] * COLS
 
     # ---- phase 1: issue every DMA, then wait
     cps = []
     offs_all = []
     for k in range(SEEDS_PER_BLOCK):
         i = blk * SEEDS_PER_BLOCK + k
-        q_off = q_off_ref[i]
-        s_off = s_off_ref[i]
+        # padded index of original position (off - WINDOW) is just off
         starts = [
-            (query_rev_hbm, qlen_p - WINDOW - q_off),
-            (query_hbm, q_off + WINDOW),
-            (subject_rev_hbm, slen_p - WINDOW - s_off),
-            (subject_hbm, s_off + WINDOW),
+            (query_hbm, qwin, q_off_ref[i]),
+            (subject_hbm, swin, s_off_ref[i]),
         ]
         offs = []
-        for idx, (src, start) in enumerate(starts):
+        for idx, (src, dst, start) in enumerate(starts):
             arow = pl.multiple_of(
                 (start // ALIGN) * (ALIGN // COLS), ALIGN // COLS
             )
             offs.append(start - (start // ALIGN) * ALIGN)
-            dst = qwin if idx < 2 else swin
             cps.append(pltpu.make_async_copy(
-                src.at[pl.ds(arow, BUF_ROWS)],
-                dst.at[k, idx % 2],
-                sem.at[4 * k + idx],
+                src.at[pl.ds(arow, BUF2_ROWS)],
+                dst.at[k],
+                sem.at[2 * k + idx],
             ))
         offs_all.append(offs)
     for c in cps:
@@ -310,14 +203,16 @@ def _kernel_batched(
     for c in cps:
         c.wait()
 
-    # ---- phase 2: extract windows into batched code scratch
+    # ---- phase 2: extract [2*ROWS] windows, split into left/right
     for k in range(SEEDS_PER_BLOCK):
         offs = offs_all[k]
         r0, r1 = k * ROWS, (k + 1) * ROWS
-        ql_c[r0:r1, :] = _extract_window(qwin, k, 0, offs[0])
-        qr_c[r0:r1, :] = _extract_window(qwin, k, 1, offs[1])
-        sl_c[r0:r1, :] = _extract_window(swin, k, 0, offs[2])
-        sr_c[r0:r1, :] = _extract_window(swin, k, 1, offs[3])
+        qw = _extract_window(qwin, k, offs[0], 2 * ROWS)
+        sw = _extract_window(swin, k, offs[1], 2 * ROWS)
+        ql_c[r0:r1, :] = qw[0:ROWS, :]
+        qr_c[r0:r1, :] = qw[ROWS: 2 * ROWS, :]
+        sl_c[r0:r1, :] = sw[0:ROWS, :]
+        sr_c[r0:r1, :] = sw[ROWS: 2 * ROWS, :]
 
     # ---- phase 3: batched scores + scans
     def scores_for(qpacked, scodes2):
@@ -337,32 +232,46 @@ def _kernel_batched(
     xdrop_rows = per_row(lambda i: xdrop_ref[i])
     col = jax.lax.broadcasted_iota(jnp.int32, (BROWS, COLS), 1)
     rowg = jax.lax.broadcasted_iota(jnp.int32, (BROWS, COLS), 0) % ROWS
-    steps = rowg * COLS + col + 1
+    # right window: flat index p = step - 1 (ascending). left window:
+    # step j reads flat index WINDOW - j (descending).
+    steps_fwd = rowg * COLS + col + 1
+    steps_rev = WINDOW - (rowg * COLS + col)
 
-    def direction(scores2, max_steps_rows):
-        sc = jnp.where(steps <= max_steps_rows, scores2, NEG_BIG)
+    def direction_fwd(scores2, max_steps_rows):
+        sc = jnp.where(steps_fwd <= max_steps_rows, scores2, NEG_BIG)
         cs = _flat_scan_grouped(sc, jnp.add, 0)
         runmax = _flat_scan_grouped(cs, jnp.maximum, NEG_BIG)
         prev_best = jnp.maximum(_shift1_flat_grouped(runmax, 0), 0)
         dropped = (cs - prev_best) < -xdrop_rows
         return cs, dropped
 
-    l_cs, l_drop = direction(
+    def direction_rev(scores2, max_steps_rows):
+        sc = jnp.where(steps_rev <= max_steps_rows, scores2, NEG_BIG)
+        cs = _flat_scan_grouped_rev(sc, jnp.add, 0)
+        runmax = _flat_scan_grouped_rev(cs, jnp.maximum, NEG_BIG)
+        prev_best = jnp.maximum(
+            _shift1_flat_grouped_rev(runmax, 0), 0
+        )
+        dropped = (cs - prev_best) < -xdrop_rows
+        return cs, dropped
+
+    l_cs, l_drop = direction_rev(
         scores_for(ql_c[:, :], sl_c[:, :]),
         per_row(lambda i: max_l_ref[i]),
     )
-    r_cs, r_drop = direction(
+    r_cs, r_drop = direction_fwd(
         scores_for(qr_c[:, :], sr_c[:, :]),
         per_row(lambda i: max_r_ref[i]),
     )
 
     # ---- phase 4: per-seed reductions
-    steps16 = steps[0:ROWS, :]
+    steps16_fwd = steps_fwd[0:ROWS, :]
+    steps16_rev = steps_rev[0:ROWS, :]
     for k in range(SEEDS_PER_BLOCK):
         i = blk * SEEDS_PER_BLOCK + k
         r0, r1 = k * ROWS, (k + 1) * ROWS
 
-        def reduce_dir(cs_all, drop_all, max_steps):
+        def reduce_dir(cs_all, drop_all, max_steps, steps16):
             cs = cs_all[r0:r1, :]
             dropped = drop_all[r0:r1, :]
             any_drop = jnp.max(jnp.where(dropped, 1, 0)) > 0
@@ -382,8 +291,12 @@ def _kernel_batched(
             bound_hit = jnp.logical_not(any_drop) & (max_steps > WINDOW)
             return best, best_pos, bound_hit
 
-        l_best, l_pos, l_bound = reduce_dir(l_cs, l_drop, max_l_ref[i])
-        r_best, r_pos, r_bound = reduce_dir(r_cs, r_drop, max_r_ref[i])
+        l_best, l_pos, l_bound = reduce_dir(
+            l_cs, l_drop, max_l_ref[i], steps16_rev
+        )
+        r_best, r_pos, r_bound = reduce_dir(
+            r_cs, r_drop, max_r_ref[i], steps16_fwd
+        )
 
         ok = valid_ref[i] != 0
         q_off = q_off_ref[i]
@@ -403,7 +316,7 @@ def _kernel_batched(
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _call_batched(
-    query_padded, query_rev, subject_padded, subject_rev, table64,
+    query_padded, subject_padded, table64,
     q_off, s_off, valid, x_dropoff, max_l, max_r, *, interpret,
 ):
     n = q_off.shape[0]
@@ -411,11 +324,9 @@ def _call_batched(
         num_scalar_prefetch=6,
         grid=(n // SEEDS_PER_BLOCK,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),      # query (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # subject (HBM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # table
         ],
         out_specs=[
             pl.BlockSpec((SEEDS_PER_BLOCK, 128), lambda i, *_: (i, 0),
@@ -423,13 +334,13 @@ def _call_batched(
             for _ in range(5)
         ],
         scratch_shapes=[
-            pltpu.VMEM((SEEDS_PER_BLOCK, 2, BUF_ROWS, COLS), jnp.uint8),
-            pltpu.VMEM((SEEDS_PER_BLOCK, 2, BUF_ROWS, COLS), jnp.int8),
+            pltpu.VMEM((SEEDS_PER_BLOCK, BUF2_ROWS, COLS), jnp.uint8),
+            pltpu.VMEM((SEEDS_PER_BLOCK, BUF2_ROWS, COLS), jnp.int8),
             pltpu.VMEM((BROWS, COLS), jnp.int32),
             pltpu.VMEM((BROWS, COLS), jnp.int32),
             pltpu.VMEM((BROWS, COLS), jnp.int32),
             pltpu.VMEM((BROWS, COLS), jnp.int32),
-            pltpu.SemaphoreType.DMA((4 * SEEDS_PER_BLOCK,)),
+            pltpu.SemaphoreType.DMA((2 * SEEDS_PER_BLOCK,)),
         ],
     )
     out_shape = [
@@ -443,55 +354,12 @@ def _call_batched(
         interpret=interpret,
     )(
         q_off, s_off, valid, x_dropoff, max_l, max_r,
-        query_padded, query_rev, subject_padded, subject_rev, table64,
+        query_padded, subject_padded, table64,
     )
     return tuple(o[:, 0] for o in outs)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _call(
-    query_padded, query_rev, subject_padded, subject_rev, table64,
-    q_off, s_off, valid, x_dropoff, max_l, max_r, *, interpret,
-):
-    n = q_off.shape[0]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
-        grid=(n // SEEDS_PER_BLOCK,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),   # query (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),   # query reversed
-            pl.BlockSpec(memory_space=pl.ANY),   # subject (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),   # subject reversed
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # table
-        ],
-        out_specs=[
-            pl.BlockSpec((SEEDS_PER_BLOCK, 128), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in range(5)
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, 2, BUF_ROWS, COLS), jnp.uint8),
-            pltpu.VMEM((2, 2, BUF_ROWS, COLS), jnp.int8),
-            pltpu.SemaphoreType.DMA((8,)),
-        ],
-    )
-    out_shape = [
-        jax.ShapeDtypeStruct((n // SEEDS_PER_BLOCK * SEEDS_PER_BLOCK,
-                              128), jnp.int32)
-    ] * 5
-    outs = pl.pallas_call(
-        _kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(
-        q_off, s_off, valid, x_dropoff, max_l, max_r,
-        query_padded, query_rev, subject_padded, subject_rev, table64,
-    )
-    return tuple(o[:, 0] for o in outs)
-
-
-def _pad_fwd_rev(arr, fill, dtype):
+def _pad_fwd(arr, fill, dtype):
     n0 = arr.shape[0]
     total = WINDOW + n0 + WINDOW + ALIGN
     total += (-total) % ALIGN
@@ -501,34 +369,27 @@ def _pad_fwd_rev(arr, fill, dtype):
         arr.astype(dtype),
         jnp.full((right,), fill, dtype),
     ])
-    # reversed-array DMA windows for seeds near the sequence start run
-    # up to ALIGN bases past the original length: extra tail guard
-    rev = jnp.concatenate(
-        [jnp.flip(fwd), jnp.full((ALIGN,), fill, dtype)]
-    )
-    return fwd.reshape(-1, 128), rev.reshape(-1, 128)
+    return fwd.reshape(-1, 128)
 
 
 def prepare_query(query: jnp.ndarray):
-    """Guard-padded forward + reversed query forms (per batch).
+    """Guard-padded query form (per batch).
 
-    Bytes are PACKED as (4na mask | degeneracy << 4) so the kernels can
+    Bytes are PACKED as (4na mask | degeneracy << 4) so the kernel can
     score with the closed form; guard fill 0 = sentinel (mask 0)."""
     packed = jnp.asarray(_QUERY_PACK)[query.astype(jnp.int32)]
-    return _pad_fwd_rev(packed, 0, jnp.uint8)
+    return _pad_fwd(packed, 0, jnp.uint8)
 
 
 def prepare_subject(subject2: jnp.ndarray):
-    """Guard-padded forward + reversed subject forms (per database --
-    cache alongside the other device-resident subject arrays)."""
-    return _pad_fwd_rev(subject2, 0, jnp.int8)
+    """Guard-padded subject form (per database -- cache alongside the
+    other device-resident subject arrays)."""
+    return _pad_fwd(subject2, 0, jnp.int8)
 
 
 def prepare_padded(query: jnp.ndarray, subject2: jnp.ndarray):
-    """Build all four padded forms (convenience for tests)."""
-    qf, qr = prepare_query(query)
-    sf, sr = prepare_subject(subject2)
-    return (qf, qr, sf, sr)
+    """Build both padded forms (convenience for tests)."""
+    return (prepare_query(query), prepare_subject(subject2))
 
 
 def ungapped_extend_pallas_prepared(
@@ -543,9 +404,7 @@ def ungapped_extend_pallas_prepared(
     *,
     interpret: bool = False,
 ):
-    import os
-
-    query_p, query_r, subject_p, subject_r = prepared
+    query_p, subject_p = prepared
     n = q_off.shape[0]
     pad = (-n) % SEEDS_PER_BLOCK
 
@@ -557,12 +416,8 @@ def ungapped_extend_pallas_prepared(
             )
         return x
 
-    call = (
-        _call if os.environ.get("GBLASTN_TPU_PALLAS_V1")
-        else _call_batched
-    )
-    outs = call(
-        query_p, query_r, subject_p, subject_r,
+    outs = _call_batched(
+        query_p, subject_p,
         jnp.asarray(table64, jnp.int32),
         p32(q_off), p32(s_off), p32(valid.astype(jnp.int32)),
         p32(x_dropoff, 1), p32(max_l), p32(max_r),
