@@ -40,7 +40,12 @@ def _add_blastn_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-query", help="query FASTA file", default=None)
     p.add_argument("-query_list", default=None,
                    help="file listing query FASTA paths (G-BLASTN)")
-    p.add_argument("-db", required=True, help="database directory (makedb)")
+    p.add_argument("-db", default=None,
+                   help="database (makedb dir or NCBI .nin/.nal prefix)")
+    p.add_argument("-subject", default=None,
+                   help="subject FASTA (bl2seq mode, instead of -db)")
+    p.add_argument("-lcase_masking", action="store_true",
+                   help="mask lowercase query letters")
     p.add_argument("-out", default="-", help="output file (default stdout)")
     p.add_argument("-task", default="megablast",
                    choices=["megablast", "blastn"])
@@ -129,6 +134,8 @@ def _build_options(args):
         overrides["window_size"] = args.window_size
     if args.ungapped:
         overrides["gapped"] = False
+    if args.lcase_masking:
+        overrides["lcase_masking"] = True
     return options_for_task(args.task, **overrides)
 
 
@@ -199,7 +206,14 @@ def run_blastn(argv) -> int:
         Path(args.export_search_strategy).write_text(
             json.dumps(strategy, indent=1, default=str)
         )
-    db = SequenceDB.load(args.db)
+    if args.subject:
+        if args.db:
+            raise SystemExit("use either -db or -subject, not both")
+        db = SequenceDB.from_fasta(args.subject, title=args.subject)
+    elif args.db:
+        db = SequenceDB.load(args.db)
+    else:
+        raise SystemExit("one of -db or -subject is required")
     kind, fields = _parse_outfmt(args.outfmt)
 
     query_files = []

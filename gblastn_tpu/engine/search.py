@@ -116,6 +116,16 @@ def prelim_search(
             masks = [
                 sorted(a + b) for a, b in zip(masks, wm_masks)
             ]
+    if options.lcase_masking:
+        from gblastn_tpu.masking.lcase import query_lcase_masks
+
+        lc_masks = query_lcase_masks(qblock, records)
+        if masks is None:
+            masks = lc_masks
+        else:
+            masks = [
+                sorted(a + b) for a, b in zip(masks, lc_masks)
+            ]
     if options.filtering_db:
         from gblastn_tpu.masking.repeats import (
             load_repeat_db,

@@ -63,6 +63,7 @@ class SearchOptions:
     dust: bool = True
     window_masker_db: str | None = None
     filtering_db: str | None = None     # repeats database (-filtering_db)
+    lcase_masking: bool = False         # lowercase query letters mask
     window_size: int = 0                # two-hit window; 0 = one-hit
 
     # Effective length overrides

@@ -140,3 +140,34 @@ class TestNativeParity:
             codes = rng.integers(0, 16, n).astype(np.uint8)
             assert dust_mask(codes, use_native=True) == dust_mask(
                 codes, use_native=False)
+
+
+class TestLcaseMasking:
+    def test_lowercase_intervals(self):
+        from gblastn_tpu.masking.lcase import lowercase_intervals
+
+        assert lowercase_intervals(b"ACGTacgtACGT") == [(4, 7)]
+        assert lowercase_intervals(b"acgtACGTacgt") == [(0, 3), (8, 11)]
+        assert lowercase_intervals(b"ACGT") == []
+        assert lowercase_intervals(b"acgt") == [(0, 3)]
+
+    def test_lcase_masks_suppress_seeding(self):
+        import numpy as np
+        from gblastn_tpu.engine.search import search
+        from gblastn_tpu.params.options import megablast_options
+
+        rng = np.random.default_rng(8)
+        genome = "".join("ACGT"[i] for i in rng.integers(0, 4, 20000))
+        db = SequenceDB.from_records([FastaRecord("g", "", genome)])
+        # query: unique region + a lowercase copy of another region
+        q = genome[2000:2300] + genome[9000:9300].lower()
+        rec = [FastaRecord("q", "", q)]
+        plain = search(rec, db, megablast_options())
+        spans = {(h.q_off, h.q_end)
+                 for l in plain.queries[0].hsplists for h in l.hsps}
+        assert any(b > 320 for _, b in spans)  # lowercase half aligns
+
+        masked = search(rec, db, megablast_options(lcase_masking=True))
+        spans = {(h.q_off, h.q_end)
+                 for l in masked.queries[0].hsplists for h in l.hsps}
+        assert spans and all(a < 300 for a, _ in spans)
