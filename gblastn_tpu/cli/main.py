@@ -319,6 +319,32 @@ def run_blastn(argv) -> int:
                         None, params.kbp_gap, params.kbp_ungap,
                         params.contexts[ctx0].eff_searchsp,
                     )
+                elif xmlw is not None:
+                    def get_query(ctx):
+                        q0 = int(ctx_off[ctx])
+                        return qb.buffer[
+                            q0: q0 + qb.contexts[ctx].length
+                        ]
+
+                    if num_queries == 0:
+                        xmlw.write_prolog(qid, qtitle, qlen)
+                    xhits = []
+                    for lst in qres.hsplists:
+                        xhits.append((
+                            db.ids[lst.oid], db.titles[lst.oid],
+                            int(db.lengths[lst.oid]), lst.hsps,
+                            db.get_sequence_blastna(lst.oid),
+                        ))
+                    params = results.params
+                    ctx0 = qi * (
+                        2 if options.strand == "both" else 1
+                    )
+                    kbp = params.kbp_gap
+                    xmlw.write_iteration(
+                        qid, qtitle, qlen, xhits, get_query,
+                        params.contexts[ctx0].eff_searchsp,
+                        kbp.K, kbp.Lambda, kbp.H,
+                    )
                 else:
                     for lst in qres.hsplists:
                         sid = db.ids[lst.oid]
@@ -525,6 +551,8 @@ def main(argv=None) -> int:
         return run_makedb(rest)
     if cmd == "windowmasker":
         return run_windowmasker(rest)
+    if cmd == "blastdbcmd":
+        return run_blastdbcmd(rest)
     # default: treat as blastn args directly
     return run_blastn(argv)
 
