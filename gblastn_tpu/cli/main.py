@@ -125,7 +125,14 @@ def _build_options(args):
         overrides["db_length_override"] = args.dbsize
     if args.searchsp:
         overrides["searchsp_override"] = args.searchsp
-    overrides["dust"] = args.dust in ("yes", "true", "T", "20 64 1")
+    parts = str(args.dust).split()
+    if len(parts) == 3 and all(x.lstrip("-").isdigit() for x in parts):
+        overrides["dust"] = True
+        overrides["dust_level"] = int(parts[0])
+        overrides["dust_window"] = int(parts[1])
+        overrides["dust_linker"] = int(parts[2])
+    else:
+        overrides["dust"] = args.dust in ("yes", "true", "T")
     if args.window_masker_db:
         overrides["window_masker_db"] = args.window_masker_db
     if args.filtering_db:
@@ -200,6 +207,10 @@ def run_blastn(argv) -> int:
                 "dust": args.dust,
                 "window_masker_db": args.window_masker_db,
                 "filtering_db": args.filtering_db,
+                "window_size": args.window_size,
+                "ungapped": args.ungapped,
+                "lcase_masking": args.lcase_masking,
+                "subject": args.subject,
             },
             "options": dataclasses.asdict(options),
         }

@@ -100,7 +100,10 @@ def prelim_search(
         from gblastn_tpu.masking.dust import query_dust_masks
 
         with slog.time("setup.dust"):
-            masks = query_dust_masks(qblock)
+            masks = query_dust_masks(
+                qblock, options.dust_level, options.dust_window,
+                options.dust_linker,
+            )
     if options.window_masker_db:
         from gblastn_tpu.masking.winmask import (
             WindowMaskerStats,

@@ -1,11 +1,14 @@
 """Host orchestration of the device seeding stage.
 
 Runs scan -> mini-extension -> ungapped extension on device
-(gblastn_tpu.ops.seeding) and applies the sequential per-diagonal one-hit
-filter on host, reproducing the accept/reject semantics of
+(gblastn_tpu.ops.seeding; on TPU the extension is the Pallas window
+kernel, chained with scan+mini into async dispatches and one packed
+fetch) and applies the sequential per-diagonal filter on host,
+reproducing the accept/reject semantics of
 ``s_BlastnDiagTableExtendInitialHit`` (reference:
-/root/reference/c++/src/algo/blast/core/na_ungapped.c:612-755, one-hit path
-window_size == 0, the default for megablast and blastn).
+/root/reference/c++/src/algo/blast/core/na_ungapped.c:612-755): the
+one-hit path for window_size == 0 (the blastn/megablast default) and
+the two-hit paired-admission path for window_size > 0.
 
 Correctness notes proven against the reference:
 * mini-extension shifts a seed left by at most word_size - lut_word, which

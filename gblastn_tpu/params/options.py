@@ -61,6 +61,9 @@ class SearchOptions:
     # Query handling
     strand: str = "both"                # both|plus|minus
     dust: bool = True
+    dust_level: int = 20                # symdust parameters (-dust "L W T")
+    dust_window: int = 64
+    dust_linker: int = 1
     window_masker_db: str | None = None
     filtering_db: str | None = None     # repeats database (-filtering_db)
     lcase_masking: bool = False         # lowercase query letters mask
