@@ -94,6 +94,14 @@ def main() -> int:
         f"# {NUM_QUERIES} queries, {n_hits} HSPs, {aligned} aligned, "
         f"{dt:.2f}s", file=sys.stderr,
     )
+    # supplementary kernel-efficiency metric (BASELINE.md target):
+    # subject bases scanned per second of device seeding time
+    seed_t = slog.totals.get("device.seeding", 0.0)
+    if seed_t > 0:
+        print(
+            f"# scan throughput: {GENOME_LEN / seed_t / 1e9:.2f} "
+            "Gbases/s of device seeding time", file=sys.stderr,
+        )
     print(report, file=sys.stderr)
 
     try:

@@ -55,6 +55,14 @@ def _add_blastn_args(p: argparse.ArgumentParser) -> None:
                    help="two-hit window; 0 (default) = one-hit")
     p.add_argument("-ungapped", action="store_true",
                    help="ungapped search (sum-statistics e-values)")
+    p.add_argument("-use_index", default=None,
+                   help="accepted for compatibility; the device-"
+                        "resident lookup table subsumes the on-disk "
+                        "megablast index")
+    p.add_argument("-index_name", default=None,
+                   help="accepted for compatibility (see -use_index)")
+    p.add_argument("-version", action="version",
+                   version="blastn: 2.2.28+ (gblastn-tpu 0.1.0)")
     p.add_argument("-reward", type=int, default=0)
     p.add_argument("-penalty", type=int, default=0)
     p.add_argument("-gapopen", type=int, default=None)
