@@ -442,6 +442,52 @@ def run_makedb(argv) -> int:
     return 0
 
 
+def run_dustmasker(argv) -> int:
+    """dustmasker app analog (reference: src/app/dustmasker)."""
+    p = argparse.ArgumentParser(prog="gblastn-tpu dustmasker")
+    p.add_argument("-in", dest="input", required=True)
+    p.add_argument("-out", default="-")
+    p.add_argument("-level", type=int, default=20)
+    p.add_argument("-window", type=int, default=64)
+    p.add_argument("-linker", type=int, default=1)
+    p.add_argument("-outfmt", default="interval",
+                   choices=["interval", "fasta"])
+    args = p.parse_args(argv)
+
+    from gblastn_tpu.io.encoding import seq_to_blastna
+    from gblastn_tpu.masking.dust import dust_mask
+
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    try:
+        for rec in parse_fasta(args.input):
+            codes = seq_to_blastna(rec.sequence)
+            intervals = dust_mask(
+                codes, args.level, args.window, args.linker
+            )
+            if args.outfmt == "interval":
+                title = (rec.seq_id + " " + rec.title).strip()
+                out.write(f">{title}\n")
+                for a, b in intervals:
+                    out.write(f"{a} - {b}\n")
+            else:
+                # masked-to-lowercase FASTA
+                seq = bytearray(
+                    rec.sequence if isinstance(rec.sequence, bytes)
+                    else rec.sequence.encode()
+                )
+                for a, b in intervals:
+                    seq[a: b + 1] = seq[a: b + 1].lower()
+                title = (rec.seq_id + " " + rec.title).strip()
+                out.write(f">{title}\n")
+                text = seq.decode()
+                for i in range(0, len(text), 60):
+                    out.write(text[i: i + 60] + "\n")
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
 def run_windowmasker(argv) -> int:
     """windowmasker app analog: -mk_counts stage and masking stage
     (reference: src/app/winmasker)."""
@@ -572,6 +618,8 @@ def main(argv=None) -> int:
         return run_windowmasker(rest)
     if cmd == "blastdbcmd":
         return run_blastdbcmd(rest)
+    if cmd == "dustmasker":
+        return run_dustmasker(rest)
     # default: treat as blastn args directly
     return run_blastn(argv)
 

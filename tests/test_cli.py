@@ -93,3 +93,17 @@ def test_blastdbcmd_info(setup, capsys):
     rc = main(["blastdbcmd", "-db", str(setup / "db"), "-info"])
     assert rc == 0
     assert "20,000" in capsys.readouterr().out
+
+
+def test_dustmasker(setup, tmp_path, capsys):
+    fa = tmp_path / "d.fa"
+    rng = np.random.default_rng(3)
+    rand = "".join(BASES[i] for i in rng.integers(0, 4, 300))
+    fa.write_text(f">s1\n{rand}{'AT' * 40}{rand[::-1]}\n")
+    rc = main(["dustmasker", "-in", str(fa), "-outfmt", "interval"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.startswith(">s1")
+    a, _, b = out.splitlines()[1].partition(" - ")
+    # the AT-repeat run (300..379) must be inside the masked interval
+    assert int(a) <= 300 and int(b) >= 370
