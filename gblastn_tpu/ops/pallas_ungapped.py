@@ -43,6 +43,8 @@ SEEDS_PER_BLOCK = 16
 ALIGN = 4096                 # DMA start alignment in bases
 BUF_ROWS = (WINDOW + ALIGN) // COLS   # rows per direction buffer
 BUF2_ROWS = (2 * WINDOW + ALIGN) // COLS  # combined-window buffer
+MAX_LANES = 16384   # per pallas_call: 6 scalar-prefetch int32 arrays
+                    # must fit SMEM (~1MB)
 
 
 def _scores_closed_form(qpacked, scodes2, table_ref):
@@ -406,6 +408,24 @@ def ungapped_extend_pallas_prepared(
 ):
     query_p, subject_p = prepared
     n = q_off.shape[0]
+
+    # scalar-prefetch arrays live in SMEM (~1MB): 6 int32 arrays cap
+    # the lane count per kernel invocation; larger seed sets chunk
+    if n > MAX_LANES:
+        parts = [
+            ungapped_extend_pallas_prepared(
+                prepared, table64,
+                q_off[i: i + MAX_LANES], s_off[i: i + MAX_LANES],
+                valid[i: i + MAX_LANES], x_dropoff[i: i + MAX_LANES],
+                max_l[i: i + MAX_LANES], max_r[i: i + MAX_LANES],
+                interpret=interpret,
+            )
+            for i in range(0, n, MAX_LANES)
+        ]
+        return tuple(
+            jnp.concatenate(cols) for cols in zip(*parts)
+        )
+
     pad = (-n) % SEEDS_PER_BLOCK
 
     def p32(x, fill=0):

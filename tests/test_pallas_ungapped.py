@@ -130,3 +130,33 @@ def test_pallas_truncation_flag(problem):
         interpret=True,
     )
     assert bool(np.asarray(got[4])[0])
+
+
+def test_lane_chunking_matches_single_call(problem, monkeypatch):
+    """n > MAX_LANES splits into multiple pallas calls (SMEM limit on
+    scalar-prefetch arrays); results must equal the unchunked path."""
+    import gblastn_tpu.ops.pallas_ungapped as pu
+
+    query, subject, mat, anchors = problem
+    rng = np.random.default_rng(77)
+    q_off, s_off = gather_seeds(anchors, rng, n_per=6)
+    n = len(q_off)
+    pad = (-n) % 128
+    q_off = np.concatenate([q_off, np.zeros(pad, np.int32)])
+    s_off = np.concatenate([s_off, np.zeros(pad, np.int32)])
+    valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+    xd = np.full(len(q_off), 22, np.int32)
+    args = (
+        jnp.asarray(query), jnp.asarray(subject),
+        jnp.asarray(make_table64(mat)),
+        jnp.asarray(q_off), jnp.asarray(s_off), jnp.asarray(valid),
+        jnp.asarray(xd), jnp.asarray(s_off),
+        jnp.asarray(len(subject) - s_off),
+    )
+    ref = ungapped_extend_pallas(*args, interpret=True)
+    monkeypatch.setattr(pu, "MAX_LANES", 16)
+    got = pu.ungapped_extend_pallas(*args, interpret=True)
+    for k in range(5):
+        np.testing.assert_array_equal(
+            np.asarray(got[k])[:n], np.asarray(ref[k])[:n]
+        )
