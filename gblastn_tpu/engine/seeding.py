@@ -74,6 +74,10 @@ class SeedingDeviceData:
     host_valid: np.ndarray | None = None
 
 
+# (subject_pad, query_cap, word_size) -> last working (hit_cap, seed_cap)
+_CAP_CACHE: dict[tuple, tuple[int, int]] = {}
+
+
 def _round_up_pow2(n: int, lo: int = 256) -> int:
     m = lo
     while m < n:
@@ -314,6 +318,15 @@ def run_seeding(
     s_pad = int(dev.subject2.shape[0])
     n_scan = max((s_pad - lut_word) // scan_step + 1, 1)
 
+    # start from the last capacities that worked for this problem
+    # shape: capacity overflows would otherwise re-run the doubling
+    # retries on EVERY search (2-3 wasted device passes per batch)
+    cap_key = (s_pad, int(dev.query.shape[0]), word_size)
+    cached = _CAP_CACHE.get(cap_key)
+    if cached:
+        hit_cap = max(hit_cap, cached[0])
+        seed_cap = max(seed_cap, cached[1])
+
     # pad per-context arrays to a bucketed size for shape stability
     n_ctx = len(word_cutoffs)
     ctx_cap = 64
@@ -383,6 +396,7 @@ def run_seeding(
         seed_cap *= 2
         if hit_cap > max(n_scan * 4, 1 << 23):
             raise RuntimeError("seeding capacity overflow did not clear")
+    _CAP_CACHE[cap_key] = (hit_cap, seed_cap)
 
     # phase 2: re-run clamp-truncated extensions unclamped on a host-
     # compacted seed set (typically the true matches only). The Pallas
