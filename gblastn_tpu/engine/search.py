@@ -178,6 +178,22 @@ def prelim_search(
     pos_padded = np.zeros(pcap, dtype=np.int32)
     pos_padded[: len(positions)] = positions
 
+    # offsets table: at lut width 12 the dense table is 4^12+1 int32 =
+    # 67MB -- uploading it per batch costs more than the whole device
+    # stage over the tunnel. On accelerators, upload the O(n_positions)
+    # word codes instead and rebuild the table on device.
+    if (jax.default_backend() != "cpu"
+            and lut.position_words is not None):
+        from gblastn_tpu.engine.seeding import offsets_on_device
+
+        pw_padded = np.full(pcap, lut.table_size, dtype=np.int32)
+        pw_padded[: len(lut.positions)] = lut.position_words
+        lut_offsets_dev = offsets_on_device(
+            jnp.asarray(pw_padded), lut.table_size
+        )
+    else:
+        lut_offsets_dev = jnp.asarray(lut.counts_offsets)
+
     # the subject arrays are per-database and immutable: upload once and
     # cache on the db object (the role of G-BLASTN's per-oid cached
     # device arrays, gpu_blastn_MB_and_smallNa.cu:63-152)
@@ -203,7 +219,7 @@ def prelim_search(
         query=qdev,
         subject2=dev_subject[0],
         subject_valid=dev_subject[1],
-        lut_offsets=jnp.asarray(lut.counts_offsets),
+        lut_offsets=lut_offsets_dev,
         lut_positions=jnp.asarray(pos_padded),
         matrix16=jnp.asarray(m16),
         pallas_subject=dev_subject[2],

@@ -78,6 +78,20 @@ class SeedingDeviceData:
 _CAP_CACHE: dict[tuple, tuple[int, int]] = {}
 
 
+@functools.partial(jax.jit, static_argnames=("table_size",))
+def offsets_on_device(pos_words_padded, table_size: int):
+    """Rebuild the CSR counts_offsets table on device from per-position
+    word codes (pad slots carry ``table_size`` and are dropped). The
+    dense table is 4^w+1 int32 -- 67MB at width 12 -- so shipping the
+    4-byte-per-position codes instead saves ~0.5s/batch over the
+    tunnel."""
+    counts = jnp.zeros(table_size, jnp.int32)
+    counts = counts.at[pos_words_padded].add(1, mode="drop")
+    return jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )
+
+
 def _round_up_pow2(n: int, lo: int = 256) -> int:
     m = lo
     while m < n:

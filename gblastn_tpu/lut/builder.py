@@ -44,6 +44,10 @@ class LookupTable:
     counts_offsets: np.ndarray   # int32[4^w + 1]
     positions: np.ndarray        # int32[total_positions]
     max_positions_per_word: int  # longest chain
+    # word code per positions[i] (sorted ascending): lets the device
+    # rebuild counts_offsets from an O(n_positions) upload instead of
+    # shipping the dense 4^w+1 table (67MB at w=12) every batch
+    position_words: np.ndarray | None = None
 
     @property
     def table_size(self) -> int:
@@ -125,6 +129,10 @@ def _build_native(buf, locations, word_size, w, table_size):
     if r != 0:
         return None
     n = int(out[0])
+    pos_words = (
+        np.searchsorted(offsets, np.arange(n, dtype=np.int64),
+                        side="right") - 1
+    ).astype(np.int32)
     return LookupTable(
         word_size=word_size,
         lut_word_size=w,
@@ -132,6 +140,7 @@ def _build_native(buf, locations, word_size, w, table_size):
         counts_offsets=offsets,
         positions=positions[:n].copy(),
         max_positions_per_word=int(out[1]),
+        position_words=pos_words,
     )
 
 
@@ -209,6 +218,7 @@ def build_lookup_table(
         counts_offsets=offsets,
         positions=positions.astype(np.int32),
         max_positions_per_word=max_chain,
+        position_words=all_words[order].astype(np.int32),
     )
 
 
