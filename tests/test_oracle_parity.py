@@ -1,0 +1,289 @@
+"""NCBI-BLAST parity tests against the reference C engine.
+
+The oracle (oracle/driver.c + oracle/build.py) runs the reference's own
+unmodified C core — the engine whose output G-BLASTN guarantees to match
+bit-for-bit (reference README.md:4) — on the same FASTA inputs we feed
+gblastn_tpu. These tests assert our final traceback HSPs are identical:
+coordinates, raw score, identities, edit script, and (to double
+precision) bit scores and E-values.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from gblastn_tpu.engine.search import search
+from gblastn_tpu.io.fasta import FastaRecord
+from gblastn_tpu.io.seqdb import SequenceDB
+from gblastn_tpu.params.options import blastn_options, megablast_options
+
+from tests.oracle_harness import (
+    dust_intervals_for_queries,
+    engine_hsp_key,
+    oracle_hsp_key,
+    run_oracle,
+)
+
+pytestmark = pytest.mark.skipif(
+    not __import__("pathlib").Path("/root/reference/c++").is_dir(),
+    reason="reference tree unavailable",
+)
+
+BASES = "ACGT"
+COMP = {"A": "T", "C": "G", "G": "C", "T": "A"}
+
+
+def rand_seq(rng, n: int) -> str:
+    return "".join(BASES[i] for i in rng.integers(0, 4, n))
+
+
+def revcomp(s: str) -> str:
+    return "".join(COMP[c] for c in reversed(s))
+
+
+def mutate(rng, s: str, sub_rate=0.02, indel_rate=0.002) -> str:
+    out = []
+    for c in s:
+        r = rng.random()
+        if r < indel_rate / 2:
+            continue  # deletion
+        if r < indel_rate:
+            out.append(BASES[rng.integers(0, 4)])  # insertion
+        if rng.random() < sub_rate:
+            c = BASES[(BASES.index(c) + 1 + rng.integers(0, 3)) % 4]
+        out.append(c)
+    return "".join(out)
+
+
+def to_fasta(records: list[tuple[str, str]]) -> str:
+    return "".join(f">{rid}\n{seq}\n" for rid, seq in records)
+
+
+def run_engine(queries, subjects, options):
+    db = SequenceDB.from_records(
+        [FastaRecord(rid, "", seq) for rid, seq in subjects], title="paritydb"
+    )
+    res = search([FastaRecord(rid, "", seq) for rid, seq in queries], db, options)
+    keys = []
+    evd = {}
+    for q in res.queries:
+        for lst in q.hsplists:
+            for h in lst.hsps:
+                k = engine_hsp_key(q.query_index, lst.oid, h)
+                keys.append(k)
+                evd[k] = (h.evalue, h.bit_score)
+    return keys, evd
+
+
+def assert_parity(queries, subjects, options, oracle_kw, tmp_path):
+    ours, our_ev = run_engine(queries, subjects, options)
+    if options.dust and "qmask" not in oracle_kw:
+        # the oracle's C core has no dust (it lives in the reference's
+        # C++ layer); feed it the same locations our engine computes
+        oracle_kw = dict(oracle_kw, qmask=dust_intervals_for_queries(queries))
+    orun = run_oracle(
+        to_fasta(queries), to_fasta(subjects), tmp_path, **oracle_kw
+    )
+    oracle_keys = [oracle_hsp_key(h) for h in orun.hsps]
+    oracle_ev = {
+        oracle_hsp_key(h): (h.evalue, h.bit_score) for h in orun.hsps
+    }
+
+    missing = sorted(set(oracle_keys) - set(ours))
+    extra = sorted(set(ours) - set(oracle_keys))
+    assert not missing and not extra, (
+        f"HSP set mismatch:\n  missing ({len(missing)}): "
+        f"{missing[:5]}\n  extra ({len(extra)}): {extra[:5]}"
+    )
+    assert len(ours) == len(oracle_keys)
+
+    for k in oracle_ev:
+        ev_o, bs_o = oracle_ev[k]
+        ev_m, bs_m = our_ev[k]
+        assert math.isclose(bs_o, bs_m, rel_tol=1e-9), (
+            f"bit score mismatch for {k}: {bs_o} vs {bs_m}"
+        )
+        if ev_o > 0:
+            assert math.isclose(ev_o, ev_m, rel_tol=1e-9), (
+                f"evalue mismatch for {k}: {ev_o} vs {ev_m}"
+            )
+        else:
+            assert ev_m == 0.0 or ev_m < 1e-300
+    return orun
+
+
+@pytest.fixture(scope="module")
+def genome():
+    rng = np.random.default_rng(1234)
+    return rand_seq(rng, 50000)
+
+
+class TestMegablastParity:
+    def test_exact_match(self, genome, tmp_path):
+        queries = [("q1", genome[2000:2500])]
+        subjects = [("chr1", genome)]
+        assert_parity(
+            queries, subjects, megablast_options(evalue=1e-5),
+            dict(task="megablast", evalue=1e-5), tmp_path,
+        )
+
+    def test_mutated_reads_both_strands(self, genome, tmp_path):
+        rng = np.random.default_rng(99)
+        queries = []
+        for i in range(12):
+            start = int(rng.integers(0, len(genome) - 900))
+            ln = int(rng.integers(300, 800))
+            frag = mutate(rng, genome[start : start + ln])
+            if i % 3 == 1:
+                frag = revcomp(frag)
+            queries.append((f"r{i}", frag))
+        subjects = [("chr1", genome)]
+        assert_parity(
+            queries, subjects, megablast_options(evalue=1e-5),
+            dict(task="megablast", evalue=1e-5), tmp_path,
+        )
+
+    def test_multiple_subjects(self, genome, tmp_path):
+        subjects = [
+            ("c1", genome[:15000]),
+            ("c2", genome[15000:32000]),
+            ("c3", genome[32000:]),
+        ]
+        rng = np.random.default_rng(7)
+        queries = []
+        for i in range(6):
+            start = int(rng.integers(0, len(genome) - 500))
+            frag = mutate(rng, genome[start : start + 400])
+            queries.append((f"m{i}", frag))
+        assert_parity(
+            queries, subjects, megablast_options(evalue=1e-3),
+            dict(task="megablast", evalue=1e-3), tmp_path,
+        )
+
+    def test_duplicated_region_multi_hsp(self, genome, tmp_path):
+        # a query matching two genome copies => multiple HSPs per subject
+        dup = genome[:20000] + genome[5000:6000] + genome[20000:]
+        queries = [("dupq", genome[5000:6000])]
+        subjects = [("chrdup", dup)]
+        assert_parity(
+            queries, subjects, megablast_options(evalue=1e-5),
+            dict(task="megablast", evalue=1e-5), tmp_path,
+        )
+
+
+class TestBlastnParity:
+    def test_blastn_task_mutated(self, genome, tmp_path):
+        rng = np.random.default_rng(21)
+        queries = []
+        for i in range(6):
+            start = int(rng.integers(0, len(genome) - 600))
+            frag = mutate(rng, genome[start : start + 350], sub_rate=0.08)
+            if i % 2:
+                frag = revcomp(frag)
+            queries.append((f"b{i}", frag))
+        subjects = [("chr1", genome)]
+        assert_parity(
+            queries, subjects, blastn_options(evalue=1e-5),
+            dict(task="blastn", evalue=1e-5), tmp_path,
+        )
+
+
+class TestUngappedParity:
+    def test_ungapped_megablast(self, genome, tmp_path):
+        rng = np.random.default_rng(3)
+        queries = []
+        for i in range(6):
+            start = int(rng.integers(0, len(genome) - 700))
+            frag = mutate(rng, genome[start : start + 500], indel_rate=0.0)
+            if i % 2:
+                frag = revcomp(frag)
+            queries.append((f"u{i}", frag))
+        subjects = [("chr1", genome)]
+        assert_parity(
+            queries, subjects,
+            megablast_options(evalue=1e-5, gapped=False),
+            dict(task="megablast", evalue=1e-5, ungapped=True), tmp_path,
+        )
+
+
+class TestTwoHitParity:
+    def test_blastn_window_size(self, genome, tmp_path):
+        rng = np.random.default_rng(17)
+        queries = []
+        for i in range(5):
+            start = int(rng.integers(0, len(genome) - 700))
+            frag = mutate(rng, genome[start : start + 400], sub_rate=0.05)
+            queries.append((f"w{i}", frag))
+        subjects = [("chr1", genome)]
+        assert_parity(
+            queries, subjects,
+            blastn_options(evalue=1e-5, window_size=40),
+            dict(task="blastn", evalue=1e-5, window_size=40), tmp_path,
+        )
+
+
+class TestAmbiguityParity:
+    def test_sparse_ns_in_query(self, genome, tmp_path):
+        # Ns sparse enough that seeding is unaffected; the final HSPs
+        # (traceback realigns on the ambiguity-correct sequences) must
+        # be identical.
+        rng = np.random.default_rng(31)
+        frag = list(genome[12000:12600])
+        for pos in rng.choice(len(frag), size=4, replace=False):
+            frag[pos] = "N"
+        queries = [("nq", "".join(frag))]
+        subjects = [("chr1", genome)]
+        assert_parity(
+            queries, subjects, megablast_options(evalue=1e-5),
+            dict(task="megablast", evalue=1e-5), tmp_path,
+        )
+
+
+class TestFuzzParity:
+    def test_megablast_fuzz_heavy(self, genome, tmp_path):
+        rng = np.random.default_rng(555)
+        queries = []
+        for i in range(20):
+            start = int(rng.integers(0, len(genome) - 1200))
+            ln = int(rng.integers(150, 1100))
+            frag = mutate(
+                rng, genome[start : start + ln],
+                sub_rate=float(rng.uniform(0.0, 0.06)),
+                indel_rate=float(rng.uniform(0.0, 0.008)),
+            )
+            if rng.random() < 0.5:
+                frag = revcomp(frag)
+            queries.append((f"f{i}", frag))
+        subjects = [("chr1", genome[:25000]), ("chr2", genome[25000:])]
+        assert_parity(
+            queries, subjects, megablast_options(evalue=1e-3),
+            dict(task="megablast", evalue=1e-3), tmp_path,
+        )
+
+
+class TestDustParity:
+    def test_low_complexity_query(self, genome, tmp_path):
+        # embed a dusty (low-complexity) stretch in both query and subject
+        dusty = "AT" * 120
+        g = genome[:10000] + dusty + genome[10000:20000]
+        queries = [
+            ("dq", g[9800:10600]),          # spans the dusty region
+            ("clean", g[3000:3400]),
+        ]
+        subjects = [("chr1", g)]
+        assert_parity(
+            queries, subjects, megablast_options(evalue=1e-5),
+            dict(task="megablast", evalue=1e-5), tmp_path,
+        )
+
+    def test_dust_off(self, genome, tmp_path):
+        dusty = "CAG" * 100
+        g = genome[:8000] + dusty + genome[8000:16000]
+        queries = [("dq", g[7800:8600])]
+        subjects = [("chr1", g)]
+        assert_parity(
+            queries, subjects, megablast_options(evalue=1e-5, dust=False),
+            dict(task="megablast", evalue=1e-5, dust="no"), tmp_path,
+        )
