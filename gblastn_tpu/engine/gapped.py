@@ -41,6 +41,7 @@ from gblastn_tpu.io.query import QueryBlock
 from gblastn_tpu.params.derived import SearchParams
 from gblastn_tpu.params.options import ExtensionMethod
 from gblastn_tpu.stats.karlin import nucl_score_matrix
+from gblastn_tpu.utils.profiling import slog
 
 
 def get_gapped_score_one_subject(
@@ -55,6 +56,7 @@ def get_gapped_score_one_subject(
     branches."""
     opts = params.options
     saved: list[HSP] = []
+    n_extensions = 0
     ctx_offsets = qblock.context_offsets()
     matrix = (
         nucl_score_matrix(opts.reward, opts.penalty)
@@ -80,6 +82,7 @@ def get_gapped_score_one_subject(
 
         cutoff = params.contexts[ctx].cutoff_score
         query = qblock.buffer[q0: q0 + q_len]
+        n_extensions += 1
         if opts.extension_method is ExtensionMethod.GREEDY:
             # greedy seed: middle of the ungapped alignment
             # (blast_gapalign.c:3466-3471)
@@ -114,6 +117,7 @@ def get_gapped_score_one_subject(
                     s_gapped_start=res.s_seed_start,
                 )
             )
+    slog.diagnostics.gapped_extensions += n_extensions
     return saved
 
 

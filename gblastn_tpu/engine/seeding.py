@@ -249,12 +249,13 @@ def _prepare_query_jit(query):
 
 
 @jax.jit
-def _pack10(qs, ss, ok, ctx, f_q, f_s, f_len, f_score, f_tr,
-            n_overflow):
+def _pack11(qs, ss, ok, ctx, f_q, f_s, f_len, f_score, f_tr,
+            n_overflow, n_raw):
     return jnp.stack([
         qs, ss, ok.astype(jnp.int32), ctx,
         f_q, f_s, f_len, f_score, f_tr.astype(jnp.int32),
         jnp.broadcast_to(n_overflow.astype(jnp.int32), qs.shape),
+        jnp.broadcast_to(n_raw.astype(jnp.int32), qs.shape),
     ])
 
 
@@ -283,7 +284,7 @@ def _seeding_tpu_fused(
         with slog.time("device.seeding.prep_sync"):
             jax.block_until_ready(query_p)
 
-    qs, ss, ok, ctx, xd, maxl, maxr, n_overflow = seeding_scan_mini(
+    qs, ss, ok, ctx, xd, maxl, maxr, n_overflow, n_raw = seeding_scan_mini(
         subject2, subject_valid, lut_offsets, lut_positions, query,
         ctx_offsets, x_dropoffs, subject_starts, subject_ends,
         scan_step=scan_step, lut_word=lut_word, word_size=word_size,
@@ -300,8 +301,8 @@ def _seeding_tpu_fused(
     if sync:
         with slog.time("device.seeding.pallas_sync"):
             jax.block_until_ready((f_q, f_s, f_len, f_score, f_tr))
-    return _pack10(qs, ss, ok, ctx, f_q, f_s, f_len, f_score, f_tr,
-                   n_overflow)
+    return _pack11(qs, ss, ok, ctx, f_q, f_s, f_len, f_score, f_tr,
+                   n_overflow, n_raw)
 
 
 def run_seeding(
@@ -389,6 +390,7 @@ def run_seeding(
                 )
                 trunc = packed[8].astype(bool)
                 n_overflow = packed[9, 0]
+                n_raw = packed[10, 0]
         else:
             with slog.time("device.seeding.pipeline"):
                 out = seeding_pipeline(
@@ -401,7 +403,7 @@ def run_seeding(
                     hit_cap=hit_cap, seed_cap=seed_cap,
                 )
                 (qs, ss, fill, ctx, ug_q, ug_s, ug_len, ug_score, trunc,
-                 n_overflow) = (np.asarray(o) for o in out)
+                 n_overflow, n_raw) = (np.asarray(o) for o in out)
         if int(n_overflow) == 0:
             break
         # double every capacity that could have overflowed; buckets keep
@@ -411,6 +413,7 @@ def run_seeding(
         if hit_cap > max(n_scan * 4, 1 << 23):
             raise RuntimeError("seeding capacity overflow did not clear")
     _CAP_CACHE[cap_key] = (hit_cap, seed_cap)
+    slog.diagnostics.lookup_hits += int(n_raw)
 
     # phase 2: re-run clamp-truncated extensions unclamped on a host-
     # compacted seed set (typically the true matches only). The Pallas
@@ -451,6 +454,7 @@ def run_seeding(
     # mini-extension kills seeds in place, so survivors are scattered
     # through the [seed_cap] arrays -- compact by the mask, not a prefix
     sel = np.nonzero(fill)[0]
+    slog.diagnostics.init_extends += len(sel)
     if len(sel) == 0:
         z = np.zeros(0, dtype=np.int32)
         return InitHits(z, z, z, z, z, z, z, z)

@@ -451,7 +451,7 @@ def seeding_pipeline(
         chunk=chunk, max_extend=phase1_extend,
     )
     n_overflow = n_dropped + jnp.maximum(n_raw - seed_cap, 0)
-    return qs, ss, ok, ctx, uq, us, ulen, uscore, trunc, n_overflow
+    return qs, ss, ok, ctx, uq, us, ulen, uscore, trunc, n_overflow, n_raw
 
 
 @functools.partial(
@@ -555,4 +555,4 @@ def seeding_scan_mini(
         ok = sfill
         n_overflow = n_overflow + jnp.maximum(n_srv - out_cap, 0)
 
-    return qs, ss, ok, ctx, xd, max_l, max_r, n_overflow
+    return qs, ss, ok, ctx, xd, max_l, max_r, n_overflow, n_raw
