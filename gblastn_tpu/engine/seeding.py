@@ -107,6 +107,41 @@ def sort_by_score_order(
     return np.lexsort((q_start, -length, s_start, -score))
 
 
+def _native_diag_filter(
+    q_off, s_off, oid, order, word_size, window,
+    ung_s_start, ung_length, ung_score, cutoff, right_run,
+):
+    """Run the native replay loop; None if the native lib is absent."""
+    from gblastn_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    def c32(a):
+        return np.ascontiguousarray(a, dtype=np.int32)
+
+    n = len(q_off)
+    saved = np.zeros(n, dtype=np.uint8)
+    q32, s32, o32 = c32(q_off), c32(s_off), c32(oid)
+    us32, ul32, sc32, cu32 = (
+        c32(ung_s_start), c32(ung_length), c32(ung_score), c32(cutoff)
+    )
+    ord64 = np.ascontiguousarray(order, dtype=np.int64)
+    rr32 = c32(right_run) if right_run is not None else None
+    lib.gblastn_diag_filter(
+        q32.ctypes.data, s32.ctypes.data, o32.ctypes.data,
+        ord64.ctypes.data, ctypes.c_int64(n),
+        ctypes.c_int64(word_size), ctypes.c_int64(window),
+        us32.ctypes.data, ul32.ctypes.data,
+        sc32.ctypes.data, cu32.ctypes.data,
+        rr32.ctypes.data if rr32 is not None else None,
+        saved.ctypes.data,
+    )
+    return saved.astype(bool)
+
+
 def one_hit_diag_filter(
     q_off: np.ndarray,
     s_off: np.ndarray,
@@ -116,6 +151,7 @@ def one_hit_diag_filter(
     ung_length: np.ndarray,
     ung_score: np.ndarray,
     cutoff: np.ndarray,
+    use_native: bool = True,
 ) -> np.ndarray:
     """Sequential per-diagonal replay; returns boolean 'saved' mask.
 
@@ -124,6 +160,9 @@ def one_hit_diag_filter(
       - skip seeds starting inside the explored area (s_off < last_hit);
       - accepted seeds with ungapped score >= cutoff are saved and push
         last_hit to the ungapped end; failed ones push it to seed end.
+
+    Runs natively (native/diagfilter.cpp) when available; the Python
+    loop below is the parity oracle.
     """
     n = len(q_off)
     saved = np.zeros(n, dtype=bool)
@@ -131,6 +170,13 @@ def one_hit_diag_filter(
         return saved
     diag = s_off.astype(np.int64) - q_off.astype(np.int64)
     order = np.lexsort((s_off, diag, oid))
+    if use_native:
+        native = _native_diag_filter(
+            q_off, s_off, oid, order, word_size, 0,
+            ung_s_start, ung_length, ung_score, cutoff, None,
+        )
+        if native is not None:
+            return native
     last_key = None
     last_hit = 0
     for i in order:
@@ -193,6 +239,7 @@ def two_hit_diag_filter(
     ung_score: np.ndarray,
     cutoff: np.ndarray,
     right_run: np.ndarray,
+    use_native: bool = True,
 ) -> np.ndarray:
     """Two-hit per-diagonal replay for window_size > 0
     (s_BlastnDiagTableExtendInitialHit, na_ungapped.c:612-755 with the
@@ -209,6 +256,13 @@ def two_hit_diag_filter(
         return saved
     diag = s_off.astype(np.int64) - q_off.astype(np.int64)
     order = np.lexsort((s_off, diag, oid))
+    if use_native:
+        native = _native_diag_filter(
+            q_off, s_off, oid, order, word_size, window,
+            ung_s_start, ung_length, ung_score, cutoff, right_run,
+        )
+        if native is not None:
+            return native
     last_key = None
     last_hit = 0
     flag = 0

@@ -131,6 +131,16 @@ def get_lib():
         ctypes.c_int64,                       # pos_cap
         ctypes.c_void_p,                      # out int64[2]
     ]
+    lib.gblastn_diag_filter.restype = ctypes.c_int64
+    lib.gblastn_diag_filter.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # q,s,oid
+        ctypes.c_void_p, ctypes.c_int64,      # order, n
+        ctypes.c_int64, ctypes.c_int64,       # word_size, window
+        ctypes.c_void_p, ctypes.c_void_p,     # ung_s_start, ung_length
+        ctypes.c_void_p, ctypes.c_void_p,     # ung_score, cutoff
+        ctypes.c_void_p,                      # right_run (or NULL)
+        ctypes.c_void_p,                      # saved out uint8
+    ]
     lib.gblastn_dust_mask.restype = ctypes.c_int64
     lib.gblastn_dust_mask.argtypes = [
         ctypes.c_void_p, ctypes.c_int64,      # seq2, n

@@ -157,3 +157,45 @@ class TestReevaluateNativeParity:
             a = run(True)
             b = run(False)
             assert a == b, f"trial {trial}: {a} != {b}"
+
+
+class TestDiagFilterNativeParity:
+    """native/diagfilter.cpp vs the Python replay loops, fuzzed seeds."""
+
+    def _random_seeds(self, rng, n, n_oid=3, s_span=5000, q_span=2000):
+        q_off = rng.integers(0, q_span, n).astype(np.int32)
+        s_off = rng.integers(0, s_span, n).astype(np.int32)
+        oid = rng.integers(0, n_oid, n).astype(np.int32)
+        length = rng.integers(11, 80, n).astype(np.int32)
+        ung_s = np.maximum(s_off - rng.integers(0, 30, n), 0).astype(
+            np.int32)
+        score = rng.integers(0, 60, n).astype(np.int32)
+        cutoff = np.full(n, 22, np.int32)
+        return q_off, s_off, oid, ung_s, length, score, cutoff
+
+    def test_one_hit_fuzz(self):
+        from gblastn_tpu.engine.seeding import one_hit_diag_filter
+
+        rng = np.random.default_rng(77)
+        for trial in range(20):
+            n = int(rng.integers(0, 800))
+            q, s, o, us, ul, sc, cu = self._random_seeds(rng, n)
+            a = one_hit_diag_filter(q, s, o, 28, us, ul, sc, cu,
+                                    use_native=True)
+            b = one_hit_diag_filter(q, s, o, 28, us, ul, sc, cu,
+                                    use_native=False)
+            assert np.array_equal(a, b), trial
+
+    def test_two_hit_fuzz(self):
+        from gblastn_tpu.engine.seeding import two_hit_diag_filter
+
+        rng = np.random.default_rng(78)
+        for trial in range(20):
+            n = int(rng.integers(0, 800))
+            q, s, o, us, ul, sc, cu = self._random_seeds(rng, n)
+            rr = rng.integers(0, 23, n).astype(np.int32)
+            a = two_hit_diag_filter(q, s, o, 11, 40, us, ul, sc, cu, rr,
+                                    use_native=True)
+            b = two_hit_diag_filter(q, s, o, 11, 40, us, ul, sc, cu, rr,
+                                    use_native=False)
+            assert np.array_equal(a, b), trial
