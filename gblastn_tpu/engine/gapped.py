@@ -7,7 +7,7 @@ and the per-subject post-processing of the prelim engine core
 
 1. walk saved init hits in score order;
 2. skip hits whose ungapped region is contained in an already-saved HSP
-   (interval-tree pruning, here a flat scan -- gblastn_tpu.hits);
+   (interval-tree pruning -- gblastn_tpu.hits.ContainmentIndex);
 3. greedy gapped extension (score-only) seeded at the middle of the
    ungapped alignment; keep HSPs scoring >= the per-context cutoff, with
    the aligner's best-start-point estimate as the gapped start;
@@ -29,9 +29,9 @@ from gblastn_tpu.gapped.greedy import greedy_gapped_alignment
 from gblastn_tpu.hits import (
     HSP,
     HSPList,
+    ContainmentIndex,
     adjust_odd_scores,
     get_evalues,
-    hsp_contained_in_saved,
     purge_common_endpoints,
     reap_by_evalue,
     sort_by_score,
@@ -56,6 +56,9 @@ def get_gapped_score_one_subject(
     branches."""
     opts = params.options
     saved: list[HSP] = []
+    index = ContainmentIndex(
+        opts.min_diag_separation, q_span=len(qblock.buffer) + 1
+    )
     n_extensions = 0
     ctx_offsets = qblock.context_offsets()
     matrix = (
@@ -74,9 +77,9 @@ def get_gapped_score_one_subject(
         length = int(init.length[i])
         score = int(init.score[i])
 
-        if hsp_contained_in_saved(
-            saved, uq_start, uq_start + length, us_start, us_start + length,
-            score, ctx, opts.min_diag_separation,
+        if index.contains(
+            uq_start, uq_start + length, us_start, us_start + length,
+            score, ctx,
         ):
             continue
 
@@ -107,16 +110,16 @@ def get_gapped_score_one_subject(
                 q_off, s_off,
             )
         if res.score >= cutoff:
-            saved.append(
-                HSP(
-                    q_off=res.q_start, q_end=res.q_end,
-                    s_off=res.s_start, s_end=res.s_end,
-                    score=res.score, context=ctx,
-                    q_frame=ctx_info.frame, s_frame=1,
-                    q_gapped_start=res.q_seed_start,
-                    s_gapped_start=res.s_seed_start,
-                )
+            h = HSP(
+                q_off=res.q_start, q_end=res.q_end,
+                s_off=res.s_start, s_end=res.s_end,
+                score=res.score, context=ctx,
+                q_frame=ctx_info.frame, s_frame=1,
+                q_gapped_start=res.q_seed_start,
+                s_gapped_start=res.s_seed_start,
             )
+            saved.append(h)
+            index.add(h)
     slog.diagnostics.gapped_extensions += n_extensions
     return saved
 

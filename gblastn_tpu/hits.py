@@ -15,10 +15,10 @@ Host-side reimplementation of the reference HSP machinery (reference:
 * ``purge_common_endpoints`` reproduces
   Blast_HSPListPurgeHSPsWithCommonEndpoints (:2224) including the blastn
   keep-and-cut mode (s_CutOffGapEditScript :2162);
-* ``hsp_contained_in_saved`` reproduces the interval-tree containment
-  pruning of BLAST_GetGappedScore (s_HSPIsContained, blast_itree.c:815)
-  without the tree -- saved-HSP counts per (query,strand,subject) are small
-  after cutoffs, so a flat scan is the right host structure here.
+* ``ContainmentIndex`` reproduces the interval-tree containment pruning
+  of BLAST_GetGappedScore (s_HSPIsContained, blast_itree.c:815): flat
+  scan while saved-HSP counts stay small, midpoint interval tree past
+  that (``hsp_contained_in_saved`` is the flat-scan reference form).
 
 Edit scripts are lists of ``(op, num)`` with the reference op codes
 (gapinfo.h:45-52): ``OP_DEL``=0 gap in query, ``OP_SUB``=3 substitution,
@@ -231,6 +231,121 @@ def hsp_contained_in_saved(
         ):
             return True
     return False
+
+
+class _ITreeNode:
+    """Midpoint-split node: items cross ``mid``; halves are lazy."""
+
+    __slots__ = ("lo", "hi", "mid", "items", "left", "right")
+
+    def __init__(self, lo: int, hi: int):
+        self.lo = lo
+        self.hi = hi
+        self.mid = (lo + hi) // 2
+        self.items: list[HSP] = []
+        self.left: "_ITreeNode | None" = None
+        self.right: "_ITreeNode | None" = None
+
+
+class ContainmentIndex:
+    """Incremental containment queries over saved HSPs
+    (BlastIntervalTree analog, blast_itree.c:815 s_HSPIsContained over
+    a midpoint interval tree keyed on query offsets).
+
+    Small per-context sets use a flat scan (faster in Python); past
+    ``_TREE_THRESHOLD`` saved HSPs a context switches to a midpoint
+    tree, making each query O(path + crossing items) instead of
+    O(saved) -- the quadratic-blowup guard for repeat-rich queries.
+    """
+
+    _TREE_THRESHOLD = 32
+
+    def __init__(self, min_diag_separation: int, q_span: int = 1 << 30):
+        self.min_diag_separation = min_diag_separation
+        self._span = max(int(q_span), 2)
+        self._flat: dict[int, list[HSP]] = {}
+        self._tree: dict[int, _ITreeNode] = {}
+
+    def add(self, hsp: HSP) -> None:
+        ctx = hsp.context
+        tree = self._tree.get(ctx)
+        if tree is not None:
+            self._insert(tree, hsp)
+            return
+        lst = self._flat.setdefault(ctx, [])
+        lst.append(hsp)
+        if len(lst) > self._TREE_THRESHOLD:
+            root = _ITreeNode(0, self._span)
+            for h in lst:
+                self._insert(root, h)
+            self._tree[ctx] = root
+            del self._flat[ctx]
+
+    def _insert(self, node: _ITreeNode, hsp: HSP) -> None:
+        lo, hi = hsp.q_off, hsp.q_end
+        while True:
+            if hi < node.mid:
+                if node.left is None:
+                    node.left = _ITreeNode(node.lo, node.mid)
+                node = node.left
+            elif lo > node.mid:
+                if node.right is None:
+                    node.right = _ITreeNode(node.mid, node.hi)
+                node = node.right
+            else:
+                node.items.append(hsp)
+                return
+
+    def _check(self, t: HSP, q_off, q_end, s_off, s_end, score) -> bool:
+        if score > t.score:
+            return False
+        if not (
+            t.q_off <= q_off <= t.q_end
+            and t.s_off <= s_off <= t.s_end
+            and t.q_off <= q_end <= t.q_end
+            and t.s_off <= s_end <= t.s_end
+        ):
+            return False
+        sep = self.min_diag_separation
+        if sep == 0:
+            return True
+        return (
+            abs((t.q_off - t.s_off) - (q_off - s_off)) < sep
+            or abs((t.q_end - t.s_end) - (q_end - s_end)) < sep
+        )
+
+    def contains(
+        self, q_off: int, q_end: int, s_off: int, s_end: int,
+        score: int, context: int,
+    ) -> bool:
+        """True when a saved HSP envelops the candidate (s_HSPIsContained
+        semantics; see hsp_contained_in_saved)."""
+        lst = self._flat.get(context)
+        if lst is not None:
+            for t in lst:
+                if self._check(t, q_off, q_end, s_off, s_end, score):
+                    return True
+            return False
+        node = self._tree.get(context)
+        # a container's query interval covers the candidate's, so it
+        # crosses every midpoint on the candidate's descent path
+        while node is not None:
+            for t in node.items:
+                if self._check(t, q_off, q_end, s_off, s_end, score):
+                    return True
+            if q_end < node.mid:
+                node = node.left
+            elif q_off > node.mid:
+                node = node.right
+            else:
+                return False
+        return False
+
+    def contains_hsp(self, hsp: HSP) -> bool:
+        return self.contains(
+            hsp.q_off, hsp.q_end, hsp.s_off, hsp.s_end, hsp.score,
+            hsp.context,
+        )
 
 
 # ------------------------------------------------------ common-endpoint purge

@@ -33,7 +33,7 @@ from gblastn_tpu.hits import (
     adjust_odd_scores,
     get_bit_scores,
     get_evalues,
-    hsp_contained_in_saved,
+    ContainmentIndex,
     purge_common_endpoints,
     reap_by_evalue,
     sort_by_score,
@@ -397,7 +397,9 @@ def traceback_from_hsplist(
     greedy = opts.extension_method is ExtensionMethod.GREEDY
     ctx_offsets = qblock.context_offsets()
     subject_length = len(subject)
-    finished: list[HSP] = []
+    finished = ContainmentIndex(
+        opts.min_diag_separation, q_span=len(qblock.buffer) + 1
+    )
     result: list[HSP] = []
 
     for hsp in hsp_list.hsps:
@@ -406,9 +408,8 @@ def traceback_from_hsplist(
         q_len = qblock.contexts[ctx].length
         query = qblock.buffer[q0: q0 + q_len]
 
-        if hsp_contained_in_saved(
-            finished, hsp.q_off, hsp.q_end, hsp.s_off, hsp.s_end,
-            hsp.score, ctx, opts.min_diag_separation,
+        if finished.contains(
+            hsp.q_off, hsp.q_end, hsp.s_off, hsp.s_end, hsp.score, ctx,
         ):
             continue
 
@@ -469,7 +470,7 @@ def traceback_from_hsplist(
             if hsp_test(hsp, align_len, opts.percent_identity):
                 continue
 
-        finished.append(hsp)
+        finished.add(hsp)
         result.append(hsp)
 
     # keep-and-cut purge (blast_traceback.c:710, purge=FALSE for blastn)
@@ -503,12 +504,13 @@ def traceback_from_hsplist(
 
     # second containment purge (blast_traceback.c:743)
     final: list[HSP] = []
+    final_index = ContainmentIndex(
+        opts.min_diag_separation, q_span=len(qblock.buffer) + 1
+    )
     for hsp in kept:
-        if not hsp_contained_in_saved(
-            final, hsp.q_off, hsp.q_end, hsp.s_off, hsp.s_end,
-            hsp.score, hsp.context, opts.min_diag_separation,
-        ):
+        if not final_index.contains_hsp(hsp):
             final.append(hsp)
+            final_index.add(hsp)
 
     # s_HSPListPostTracebackUpdate (blast_traceback.c:278)
     adjust_odd_scores(final, params.round_down)

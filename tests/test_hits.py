@@ -1,6 +1,9 @@
 """Tests for HSP management (gblastn_tpu.hits)."""
 from __future__ import annotations
 
+import numpy as np
+import pytest
+
 from gblastn_tpu.hits import (
     HSP,
     HSPList,
@@ -135,3 +138,44 @@ class TestHitList:
         assert len(hl.hsplists) == 2
         oids = {l.oid for l in hl.hsplists}
         assert oids == {0, 2}
+
+
+class TestContainmentIndex:
+    """ContainmentIndex (interval tree) vs the flat-scan reference."""
+
+    @pytest.mark.parametrize("sep", [0, 6])
+    def test_fuzz_matches_flat_scan(self, sep):
+        from gblastn_tpu.hits import ContainmentIndex, hsp_contained_in_saved
+
+        rng = np.random.default_rng(99)
+        for span in (1000, 100000):
+            saved = []
+            index = ContainmentIndex(sep, q_span=span)
+            for trial in range(300):
+                q0 = int(rng.integers(0, span - 200))
+                s0 = int(rng.integers(0, span - 200))
+                ln = int(rng.integers(10, 200))
+                sc = int(rng.integers(10, 100))
+                ctx = int(rng.integers(0, 3))
+                got = index.contains(q0, q0 + ln, s0, s0 + ln, sc, ctx)
+                want = hsp_contained_in_saved(
+                    saved, q0, q0 + ln, s0, s0 + ln, sc, ctx, sep,
+                )
+                assert got == want, (span, trial)
+                if not got:
+                    h = HSP(q_off=q0, q_end=q0 + ln, s_off=s0,
+                            s_end=s0 + ln, score=sc, context=ctx)
+                    saved.append(h)
+                    index.add(h)
+
+    def test_nested_containment(self):
+        from gblastn_tpu.hits import ContainmentIndex
+
+        index = ContainmentIndex(0, q_span=10000)
+        big = HSP(q_off=100, q_end=900, s_off=100, s_end=900,
+                  score=500, context=0)
+        index.add(big)
+        assert index.contains(200, 300, 200, 300, 50, 0)
+        assert not index.contains(200, 300, 200, 300, 50, 1)  # other ctx
+        assert not index.contains(200, 300, 200, 300, 501, 0)  # higher score
+        assert not index.contains(50, 300, 200, 300, 50, 0)    # q not inside
