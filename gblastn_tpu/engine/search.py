@@ -194,44 +194,8 @@ def prelim_search(
     else:
         lut_offsets_dev = jnp.asarray(lut.counts_offsets)
 
-    # the subject arrays are per-database and immutable: upload once and
-    # cache on the db object (the role of G-BLASTN's per-oid cached
-    # device arrays, gpu_blastn_MB_and_smallNa.cu:63-152)
-    dev_subject = getattr(db, "_device_cache", None)
-    if dev_subject is None:
-        from gblastn_tpu.ops.pallas_ungapped import prepare_subject
-
-        with slog.time("setup.subject_upload"):
-            sub2 = jnp.asarray(db.unpacked().astype(np.int8))
-            dev_subject = (
-                sub2,
-                jnp.asarray(db.valid_mask()),
-                prepare_subject(sub2),
-            )
-            jax.block_until_ready(dev_subject)
-        db._device_cache = dev_subject
-
-    from gblastn_tpu.ops.pallas_ungapped import make_table64
-
     m16 = device_matrix16(options.reward, options.penalty)
     qdev = jnp.asarray(qbuf_padded)
-    dev = SeedingDeviceData(
-        query=qdev,
-        subject2=dev_subject[0],
-        subject_valid=dev_subject[1],
-        lut_offsets=lut_offsets_dev,
-        lut_positions=jnp.asarray(pos_padded),
-        matrix16=jnp.asarray(m16),
-        pallas_subject=dev_subject[2],
-        table64=jnp.asarray(make_table64(m16)),
-    )
-    if options.window_size > 0:
-        host_sub = getattr(db, "_host_cache", None)
-        if host_sub is None:
-            host_sub = (db.unpacked().astype(np.int8), db.valid_mask())
-            db._host_cache = host_sub
-        dev.host_query = qbuf_padded
-        dev.host_subject2, dev.host_valid = host_sub
 
     # the LUT builder knows the longest chain, so the scan's per-word
     # fan-out capacity never needs the overflow-retry recompile; bucket
@@ -254,6 +218,19 @@ def prelim_search(
             and len(jax.devices()) > 1):
         n_shards = len(jax.devices())
     n_shards = min(n_shards, len(jax.devices()))
+
+    # subject streaming: above the threshold the DB no longer fits
+    # device-resident (~3 bytes/base of HBM) and blocks are streamed
+    # through a fixed buffer instead (engine.stream)
+    stream_env = os.environ.get("GBLASTN_TPU_STREAM", "")
+    stream_threshold = int(
+        os.environ.get("GBLASTN_TPU_STREAM_THRESHOLD", str(1 << 28))
+    )
+    use_stream = (
+        n_shards <= 1
+        and stream_env != "0"
+        and (stream_env == "1" or db.padded_length > stream_threshold)
+    )
     if n_shards > 1:
         # multi-chip: DB-sharded seeding over the device mesh
         from gblastn_tpu.engine.seeding import run_seeding_sharded
@@ -276,7 +253,68 @@ def prelim_search(
                 cmax=cmax,
                 window_size=options.window_size,
             )
+    elif use_stream:
+        from gblastn_tpu.engine.stream import run_seeding_streamed
+
+        with slog.time("device.seeding"):
+            init = run_seeding_streamed(
+                db,
+                query_dev=qdev,
+                query_host=qbuf_padded,
+                lut_offsets_dev=lut_offsets_dev,
+                lut_positions_dev=jnp.asarray(pos_padded),
+                matrix16=m16,
+                context_offsets=ctx_offsets,
+                word_cutoffs=word_cutoffs,
+                x_dropoffs=x_dropoffs,
+                word_size=lut.word_size,
+                lut_word=lut.lut_word_size,
+                scan_step=lut.scan_step,
+                cmax=cmax,
+                window_size=options.window_size,
+                block_bases=int(os.environ.get(
+                    "GBLASTN_TPU_BLOCK_BASES", str(1 << 27)
+                )),
+                halo=int(os.environ.get("GBLASTN_TPU_BLOCK_HALO", "4096")),
+            )
     else:
+        # the subject arrays are per-database and immutable: upload once
+        # and cache on the db object (the role of G-BLASTN's per-oid
+        # cached device arrays, gpu_blastn_MB_and_smallNa.cu:63-152)
+        dev_subject = getattr(db, "_device_cache", None)
+        if dev_subject is None:
+            from gblastn_tpu.ops.pallas_ungapped import prepare_subject
+
+            with slog.time("setup.subject_upload"):
+                sub2 = jnp.asarray(db.unpacked().astype(np.int8))
+                dev_subject = (
+                    sub2,
+                    jnp.asarray(db.valid_mask()),
+                    prepare_subject(sub2),
+                )
+                jax.block_until_ready(dev_subject)
+            db._device_cache = dev_subject
+
+        from gblastn_tpu.ops.pallas_ungapped import make_table64
+
+        dev = SeedingDeviceData(
+            query=qdev,
+            subject2=dev_subject[0],
+            subject_valid=dev_subject[1],
+            lut_offsets=lut_offsets_dev,
+            lut_positions=jnp.asarray(pos_padded),
+            matrix16=jnp.asarray(m16),
+            pallas_subject=dev_subject[2],
+            table64=jnp.asarray(make_table64(m16)),
+        )
+        if options.window_size > 0:
+            host_sub = getattr(db, "_host_cache", None)
+            if host_sub is None:
+                host_sub = (db.unpacked().astype(np.int8), db.valid_mask())
+                db._host_cache = host_sub
+            dev.host_query = qbuf_padded
+            dev.host_subject2, dev.host_valid = host_sub
+
         with slog.time("device.seeding"):
             init = run_seeding(
                 dev,

@@ -442,7 +442,9 @@ def run_seeding(
                 ug_q, ug_s, ug_len, ug_score = (
                     packed[4], packed[5], packed[6], packed[7],
                 )
-                trunc = packed[8].astype(bool)
+                # bit 0 of the flag word = WINDOW overrun (bits 1/2
+                # are bound-stop info for the streaming path)
+                trunc = (packed[8] & 1).astype(bool)
                 n_overflow = packed[9, 0]
                 n_raw = packed[10, 0]
         else:
@@ -537,22 +539,34 @@ def _finish_init_hits(
     window_size: int = 0, right_run=None,
 ) -> InitHits:
     """Host finishing: per-context cutoffs, oid mapping, one- or
-    two-hit diagonal replay, final score ordering."""
+    two-hit diagonal replay, final score ordering.
+
+    The diagonal replay runs in subject-local int32 coordinates
+    (diagonal state is keyed per (oid, diag), and shifting s_off and
+    ung_s_start by the same per-subject constant preserves every
+    comparison), which keeps the native filter int32-safe for global
+    positions beyond 2^31 (streamed multi-Gbase databases)."""
     cutoff = word_cutoffs[ctx].astype(np.int32)
 
     oid = (
         np.searchsorted(subject_starts, s_np, side="right") - 1
     ).astype(np.int32)
+    base = subject_starts[oid].astype(np.int64)
+    s_loc = (s_np.astype(np.int64) - base).astype(np.int32)
+    ug_s_loc = (ug_s.astype(np.int64) - base).astype(np.int32)
+    q32 = q_np.astype(np.int32)
+    len32 = ug_len.astype(np.int32)
+    score32 = ug_score.astype(np.int32)
 
     with slog.time("host.diag_filter"):
         if window_size > 0:
             saved = two_hit_diag_filter(
-                q_np, s_np, oid, word_size, window_size,
-                ug_s, ug_len, ug_score, cutoff, right_run,
+                q32, s_loc, oid, word_size, window_size,
+                ug_s_loc, len32, score32, cutoff, right_run,
             )
         else:
             saved = one_hit_diag_filter(
-                q_np, s_np, oid, word_size, ug_s, ug_len, ug_score,
+                q32, s_loc, oid, word_size, ug_s_loc, len32, score32,
                 cutoff,
             )
     keep = np.nonzero(saved)[0]

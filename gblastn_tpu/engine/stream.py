@@ -1,0 +1,491 @@
+"""Subject block streaming: DB-scale seeding under a fixed HBM budget.
+
+The reference streams subjects through the engine in 5MB chunks with a
+100bp overlap and merges chunk-crossing HSPs afterwards
+(/root/reference/c++/src/algo/blast/core/blast_engine.c:220-305,
+blast_hits.c:2545 ``Blast_HSPListsMerge``).  The TPU redesign removes
+the merge entirely:
+
+* the device holds ONE fixed-size block buffer (``block_bases`` core +
+  a ``halo`` of real subject context on each side) instead of the whole
+  database, so HBM use is O(block), not O(DB);
+* each block owns a **disjoint** range of global stride positions — the
+  scan's stride phase is global, so the seed set is identical to the
+  unstreamed scan and no seed is ever found twice (no dedup/merge);
+* extensions run inside the halo'd buffer; the few that stop at an
+  artificial bound (buffer edge, or the Pallas WINDOW) are re-extended
+  *exactly* on the host against the 2-bit packed database
+  (``ungapped_extend_host``), so results are bit-identical to the
+  unstreamed path;
+* blocks upload 2-bit **packed** bytes and unpack on device
+  (ops.seeding.block_arrays) — 4x less host->device traffic;
+* all coordinates on device are buffer-local int32; the host re-bases
+  them to global int64, so databases beyond 2^31 bases work (the
+  device-resident path cannot index those at all).
+
+Dispatch is depth-2 pipelined: block k+1's upload+compute is enqueued
+before block k's single packed fetch, hiding transfer latency.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gblastn_tpu.engine.seeding import InitHits, _finish_init_hits
+from gblastn_tpu.io.encoding import unpack_2na
+from gblastn_tpu.ops.seeding import (
+    seeding_pipeline_block,
+    seeding_scan_mini,
+)
+from gblastn_tpu.utils.profiling import slog
+
+CLIP = 1 << 30            # local-coordinate clip for subjects larger
+                          # than the buffer (values only feed min())
+_CAP_CACHE: dict[tuple, tuple[int, int]] = {}
+
+
+def _round_up_pow2(n: int, lo: int = 256) -> int:
+    m = lo
+    while m < n:
+        m *= 2
+    return m
+
+
+# ------------------------------------------------------------------ host ops
+def unpack_range(packed: np.ndarray, p0: int, p1: int) -> np.ndarray:
+    """2-bit codes for global base positions [p0, p1) (p0, p1 >= 0)."""
+    b0, b1 = p0 >> 2, (p1 + 3) >> 2
+    codes = unpack_2na(packed[b0:b1], (b1 - b0) * 4)
+    return codes[p0 - 4 * b0: p1 - 4 * b0]
+
+
+def _xdrop_dir_host(fetch, max_steps: int, x: int, chunk: int = 8192):
+    """Exact host mirror of ops.seeding._xdrop_direction (reset-at-best
+    accumulation of s_NuclUngappedExtendExact, na_ungapped.c:152).
+
+    ``fetch(base, k)`` returns scores for steps base+1 .. base+k.
+    Returns (best, best_pos) with best floored at 0 (pos 0 if best 0).
+    """
+    s = 0
+    best = 0
+    best_pos = 0
+    base = 0
+    while base < max_steps:
+        k = min(chunk, max_steps - base)
+        sc = fetch(base, k).astype(np.int64)
+        cs = s + np.cumsum(sc)
+        run = np.maximum.accumulate(cs)
+        prev = np.empty_like(run)
+        prev[0] = best
+        if k > 1:
+            np.maximum(best, run[:-1], out=prev[1:])
+        dropped = (cs - prev) < -x
+        any_drop = bool(dropped.any())
+        stop = int(np.argmax(dropped)) if any_drop else k - 1
+        live = cs[: stop + 1]
+        m = int(live.max())
+        if m > best:
+            best = m
+            best_pos = base + int(np.argmax(live == m)) + 1
+        if any_drop:
+            break
+        s = int(cs[-1])
+        base += k
+    return best, best_pos
+
+
+def ungapped_extend_host(
+    query: np.ndarray,            # uint8[Q] BLASTNA with sentinels
+    matrix16: np.ndarray,         # int32[16, 4] (device_matrix16)
+    packed: np.ndarray,           # uint8 packed DB
+    sub_start: np.ndarray,        # int64[n] subject start per seed
+    sub_end: np.ndarray,          # int64[n] subject end per seed
+    q_off: np.ndarray,
+    s_off: np.ndarray,            # int64[n] global base positions
+    x_drop: np.ndarray,
+):
+    """Exact bidirectional X-drop extension on host, straight off the
+    packed database.  Used for the rare streamed seeds whose device
+    extension stopped at a buffer edge; operation-identical to
+    ops.seeding.ungapped_extend (asserted in tests/test_stream.py)."""
+    Q = len(query)
+    n = len(q_off)
+    uq = np.zeros(n, np.int64)
+    us = np.zeros(n, np.int64)
+    ulen = np.zeros(n, np.int64)
+    uscore = np.zeros(n, np.int64)
+    m16 = matrix16.astype(np.int64)
+    for i in range(n):
+        qo = int(q_off[i])
+        so = int(s_off[i])
+        x = int(x_drop[i])
+        max_l = min(qo, so - int(sub_start[i]))
+        max_r = min(Q - qo, int(sub_end[i]) - so)
+
+        def fetch_l(base, k, qo=qo, so=so):
+            qseg = query[qo - base - k: qo - base][::-1].astype(np.int64)
+            sseg = unpack_range(packed, so - base - k, so - base)[::-1]
+            return m16[qseg, sseg.astype(np.int64)]
+
+        def fetch_r(base, k, qo=qo, so=so):
+            qseg = query[qo + base: qo + base + k].astype(np.int64)
+            sseg = unpack_range(packed, so + base, so + base + k)
+            return m16[qseg, sseg.astype(np.int64)]
+
+        l_best, l_pos = _xdrop_dir_host(fetch_l, max_l, x)
+        r_best, r_pos = _xdrop_dir_host(fetch_r, max_r, x)
+        uq[i] = qo - l_pos
+        us[i] = so - l_pos
+        ulen[i] = l_pos + r_pos
+        uscore[i] = l_best + r_best
+    return uq, us, ulen, uscore
+
+
+def compute_right_runs_packed(
+    query: np.ndarray,            # uint8[Q] BLASTNA
+    packed: np.ndarray,           # uint8 packed DB
+    sub_end: np.ndarray,          # int64[n] owning subject's end per seed
+    q_off: np.ndarray,
+    s_off: np.ndarray,            # int64[n] global positions
+    word_size: int,
+) -> np.ndarray:
+    """engine.seeding.compute_right_runs off the packed database (the
+    two-hit double-word probe) — no full unpacked DB needed."""
+    n = len(q_off)
+    if n == 0:
+        return np.zeros(0, np.int32)
+    W = word_size
+    k = np.arange(W, dtype=np.int64)
+    qi = q_off.astype(np.int64)[:, None] + W + k
+    si = s_off.astype(np.int64)[:, None] + W + k
+    q_in = qi < len(query)
+    qv = query[np.minimum(qi, len(query) - 1)]
+    byte = packed[np.minimum(si >> 2, len(packed) - 1).astype(np.int64)]
+    sv = (byte >> ((3 - (si & 3)) * 2).astype(np.uint8)) & 3
+    match = (
+        q_in
+        & (si < sub_end[:, None])
+        & (qv < 4)
+        & (qv.astype(np.int64) == sv.astype(np.int64))
+    )
+    return np.cumprod(match, axis=1).sum(axis=1).astype(np.int32)
+
+
+# -------------------------------------------------------------- device packs
+@jax.jit
+def _pack_stream(qs, ss, ok, ctx, f_q, f_s, f_len, f_score, bits,
+                 max_l, max_r, n_overflow, n_raw):
+    return jnp.stack([
+        qs, ss, ok.astype(jnp.int32), ctx,
+        f_q, f_s, f_len, f_score, bits.astype(jnp.int32),
+        max_l, max_r,
+        jnp.broadcast_to(n_overflow.astype(jnp.int32), qs.shape),
+        jnp.broadcast_to(n_raw.astype(jnp.int32), qs.shape),
+    ])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "scan_step", "lut_word", "word_size", "cmax", "n_scan",
+        "hit_cap", "seed_cap", "out_cap",
+    ),
+)
+def _xla_block_packed(
+    packed, local_starts, local_ends, lut_offsets, lut_positions,
+    query, matrix16, ctx_offsets, x_dropoffs, pos_base, pos_end,
+    *, scan_step, lut_word, word_size, cmax, n_scan, hit_cap, seed_cap,
+    out_cap,
+):
+    outs = seeding_pipeline_block(
+        packed, local_starts, local_ends, lut_offsets, lut_positions,
+        query, matrix16, ctx_offsets, x_dropoffs, pos_base, pos_end,
+        scan_step=scan_step, lut_word=lut_word, word_size=word_size,
+        cmax=cmax, n_scan=n_scan, hit_cap=hit_cap, seed_cap=seed_cap,
+        out_cap=out_cap,
+    )
+    return _pack_stream(*outs)
+
+
+# --------------------------------------------------------------- orchestrator
+class _BlockPlan:
+    """Static per-search geometry of the stream."""
+
+    def __init__(self, db, *, block_bases: int, halo: int, lut_word: int,
+                 scan_step: int):
+        self.B = max(block_bases - block_bases % 1024, 1024)
+        self.halo = max(halo - halo % 4, 256)
+        self.s_buf = self.B + 2 * self.halo
+        s_pad = db.padded_length
+        self.npos = s_pad - lut_word + 1
+        self.n_blocks = (s_pad + self.B - 1) // self.B
+        self.n_scan = self.B // scan_step + 1
+        self.scan_step = scan_step
+        starts = db.starts
+        ends = db.starts + db.lengths
+        # per-block subject slice [a, b) and the max count for bucketing
+        self.slices = []
+        kmax = 1
+        for k in range(self.n_blocks):
+            g0 = k * self.B - self.halo
+            a = int(np.searchsorted(ends, g0, side="right"))
+            b = int(np.searchsorted(starts, g0 + self.s_buf, side="left"))
+            self.slices.append((g0, a, b))
+            kmax = max(kmax, b - a)
+        self.kmax = _round_up_pow2(kmax, 16)
+
+    def block_inputs(self, db, k: int):
+        """(packed_bytes[s_buf/4], local_starts, local_ends, pos_base,
+        pos_end) for block k, or None if the block has no scan work."""
+        g0, a, b = self.slices[k]
+        if b <= a:
+            return None
+        p_lo = ((max(k * self.B, 0) + self.scan_step - 1)
+                // self.scan_step) * self.scan_step
+        p_hi = min((k + 1) * self.B, self.npos)
+        if p_lo >= p_hi:
+            return None
+        nbytes = self.s_buf // 4
+        buf = np.zeros(nbytes, np.uint8)
+        src0 = max(g0, 0) >> 2
+        src1 = min((g0 + self.s_buf) >> 2, len(db.packed))
+        if src1 > src0:
+            dst0 = src0 - (g0 >> 2)
+            buf[dst0: dst0 + (src1 - src0)] = db.packed[src0:src1]
+        ls = np.full(self.kmax, np.iinfo(np.int32).max, np.int32)
+        le = np.full(self.kmax, np.iinfo(np.int32).max, np.int32)
+        ls[: b - a] = np.clip(db.starts[a:b] - g0, -CLIP, CLIP)
+        le[: b - a] = np.clip(
+            db.starts[a:b] + db.lengths[a:b] - g0, -CLIP, CLIP
+        )
+        return buf, ls, le, np.int32(p_lo - g0), np.int32(p_hi - g0)
+
+
+def run_seeding_streamed(
+    db,
+    *,
+    query_dev: jnp.ndarray,         # uint8[Qcap] device query
+    query_host: np.ndarray,         # uint8[Qcap] same, host
+    lut_offsets_dev: jnp.ndarray,
+    lut_positions_dev: jnp.ndarray,
+    matrix16: np.ndarray,           # int32[16, 4] (device_matrix16)
+    context_offsets: np.ndarray,
+    word_cutoffs: np.ndarray,
+    x_dropoffs: np.ndarray,
+    word_size: int,
+    lut_word: int,
+    scan_step: int,
+    cmax: int,
+    window_size: int = 0,
+    block_bases: int = 1 << 27,
+    halo: int = 4096,
+    hit_cap: int = 16384,
+    seed_cap: int = 16384,
+    use_pallas: bool | None = None,
+) -> InitHits:
+    """Streamed seeding over the whole database; same InitHits contract
+    as engine.seeding.run_seeding (asserted equal in tests)."""
+    plan = _BlockPlan(
+        db, block_bases=block_bases, halo=halo, lut_word=lut_word,
+        scan_step=scan_step,
+    )
+    if use_pallas is None:
+        # decide off the actual placement of the device arrays: the
+        # axon TPU plugin registers itself as the default backend even
+        # when computations are routed to CPU (tests)
+        use_pallas = (
+            next(iter(query_dev.devices())).platform == "tpu"
+        )
+    m16_dev = jnp.asarray(matrix16)
+    table64_dev = None
+    query_p = None
+    if use_pallas:
+        from gblastn_tpu.ops.pallas_ungapped import (
+            make_table64, prepare_query,
+        )
+
+        table64_dev = jnp.asarray(make_table64(matrix16))
+        query_p = jax.jit(prepare_query)(query_dev)
+
+    n_ctx = len(word_cutoffs)
+    ctx_cap = 64
+    while ctx_cap < n_ctx:
+        ctx_cap *= 2
+    ctx_off_np = np.full(ctx_cap + 1, np.iinfo(np.int32).max, np.int32)
+    ctx_off_np[: n_ctx + 1] = context_offsets[: n_ctx + 1]
+    xdrop_np = np.ones(ctx_cap, np.int32)
+    xdrop_np[:n_ctx] = x_dropoffs
+    ctx_off_dev = jnp.asarray(ctx_off_np)
+    xdrop_dev = jnp.asarray(xdrop_np)
+
+    cap_key = ("stream", plan.s_buf, int(query_host.shape[0]), word_size)
+    cached = _CAP_CACHE.get(cap_key)
+    if cached:
+        hit_cap = max(hit_cap, cached[0])
+        seed_cap = max(seed_cap, cached[1])
+    caps = [hit_cap, seed_cap]
+
+    def dispatch(inputs):
+        buf, ls, le, pos_base, pos_end = inputs
+        packed_d = jnp.asarray(buf)
+        ls_d = jnp.asarray(ls)
+        le_d = jnp.asarray(le)
+        if use_pallas:
+            from gblastn_tpu.ops.pallas_ungapped import (
+                ungapped_extend_pallas_prepared,
+            )
+            from gblastn_tpu.ops.seeding import block_arrays_pallas
+
+            s2, sval, s_p = block_arrays_pallas(packed_d, ls_d, le_d)
+            qs, ss, ok, ctx, xd, max_l, max_r, n_overflow, n_raw = (
+                seeding_scan_mini(
+                    s2, sval, lut_offsets_dev, lut_positions_dev,
+                    query_dev, ctx_off_dev, xdrop_dev, ls_d, le_d,
+                    pos_base, pos_end,
+                    scan_step=scan_step, lut_word=lut_word,
+                    word_size=word_size, cmax=cmax, n_scan=plan.n_scan,
+                    hit_cap=caps[0], seed_cap=caps[1],
+                    out_cap=caps[1] // 2,
+                )
+            )
+            f_q, f_s, f_len, f_score, f_tr = (
+                ungapped_extend_pallas_prepared(
+                    (query_p, s_p), table64_dev,
+                    qs, ss, ok, xd, max_l, max_r,
+                )
+            )
+            return _pack_stream(
+                qs, ss, ok, ctx, f_q, f_s, f_len, f_score, f_tr,
+                max_l, max_r, n_overflow, n_raw,
+            )
+        return _xla_block_packed(
+            packed_d, ls_d, le_d, lut_offsets_dev, lut_positions_dev,
+            query_dev, m16_dev, ctx_off_dev, xdrop_dev,
+            pos_base, pos_end,
+            scan_step=scan_step, lut_word=lut_word, word_size=word_size,
+            cmax=cmax, n_scan=plan.n_scan, hit_cap=caps[0],
+            seed_cap=caps[1], out_cap=caps[1] // 2,
+        )
+
+    per_block: list[dict | None] = [None] * plan.n_blocks
+    total_raw = 0
+
+    def collect(k, inputs, out_dev):
+        nonlocal total_raw
+        while True:
+            packed = np.asarray(out_dev)
+            n_overflow = int(packed[11, 0])
+            if n_overflow == 0:
+                break
+            caps[0] *= 2
+            caps[1] *= 2
+            if caps[0] > 1 << 23:
+                raise RuntimeError(
+                    "streamed seeding capacity overflow did not clear"
+                )
+            out_dev = dispatch(inputs)
+        total_raw += int(packed[12, 0])
+        ok = packed[2].astype(bool)
+        sel = np.nonzero(ok)[0]
+        if not len(sel):
+            return
+        g0 = plan.slices[k][0]
+        per_block[k] = {
+            "g0": g0,
+            "qs": packed[0, sel],
+            "ss": packed[1, sel],
+            "ctx": packed[3, sel],
+            "uq": packed[4, sel],
+            "us": packed[5, sel],
+            "ulen": packed[6, sel],
+            "uscore": packed[7, sel],
+            "bits": packed[8, sel],
+            "maxl": packed[9, sel],
+            "maxr": packed[10, sel],
+        }
+
+    with slog.time("device.seeding.stream"):
+        pending = []
+        for k in range(plan.n_blocks):
+            inputs = plan.block_inputs(db, k)
+            if inputs is None:
+                continue
+            pending.append((k, inputs, dispatch(inputs)))
+            if len(pending) > 1:
+                collect(*pending.pop(0))
+        for item in pending:
+            collect(*item)
+
+    slog.diagnostics.lookup_hits += total_raw
+    _CAP_CACHE[cap_key] = (caps[0], caps[1])
+
+    blocks = [b for b in per_block if b is not None]
+    if not blocks:
+        z = np.zeros(0, dtype=np.int32)
+        return InitHits(z, z, z, z, z, z, z, z)
+
+    def cat(key, base=None):
+        if base is None:
+            return np.concatenate([b[key] for b in blocks])
+        return np.concatenate(
+            [b[key].astype(np.int64) + b[base] for b in blocks]
+        )
+
+    qs = cat("qs")
+    ss_g = cat("ss", "g0")
+    ctx = cat("ctx")
+    uq = cat("uq").astype(np.int64)
+    us_g = cat("us", "g0")
+    ulen = cat("ulen").astype(np.int64)
+    uscore = cat("uscore").astype(np.int64)
+    bits = cat("bits")
+    maxl = cat("maxl")
+    maxr = cat("maxr")
+    slog.diagnostics.init_extends += len(qs)
+
+    # escalation: seeds whose walk stopped at an artificial bound
+    # (buffer edge / Pallas WINDOW) rather than a true sequence end
+    starts = db.starts
+    ends = starts + db.lengths
+    oid = np.searchsorted(starts, ss_g, side="right") - 1
+    sub_start = starts[oid]
+    sub_end = ends[oid]
+    Q = len(query_host)
+    true_l = np.minimum(qs.astype(np.int64), ss_g - sub_start)
+    true_r = np.minimum(Q - qs.astype(np.int64), sub_end - ss_g)
+    suspect = (
+        ((bits & 1) != 0)
+        | (((bits & 2) != 0) & (true_l > maxl))
+        | (((bits & 4) != 0) & (true_r > maxr))
+    )
+    tidx = np.nonzero(suspect)[0]
+    if len(tidx):
+        with slog.time("host.stream_escalate"):
+            n_ctx_real = len(x_dropoffs)
+            xd_seed = np.asarray(x_dropoffs)[
+                np.clip(ctx[tidx], 0, n_ctx_real - 1)
+            ]
+            e_q, e_s, e_len, e_score = ungapped_extend_host(
+                query_host, matrix16, db.packed,
+                sub_start[tidx], sub_end[tidx],
+                qs[tidx], ss_g[tidx], xd_seed,
+            )
+            uq[tidx] = e_q
+            us_g[tidx] = e_s
+            ulen[tidx] = e_len
+            uscore[tidx] = e_score
+
+    right_run = None
+    if window_size > 0:
+        right_run = compute_right_runs_packed(
+            query_host, db.packed, sub_end, qs, ss_g, word_size,
+        )
+    return _finish_init_hits(
+        qs.astype(np.int64), ss_g, np.clip(ctx, 0, n_ctx - 1),
+        uq, us_g, ulen, uscore,
+        word_cutoffs, db.starts, word_size,
+        window_size=window_size, right_run=right_run,
+    )

@@ -291,12 +291,21 @@ def _kernel_batched(
             )
             best_pos = jnp.where(best > 0, jnp.min(is_best), 0)
             bound_hit = jnp.logical_not(any_drop) & (max_steps > WINDOW)
-            return best, best_pos, bound_hit
+            # walk exhausted its step budget (first "drop" is the
+            # budget-mask sentinel, or no drop at all) rather than
+            # making a genuine X-drop decision -- the caller decides
+            # whether that budget was a true sequence end or an
+            # artificial clamp needing escalation (block streaming)
+            bound_stop = jnp.where(
+                any_drop, first_drop > jnp.minimum(max_steps, WINDOW),
+                True,
+            )
+            return best, best_pos, bound_hit, bound_stop
 
-        l_best, l_pos, l_bound = reduce_dir(
+        l_best, l_pos, l_bound, l_stop = reduce_dir(
             l_cs, l_drop, max_l_ref[i], steps16_rev
         )
-        r_best, r_pos, r_bound = reduce_dir(
+        r_best, r_pos, r_bound, r_stop = reduce_dir(
             r_cs, r_drop, max_r_ref[i], steps16_fwd
         )
 
@@ -311,9 +320,16 @@ def _kernel_batched(
         ss_ref[k, :] = bcast(jnp.where(ok, s_off - l_pos, 0))
         len_ref[k, :] = bcast(jnp.where(ok, l_pos + r_pos, 0))
         score_ref[k, :] = bcast(jnp.where(ok, l_best + r_best, 0))
-        trunc_ref[k, :] = bcast(
-            jnp.where(ok & (l_bound | r_bound), 1, 0)
-        )
+        # bit 0: WINDOW overrun (the classic phase-2 escalation);
+        # bits 1/2: left/right walk ended at its step budget -- only
+        # meaningful to block streaming, where the budget may be a
+        # buffer-edge clamp rather than a true sequence end
+        trunc_ref[k, :] = bcast(jnp.where(
+            ok,
+            jnp.where(l_bound | r_bound, 1, 0)
+            + jnp.where(l_stop, 2, 0) + jnp.where(r_stop, 4, 0),
+            0,
+        ))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -45,7 +45,7 @@ def unpack_2na_device(packed: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "scan_step", "lut_word", "word_size", "cmax", "n_scan", "pos_base",
+        "scan_step", "lut_word", "word_size", "cmax", "n_scan",
         "hit_cap",
     ),
 )
@@ -60,7 +60,8 @@ def scan_block(
     word_size: int,
     cmax: int,
     n_scan: int,
-    pos_base: int = 0,            # first scan position (shard core start)
+    pos_base=0,                   # first scan position (traced OK)
+    pos_end=None,                 # exclusive scan bound (traced; None=all)
     hit_cap: int = 0,             # 0 = no compaction (dense fan-out)
 ):
     """Scan subject at stride positions; resolve CSR seeds.
@@ -99,6 +100,8 @@ def scan_block(
     pos_c = jnp.minimum(pos, npos_full - 1)
     words = word_full[pos_c]
     valid_word = valid_word_full[pos_c] & (pos == pos_c)
+    if pos_end is not None:
+        valid_word = valid_word & (pos < pos_end)
     words = jnp.where(valid_word, words, 0)
 
     start = lut_offsets[words]
@@ -284,7 +287,9 @@ def _xdrop_direction(
     return best, best_pos, bound
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "max_extend"))
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "max_extend", "return_bounds")
+)
 def ungapped_extend(
     query: jnp.ndarray,           # uint8[Q] BLASTNA
     subject2: jnp.ndarray,        # int8[S_pad]
@@ -297,6 +302,7 @@ def ungapped_extend(
     *,
     chunk: int = 64,
     max_extend: int = 0,          # 0 = unbounded; else clamp per direction
+    return_bounds: bool = False,  # also return per-direction bound stops
 ):
     """Exact bidirectional X-drop ungapped extension
     (s_NuclUngappedExtendExact, na_ungapped.c:152).
@@ -365,13 +371,20 @@ def ungapped_extend(
         )
     else:
         truncated = jnp.zeros_like(valid)
-    return (
+    out = (
         q_start.astype(jnp.int32),
         s_start.astype(jnp.int32),
         length.astype(jnp.int32),
         jnp.where(valid, score, 0).astype(jnp.int32),
         truncated,
     )
+    if return_bounds:
+        # a direction "bound-stopped" when the walk exhausted its step
+        # budget without a genuine X-drop decision; the caller decides
+        # whether that budget was a true sequence end or an artificial
+        # clamp (block-streaming buffer edge) needing escalation
+        out = out + (valid & left_bound, valid & right_bound)
+    return out
 
 
 @functools.partial(
@@ -471,6 +484,8 @@ def seeding_scan_mini(
     x_dropoffs: jnp.ndarray,
     subject_starts: jnp.ndarray,   # int64[num_subjects] base starts
     subject_ends: jnp.ndarray,     # int64[num_subjects] true ends
+    pos_base=0,                    # first scan position (traced OK)
+    pos_end=None,                  # exclusive scan bound (traced OK)
     *,
     scan_step: int,
     lut_word: int,
@@ -498,6 +513,7 @@ def seeding_scan_mini(
         subject2, subject_valid, lut_offsets, lut_positions,
         scan_step=scan_step, lut_word=lut_word, word_size=word_size,
         cmax=cmax, n_scan=n_scan, hit_cap=hit_cap,
+        pos_base=pos_base, pos_end=pos_end,
     )
     n_raw = take.sum()
     ridx = jnp.nonzero(take, size=seed_cap, fill_value=0)[0]
@@ -556,3 +572,103 @@ def seeding_scan_mini(
         n_overflow = n_overflow + jnp.maximum(n_srv - out_cap, 0)
 
     return qs, ss, ok, ctx, xd, max_l, max_r, n_overflow, n_raw
+
+
+# --------------------------------------------------------------- streaming
+# Subject block streaming (the TPU answer to the reference's 5MB subject
+# chunking with overlap + HSP merge, blast_engine.c:220-305): the scan
+# owns a disjoint core range of global stride positions per block, so no
+# seed is ever found twice and no merge pass is needed; extensions run
+# inside a context halo and the few that stop at the halo edge are
+# re-extended exactly on the host (engine.stream).
+
+
+def _valid_from_bounds(S, local_starts, local_ends):
+    idx = jnp.arange(S, dtype=jnp.int32)
+    oid = jnp.clip(
+        jnp.searchsorted(local_starts, idx, side="right") - 1,
+        0, local_starts.shape[0] - 1,
+    )
+    return (idx >= local_starts[oid]) & (idx < local_ends[oid])
+
+
+@jax.jit
+def block_arrays(
+    packed: jnp.ndarray,          # uint8[S_buf // 4] 2-bit packed block
+    local_starts: jnp.ndarray,    # int32[K] subject starts (buffer-local,
+    local_ends: jnp.ndarray,      #   clipped); pad slots INT32_MAX
+):
+    """Unpack a streamed subject block on device and derive its validity
+    mask from the (buffer-local) subject intervals. Uploading packed
+    bytes moves 4x less data host->device than pre-unpacked codes."""
+    subject2 = unpack_2na_device(packed)
+    valid = _valid_from_bounds(subject2.shape[0], local_starts, local_ends)
+    return subject2, valid
+
+
+@jax.jit
+def block_arrays_pallas(packed, local_starts, local_ends):
+    """block_arrays + the guard-padded Pallas subject form."""
+    from gblastn_tpu.ops.pallas_ungapped import prepare_subject
+
+    subject2, valid = block_arrays(packed, local_starts, local_ends)
+    return subject2, valid, prepare_subject(subject2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "scan_step", "lut_word", "word_size", "cmax", "n_scan", "hit_cap",
+        "seed_cap", "out_cap", "chunk",
+    ),
+)
+def seeding_pipeline_block(
+    packed: jnp.ndarray,          # uint8[S_buf // 4]
+    local_starts: jnp.ndarray,    # int32[K]
+    local_ends: jnp.ndarray,      # int32[K]
+    lut_offsets: jnp.ndarray,
+    lut_positions: jnp.ndarray,
+    query: jnp.ndarray,
+    matrix16: jnp.ndarray,
+    ctx_offsets: jnp.ndarray,
+    x_dropoffs: jnp.ndarray,
+    pos_base,                     # int32 first local scan position
+    pos_end,                      # int32 exclusive local scan bound
+    *,
+    scan_step: int,
+    lut_word: int,
+    word_size: int,
+    cmax: int,
+    n_scan: int,
+    hit_cap: int,
+    seed_cap: int,
+    out_cap: int = 0,
+    chunk: int = 64,
+):
+    """One streamed block through the XLA seeding path: unpack -> scan
+    (core positions only) -> mini-extension -> unclamped ungapped
+    extension within the buffer, with per-direction bound-stop flags so
+    the host can escalate halo-edge truncations.
+
+    Returns (q_off, s_off, valid, ctx, q_start, s_start, length, score,
+    bound_bits, max_l, max_r, n_overflow, n_raw); coordinates are
+    buffer-local int32 (the host re-bases them to global int64, so
+    databases beyond 2^31 bases stream fine)."""
+    subject2, subject_valid = block_arrays(packed, local_starts, local_ends)
+    qs, ss, ok, ctx, xd, max_l, max_r, n_overflow, n_raw = (
+        seeding_scan_mini(
+            subject2, subject_valid, lut_offsets, lut_positions, query,
+            ctx_offsets, x_dropoffs, local_starts, local_ends,
+            pos_base, pos_end,
+            scan_step=scan_step, lut_word=lut_word, word_size=word_size,
+            cmax=cmax, n_scan=n_scan, hit_cap=hit_cap, seed_cap=seed_cap,
+            out_cap=out_cap,
+        )
+    )
+    uq, us, ulen, uscore, _t, bl, br = ungapped_extend(
+        query, subject2, subject_valid, matrix16, qs, ss, ok, xd,
+        chunk=chunk, return_bounds=True,
+    )
+    bound_bits = bl.astype(jnp.int32) * 2 + br.astype(jnp.int32) * 4
+    return (qs, ss, ok, ctx, uq, us, ulen, uscore, bound_bits,
+            max_l, max_r, n_overflow, n_raw)

@@ -80,7 +80,8 @@ def test_pallas_matches_xla(problem):
             np.asarray(got[k])[:n], np.asarray(ref[k])[:n],
             err_msg=names[k],
         )
-    assert not np.asarray(got[4])[:n].any()
+    # bit 0 = WINDOW overrun; higher bits are bound-stop info only
+    assert not (np.asarray(got[4])[:n] & 1).any()
 
 
 def test_pallas_subject_boundary_clamp(problem):
@@ -129,7 +130,7 @@ def test_pallas_truncation_flag(problem):
         jnp.asarray(s_off), jnp.asarray(S2 - s_off),
         interpret=True,
     )
-    assert bool(np.asarray(got[4])[0])
+    assert bool(np.asarray(got[4])[0] & 1)
 
 
 def test_lane_chunking_matches_single_call(problem, monkeypatch):
