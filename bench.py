@@ -1,18 +1,21 @@
-"""Benchmark driver: megablast throughput on BASELINE config 1.
+"""Benchmark driver: megablast/blastn throughput + kernel-level metrics.
 
-Workload (BASELINE.json configs[0]): 500 x 1 kb query reads vs an
-E. coli-scale genome (4.6 Mb synthetic, fixed seed), megablast defaults.
-Reads are sampled from the genome with 2% substitutions + rare indels so
-every read aligns (the pipeline exercises seeding, greedy prelim,
-traceback, and statistics end to end).
+Configs (BASELINE.json):
+  1. (headline) 500 x 1 kb reads vs 4.6 Mb synthetic genome, megablast
+     defaults -- the JSON line on stdout.
+  2. blastn task (word 11): 200 x 1.5 kb reads, same genome.
+  3. DB-scale: 10,000 x 1 kb reads in 20 batches of 500 vs a 300 Mb
+     genome (human-chr1 scale), megablast, subject block streaming.
 
-Prints ONE JSON line:
+Kernel metrics (stderr): seed-scan Gbases/s and ungapped-extension
+Gcells/s measured over device dispatches with FRESH input buffers each
+iteration (the axon tunnel caches results for identical buffers, and
+wall-clock around a single dispatch mostly measures the ~27ms tunnel
+round trip -- amortize over many dispatches instead).
+
+Prints ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": "queries/sec", "vs_baseline": N}
-
-vs_baseline is measured throughput divided by the reference CPU
-anchor in BASELINE.json["published"]["queries_per_sec_megablast_ecoli"]
-when present (the reference repo publishes no numbers; until a measured
-anchor exists the divisor defaults to 1.0 and vs_baseline == value).
+Supplementary config/kernel results go to stderr as '# ...' lines.
 """
 from __future__ import annotations
 
@@ -28,55 +31,66 @@ NUM_QUERIES = 500   # production batch size; fixed per-batch costs
 QUERY_LEN = 1000
 SEED = 20260816
 
+BIG_GENOME_LEN = 300_000_000   # config 3: human-chr1 scale, streamed
+BIG_NUM_QUERIES = 10_000
+BIG_BATCH = 500
+
+
+def _make_genome(rng, n):
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    return bases[rng.integers(0, 4, n)].tobytes().decode()
+
+
+def _sample_reads(rng, genome, num, qlen, name_prefix="read"):
+    from gblastn_tpu.io.fasta import FastaRecord
+
+    queries = []
+    for i in range(num):
+        start = int(rng.integers(0, len(genome) - qlen))
+        read = list(genome[start: start + qlen])
+        for p in np.flatnonzero(rng.random(qlen) < 0.02):
+            read[p] = "ACGT"[(("ACGT".index(read[p])) + 1 +
+                              int(rng.integers(0, 3))) % 4]
+        seq = "".join(read)
+        if rng.random() < 0.3:  # occasional short deletion
+            cut = int(rng.integers(100, qlen - 100))
+            seq = seq[:cut] + seq[cut + 3:]
+        queries.append(FastaRecord(f"{name_prefix}{i}", "", seq))
+    return queries
+
 
 def build_workload():
     from gblastn_tpu.io.fasta import FastaRecord
     from gblastn_tpu.io.seqdb import SequenceDB
 
     rng = np.random.default_rng(SEED)
-    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
-    genome_codes = rng.integers(0, 4, GENOME_LEN)
-    genome = bases[genome_codes].tobytes().decode()
+    genome = _make_genome(rng, GENOME_LEN)
     db = SequenceDB.from_records(
         [FastaRecord("ecoli_synth", "synthetic E. coli scale genome",
                      genome)],
         title="ecoli_synth",
     )
-    queries = []
-    for i in range(NUM_QUERIES):
-        start = int(rng.integers(0, GENOME_LEN - QUERY_LEN))
-        read = list(genome[start: start + QUERY_LEN])
-        # ~2% substitutions
-        for p in np.flatnonzero(rng.random(QUERY_LEN) < 0.02):
-            read[p] = "ACGT"[(("ACGT".index(read[p])) + 1 +
-                              int(rng.integers(0, 3))) % 4]
-        seq = "".join(read)
-        if rng.random() < 0.3:  # occasional short deletion
-            cut = int(rng.integers(100, QUERY_LEN - 100))
-            seq = seq[:cut] + seq[cut + 3:]
-        queries.append(FastaRecord(f"read{i}", "", seq))
-    return db, queries
+    return db, genome, rng
 
 
-def main() -> int:
+def _count_hits(results):
+    return sum(
+        len(lst.hsps) for q in results.queries for lst in q.hsplists
+    )
+
+
+def bench_config1(db, genome, rng):
+    """Headline: megablast 500 x 1kb, best of 3."""
     from gblastn_tpu.engine.search import search
     from gblastn_tpu.params.options import megablast_options
-    from gblastn_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-    db, queries = build_workload()
-    options = megablast_options(evalue=1e-5, max_target_seqs=10)
-
-    # warm-up: compile all device kernels at the same bucketed shapes as
-    # the timed run (excluded from timing, like the reference's
-    # long-lived pipeline process amortizing startup)
-    search(queries, db, options)
-
     from gblastn_tpu.utils.profiling import slog
 
-    # best of 3 timed runs: the shared TPU host adds large run-to-run
-    # noise to the Python stages; best-of reflects capability
+    queries = _sample_reads(rng, genome, NUM_QUERIES, QUERY_LEN)
+    options = megablast_options(evalue=1e-5, max_target_seqs=10)
+    search(queries, db, options)  # warm-up compile, untimed
+
     dt = float("inf")
+    report = ""
     for _ in range(3):
         slog.reset()  # stage report below covers only the fastest run
         t0 = time.time()
@@ -85,25 +99,214 @@ def main() -> int:
         if dt_i < dt:
             dt = dt_i
             report = slog.report()
-
-    n_hits = sum(
-        len(lst.hsps) for q in results.queries for lst in q.hsplists
-    )
-    qps = NUM_QUERIES / dt
-    aligned = sum(1 for q in results.queries if q.hsplists)
     print(
-        f"# {NUM_QUERIES} queries, {n_hits} HSPs, {aligned} aligned, "
-        f"{dt:.2f}s", file=sys.stderr,
+        f"# config1 megablast: {NUM_QUERIES} queries, "
+        f"{_count_hits(results)} HSPs, {dt:.2f}s = "
+        f"{NUM_QUERIES / dt:.1f} q/s", file=sys.stderr,
     )
-    # supplementary kernel-efficiency metric (BASELINE.md target):
-    # subject bases scanned per second of device seeding time
-    seed_t = slog.totals.get("device.seeding", 0.0)
-    if seed_t > 0:
-        print(
-            f"# scan throughput: {GENOME_LEN / seed_t / 1e9:.2f} "
-            "Gbases/s of device seeding time", file=sys.stderr,
-        )
     print(report, file=sys.stderr)
+    return NUM_QUERIES / dt
+
+
+def bench_config2(db, genome, rng):
+    """blastn task (word 11, reward/penalty 2/-3 scaled): 200 x 1.5kb."""
+    from gblastn_tpu.engine.search import search
+    from gblastn_tpu.params.options import blastn_options
+
+    queries = _sample_reads(rng, genome, 200, 1500, "b")
+    options = blastn_options(evalue=1e-5, max_target_seqs=10)
+    search(queries, db, options)  # warm-up
+    t0 = time.time()
+    results = search(queries, db, options)
+    dt = time.time() - t0
+    qps = 200 / dt
+    print(
+        f"# config2 blastn(word11): 200 queries, "
+        f"{_count_hits(results)} HSPs, {dt:.2f}s = {qps:.1f} q/s",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "queries_per_sec_blastn_w11_ecoli",
+        "value": round(qps, 3), "unit": "queries/sec",
+    }), file=sys.stderr)
+
+
+def bench_config3():
+    """DB-scale streamed megablast: 10k reads vs 300 Mb in 500-read
+    batches (the CLI's batching shape)."""
+    import os
+
+    from gblastn_tpu.engine.search import search
+    from gblastn_tpu.io.fasta import FastaRecord
+    from gblastn_tpu.io.seqdb import SequenceDB
+    from gblastn_tpu.params.options import megablast_options
+
+    rng = np.random.default_rng(SEED + 3)
+    genome = _make_genome(rng, BIG_GENOME_LEN)
+    db = SequenceDB.from_records(
+        [FastaRecord("chr1_synth", "synthetic chr1-scale genome", genome)],
+        title="chr1_synth",
+    )
+    queries = _sample_reads(rng, genome, BIG_NUM_QUERIES, QUERY_LEN, "c")
+    del genome
+    options = megablast_options(evalue=1e-5, max_target_seqs=10)
+    assert db.padded_length > int(os.environ.get(
+        "GBLASTN_TPU_STREAM_THRESHOLD", str(1 << 28)
+    )), "config 3 must exercise the streamed path"
+
+    # warm-up on one batch (compiles the streamed block programs)
+    search(queries[:BIG_BATCH], db, options)
+    t0 = time.time()
+    n_hits = 0
+    for i in range(0, BIG_NUM_QUERIES, BIG_BATCH):
+        res = search(queries[i: i + BIG_BATCH], db, options)
+        n_hits += _count_hits(res)
+    dt = time.time() - t0
+    qps = BIG_NUM_QUERIES / dt
+    print(
+        f"# config3 megablast streamed 300Mb: {BIG_NUM_QUERIES} queries "
+        f"in {BIG_NUM_QUERIES // BIG_BATCH} batches, {n_hits} HSPs, "
+        f"{dt:.1f}s = {qps:.1f} q/s", file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "queries_per_sec_megablast_300Mb_streamed",
+        "value": round(qps, 3), "unit": "queries/sec",
+    }), file=sys.stderr)
+
+
+def bench_kernels(db, genome, rng):
+    """Device-kernel rates, measured over many dispatches with fresh
+    buffers (see module docstring)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gblastn_tpu.engine.search import device_matrix16
+    from gblastn_tpu.io.query import build_query_block
+    from gblastn_tpu.lut.builder import build_lookup_table, unmasked_locations
+    from gblastn_tpu.ops.seeding import seeding_scan_mini
+
+    queries = _sample_reads(rng, genome, 64, QUERY_LEN, "k")
+    qblock = build_query_block(queries, "both")
+    locs = unmasked_locations(qblock.buffer, qblock.context_offsets())
+    lut = build_lookup_table(qblock.buffer, locs, 28, 11)
+    qbuf = np.full(1 << 17, 15, np.uint8)
+    qbuf[: len(qblock.buffer)] = qblock.buffer
+
+    sub2 = db.unpacked().astype(np.int8)
+    valid = db.valid_mask()
+    n_scan = (len(sub2) - lut.lut_word_size) // lut.scan_step + 1
+    co = qblock.context_offsets()
+    ctx_cap = 64
+    while ctx_cap + 1 < len(co):
+        ctx_cap *= 2
+    ctx_off = np.full(ctx_cap + 1, np.iinfo(np.int32).max, np.int32)
+    ctx_off[: len(co)] = co
+    xdrops = np.full(ctx_cap, 22, np.int32)
+
+    dev_args = [
+        jnp.asarray(sub2), jnp.asarray(valid),
+        jnp.asarray(lut.counts_offsets), jnp.asarray(lut.positions),
+        jnp.asarray(qbuf), jnp.asarray(ctx_off), jnp.asarray(xdrops),
+        jnp.asarray(db.starts), jnp.asarray(db.starts + db.lengths),
+    ]
+
+    def scan_once(qdev):
+        return seeding_scan_mini(
+            dev_args[0], dev_args[1], dev_args[2], dev_args[3],
+            qdev, dev_args[5], dev_args[6], dev_args[7], dev_args[8],
+            scan_step=lut.scan_step, lut_word=lut.lut_word_size,
+            word_size=28, cmax=8, n_scan=n_scan,
+            hit_cap=16384, seed_cap=16384,
+        )
+
+    # fresh query buffers per call defeat tunnel-side result caching
+    variants = []
+    for i in range(8):
+        v = qbuf.copy()
+        v[len(qblock.buffer) - 1 - i] = 15
+        variants.append(jnp.asarray(v))
+    jax.block_until_ready(variants)
+    out = scan_once(variants[0])  # compile
+    jax.block_until_ready(out)
+    t0 = time.time()
+    outs = [scan_once(v) for v in variants]
+    jax.block_until_ready(outs)
+    dt = time.time() - t0
+    scan_rate = len(sub2) * len(variants) / dt / 1e9
+    print(
+        f"# scan+mini kernel: {scan_rate:.2f} Gbases/s "
+        f"({len(variants)} dispatches of {len(sub2) / 1e6:.1f} Mbase, "
+        f"{dt * 1000 / len(variants):.1f} ms each)", file=sys.stderr,
+    )
+
+    # ungapped Pallas kernel rate over the real seed set of this scan
+    try:
+        from gblastn_tpu.ops.pallas_ungapped import (
+            WINDOW, make_table64, prepare_query, prepare_subject,
+            ungapped_extend_pallas_prepared,
+        )
+
+        if next(iter(dev_args[0].devices())).platform != "tpu":
+            raise RuntimeError("not on tpu")
+        qs, ss, ok, ctx, xd, max_l, max_r, _o, _r = outs[0]
+        n_seeds = int(np.asarray(ok.sum()))
+        m16 = device_matrix16(1, -2)
+        table = jnp.asarray(make_table64(m16))
+        sub_p = prepare_subject(dev_args[0])
+        qps_ = [jax.jit(prepare_query)(v) for v in variants]
+        jax.block_until_ready([sub_p] + qps_)
+        res = ungapped_extend_pallas_prepared(
+            (qps_[0], sub_p), table, qs, ss, ok, xd, max_l, max_r,
+        )
+        jax.block_until_ready(res)
+        t0 = time.time()
+        rs = [
+            ungapped_extend_pallas_prepared(
+                (qp, sub_p), table, qs, ss, ok, xd, max_l, max_r,
+            )
+            for qp in qps_
+        ]
+        jax.block_until_ready(rs)
+        dt = time.time() - t0
+        lanes = int(np.asarray(qs).shape[0])
+        cells = lanes * 2 * WINDOW * len(qps_)
+        print(
+            f"# ungapped Pallas kernel: {cells / dt / 1e9:.1f} Gcells/s "
+            f"({lanes} lanes x {2 * WINDOW} cells, {n_seeds} live seeds, "
+            f"{dt * 1000 / len(qps_):.1f} ms/dispatch)", file=sys.stderr,
+        )
+    except Exception as e:  # CPU run / kernel unavailable
+        print(f"# ungapped Pallas kernel: skipped ({e})", file=sys.stderr)
+
+
+def main() -> int:
+    import os
+
+    from gblastn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    t_all = time.time()
+    db, genome, rng = build_workload()
+    qps = bench_config1(db, genome, rng)
+
+    bench_kernels(db, genome, rng)
+
+    budget = float(os.environ.get("GBLASTN_BENCH_BUDGET_S", "540"))
+    if time.time() - t_all < budget:
+        try:
+            bench_config2(db, genome, rng)
+        except Exception as e:
+            print(f"# config2 failed: {e}", file=sys.stderr)
+    else:
+        print("# config2 skipped (time budget)", file=sys.stderr)
+    del db, genome
+    if time.time() - t_all < budget:
+        try:
+            bench_config3()
+        except Exception as e:
+            print(f"# config3 failed: {e}", file=sys.stderr)
+    else:
+        print("# config3 skipped (time budget)", file=sys.stderr)
 
     try:
         published = json.load(open("BASELINE.json")).get("published", {})

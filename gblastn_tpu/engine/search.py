@@ -247,6 +247,7 @@ def prelim_search(
                 device_matrix16(options.reward, options.penalty),
                 word_size=lut.word_size,
                 subject_starts=db.starts,
+                subject_lengths=db.lengths,
                 context_offsets=ctx_offsets,
                 word_cutoffs=word_cutoffs,
                 x_dropoffs=x_dropoffs,

@@ -596,6 +596,7 @@ def run_seeding_sharded(
     *,
     word_size: int,
     subject_starts: np.ndarray,
+    subject_lengths: np.ndarray,
     context_offsets: np.ndarray,
     word_cutoffs: np.ndarray,
     x_dropoffs: np.ndarray,
@@ -604,44 +605,50 @@ def run_seeding_sharded(
 ) -> InitHits:
     """Multi-chip seeding over a DB-sharded device mesh
     (gblastn_tpu.parallel.dist), then the same host finishing as the
-    single-chip path. Nucleotide KA parameters are context-independent,
-    so the sharded kernel takes one scalar X-drop."""
+    single-chip path. The sharded program runs the full production
+    seeding stage (compaction, per-context X-drops, Pallas ungapped on
+    TPU, overflow retry, exact edge escalation)."""
     from gblastn_tpu.parallel.dist import run_sharded_seeding
 
-    x_drop = int(np.max(x_dropoffs)) if len(x_dropoffs) else 1
+    n_ctx = len(word_cutoffs)
+    ctx_cap = 64
+    while ctx_cap < n_ctx:
+        ctx_cap *= 2
+    ctx_off = np.full(ctx_cap + 1, np.iinfo(np.int32).max, np.int32)
+    ctx_off[: n_ctx + 1] = context_offsets[: n_ctx + 1]
+    xdrops = np.ones(ctx_cap, np.int32)
+    xdrops[:n_ctx] = x_dropoffs
+
     with slog.time("device.seeding.sharded"):
-        q_off, s_off, ok, ug_q, ug_s, ug_len, ug_score = (
+        q_off, s_off, ctx, ug_q, ug_s, ug_len, ug_score = (
             run_sharded_seeding(
                 mesh, subject2, subject_valid, query_buffer,
                 lut.counts_offsets,
                 lut.positions if len(lut.positions)
                 else np.zeros(1, np.int32),
-                matrix16, x_drop,
+                matrix16,
+                subject_starts=subject_starts,
+                subject_lengths=subject_lengths,
+                ctx_offsets=ctx_off, x_dropoffs=xdrops,
                 scan_step=lut.scan_step, lut_word=lut.lut_word_size,
                 word_size=word_size, cmax=cmax,
             )
         )
-    sel = np.nonzero(ok)[0]
-    if len(sel) == 0:
+    slog.diagnostics.init_extends += len(q_off)
+    if len(q_off) == 0:
         z = np.zeros(0, dtype=np.int32)
         return InitHits(z, z, z, z, z, z, z, z)
-    n_ctx = len(word_cutoffs)
-    ctx = (
-        np.searchsorted(context_offsets, q_off[sel], side="right") - 1
-    ).astype(np.int32)
     right_run = None
     if window_size > 0:
         right_run = compute_right_runs(
             np.asarray(query_buffer), np.asarray(subject2),
             np.asarray(subject_valid),
-            q_off[sel].astype(np.int64), s_off[sel].astype(np.int64),
+            q_off.astype(np.int64), s_off.astype(np.int64),
             word_size,
         )
     return _finish_init_hits(
-        q_off[sel].astype(np.int32), s_off[sel].astype(np.int32),
-        np.clip(ctx, 0, n_ctx - 1),
-        ug_q[sel].astype(np.int32), ug_s[sel].astype(np.int32),
-        ug_len[sel].astype(np.int32), ug_score[sel].astype(np.int32),
+        q_off, s_off, np.clip(ctx, 0, n_ctx - 1),
+        ug_q, ug_s, ug_len, ug_score,
         word_cutoffs, subject_starts, word_size,
         window_size=window_size, right_run=right_run,
     )

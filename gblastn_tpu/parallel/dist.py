@@ -7,25 +7,30 @@ prelim_stage.cpp:139 and gpu_blast/gpu_blastn_pre_search_engine.cpp:
 1244-1248; multi-GPU checkout gpu_blast_multi_gpu_utils.cpp:105-154).
 
 Design (SURVEY.md §5 "distributed communication backend"):
-* the packed subject database is sharded by contiguous base ranges over
-  a 1-D ``db`` mesh axis (each chip holds one slice + the replicated
-  lookup table and query block);
-* seeding (scan -> mini-extension -> X-drop ungapped extension) runs
-  per shard under ``shard_map`` -- fully data-parallel, no collectives
-  in the hot loop;
-* each shard emits a fixed-capacity seed tensor; the merge the
-  reference does through a locked stream becomes a host gather of the
-  per-shard tensors, after which ranking happens once.
-
-Shard layout: every shard holds ``[CTX context | core | CTX lookahead]``
-bases. Scan positions cover only the core (each global position is
-owned by exactly one shard); the flanking context lets mini-extension
-and the ungapped X-drop run across the boundary. Extensions reaching
-further than CTX truncate at the shard edge -- the same semantics as
-the reference's subject chunk boundaries (DBSEQ_CHUNK_OVERLAP = 100,
-blast_engine.c:220-305); CTX defaults to 256, and the later host gapped
-stage always sees the whole subject, so only ungapped-cutoff admission
-is affected, exactly as in the reference.
+* the subject database is sharded by contiguous base ranges over a 1-D
+  ``db`` mesh axis (each chip holds one slice + the replicated lookup
+  table and query block);
+* the full seeding stage (scan -> seed compaction -> mini-extension ->
+  survivor compaction -> X-drop ungapped extension) runs per shard
+  under ``shard_map`` — fully data-parallel, no collectives in the hot
+  loop.  On TPU the ungapped stage is the Pallas window kernel, exactly
+  as on the single-chip path;
+* each shard emits a device-compacted fixed-capacity seed tensor
+  [D, out_cap] (not the dense [D, n_scan*cmax] fan-out); the merge the
+  reference does through a locked stream becomes one gather of those
+  small tensors, after which ranking happens once.  Under
+  ``jax.distributed`` (multi-host) the gather is a DCN
+  ``process_allgather`` of the same compacted tensors;
+* per-shard overflow counters propagate to the host, which doubles the
+  capacities and retries — the same escalation contract as the
+  single-chip path;
+* scan positions keep the GLOBAL stride phase (each global stride
+  position is owned by exactly one shard), so the seed set is identical
+  to the single-chip scan;
+* extensions that stop at a shard-buffer edge (or the Pallas WINDOW)
+  rather than a true sequence end are re-extended exactly on the host,
+  so shard boundaries cause NO admission drift (the reference truncates
+  at its chunk overlap instead, blast_engine.c:220-305).
 """
 from __future__ import annotations
 
@@ -41,9 +46,10 @@ try:  # jax >= 0.4.35 exports shard_map at top level
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
-from gblastn_tpu.ops.seeding import mini_extend, scan_block, ungapped_extend
+from gblastn_tpu.ops.seeding import seeding_scan_mini, ungapped_extend
 
-CTX = 256  # flanking context bases per shard edge
+CTX = 1024  # flanking context bases per shard edge (extensions running
+            # past it escalate to the exact host extension)
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "db") -> Mesh:
@@ -76,7 +82,7 @@ def shard_subject(
     L = ctx + core + ctx
     sub = np.zeros((n_shards, L), dtype=subject2.dtype)
     val = np.zeros((n_shards, L), dtype=bool)
-    bases = np.zeros(n_shards, dtype=np.int32)
+    bases = np.zeros(n_shards, dtype=np.int64)
     for d in range(n_shards):
         a = d * core - ctx          # global start of the local window
         b = min(a + L, S)
@@ -89,6 +95,36 @@ def shard_subject(
     return sub, val, bases, core
 
 
+def _shard_bounds(
+    subject_starts: np.ndarray,
+    subject_lengths: np.ndarray,
+    bases: np.ndarray,
+    L: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Buffer-local (clipped int32) subject intervals per shard, padded
+    to a common power-of-two K with INT32_MAX (sorted)."""
+    starts = np.asarray(subject_starts, dtype=np.int64)
+    ends = starts + np.asarray(subject_lengths, dtype=np.int64)
+    slices = []
+    kmax = 1
+    for g0 in bases:
+        a = int(np.searchsorted(ends, g0, side="right"))
+        b = int(np.searchsorted(starts, g0 + L, side="left"))
+        slices.append((a, b))
+        kmax = max(kmax, b - a)
+    k = 16
+    while k < kmax:
+        k *= 2
+    clip = 1 << 30
+    ls = np.full((len(bases), k), np.iinfo(np.int32).max, np.int32)
+    le = np.full((len(bases), k), np.iinfo(np.int32).max, np.int32)
+    for d, (a, b) in enumerate(slices):
+        if b > a:
+            ls[d, : b - a] = np.clip(starts[a:b] - bases[d], -clip, clip)
+            le[d, : b - a] = np.clip(ends[a:b] - bases[d], -clip, clip)
+    return ls, le
+
+
 def make_sharded_seeding(
     mesh: Mesh,
     *,
@@ -97,46 +133,70 @@ def make_sharded_seeding(
     word_size: int,
     cmax: int,
     n_scan: int,
+    hit_cap: int,
+    seed_cap: int,
+    out_cap: int,
+    use_pallas: bool,
     chunk: int = 64,
 ):
     """Build the jitted DB-sharded seeding step.
 
-    Maps (subject2_sh [D,L], valid_sh [D,L], base_off [D], query [Q],
-    lut_offsets, lut_positions, matrix16 [16,4], x_drop scalar) to
-    per-shard fixed-capacity seed tensors [D, n_scan*cmax]:
-    (q_off, s_off_global, ok, q_start_g, s_start_g, length, score).
+    Maps (subject2_sh [D,L], valid_sh [D,L], local_starts/ends [D,K],
+    pos_base/pos_end [D], query [Q], score data, ctx_offsets, x_dropoffs)
+    to device-compacted per-shard tensors [D, out_cap]:
+    (q_off, s_off_local, ok, ctx, q_start, s_start, length, score,
+    bound_bits, max_l, max_r) plus [D] overflow/raw counters.
     """
     axis = mesh.axis_names[0]
 
-    def one_shard(subject2, valid, base, query, lut_off, lut_pos,
-                  matrix16, x_drop):
-        q_off, s_off, ok, _dropped = scan_block(
-            subject2, valid, lut_off, lut_pos,
+    def one_shard(subject2, valid, ls, le, pos_base, pos_end,
+                  query, lut_off, lut_pos, ctx_off, xdrops, score_data):
+        qs, ss, ok, ctx, xd, max_l, max_r, n_ov, n_raw = seeding_scan_mini(
+            subject2, valid, lut_off, lut_pos, query, ctx_off, xdrops,
+            ls, le, pos_base, pos_end,
             scan_step=scan_step, lut_word=lut_word, word_size=word_size,
-            cmax=cmax, n_scan=n_scan, pos_base=CTX,
+            cmax=cmax, n_scan=n_scan, hit_cap=hit_cap, seed_cap=seed_cap,
+            out_cap=out_cap,
         )
-        q_adj, s_adj, ok2 = mini_extend(
-            query, subject2, valid, q_off, s_off, ok,
-            lut_word=lut_word, word_size=word_size,
-        )
-        xd = jnp.broadcast_to(x_drop, q_adj.shape)
-        uq, us, ulen, uscore, _trunc = ungapped_extend(
-            query, subject2, valid, matrix16, q_adj, s_adj, ok2, xd,
-            chunk=chunk,
-        )
-        return (q_adj, s_adj + base, ok2, uq, us + base, ulen, uscore)
+        if use_pallas:
+            from gblastn_tpu.ops.pallas_ungapped import (
+                prepare_subject,
+                ungapped_extend_pallas_prepared,
+            )
+
+            query_p, table64 = score_data
+            sub_p = prepare_subject(subject2)
+            uq, us, ulen, uscore, bits = ungapped_extend_pallas_prepared(
+                (query_p, sub_p), table64, qs, ss, ok, xd, max_l, max_r,
+            )
+        else:
+            (matrix16,) = score_data
+            uq, us, ulen, uscore, _t, bl, br = ungapped_extend(
+                query, subject2, valid, matrix16, qs, ss, ok, xd,
+                chunk=chunk, return_bounds=True,
+            )
+            bits = bl.astype(jnp.int32) * 2 + br.astype(jnp.int32) * 4
+        return (qs, ss, ok.astype(jnp.int32), ctx, uq, us, ulen, uscore,
+                bits.astype(jnp.int32), max_l, max_r,
+                n_ov[None], n_raw[None])
+
+    score_spec = (
+        (P(None, None), P(None)) if use_pallas else (P(None, None),)
+    )
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(axis, None), P(axis, None), P(axis), P(None),
-                  P(None), P(None), P(None, None), P()),
-        out_specs=(P(axis, None),) * 7,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                  P(axis, None), P(axis), P(axis), P(None), P(None),
+                  P(None), P(None), P(None), score_spec),
+        out_specs=(P(axis, None),) * 11 + (P(axis), P(axis)),
     )
-    def step(sub_sh, val_sh, base_sh, query, lut_off, lut_pos, matrix16,
-             x_drop):
+    def step(sub_sh, val_sh, ls_sh, le_sh, pos_base, pos_end, query,
+             lut_off, lut_pos, ctx_off, xdrops, score_data):
         out = one_shard(
-            sub_sh[0], val_sh[0], base_sh[0], query, lut_off, lut_pos,
-            matrix16, x_drop,
+            sub_sh[0], val_sh[0], ls_sh[0], le_sh[0],
+            pos_base[0], pos_end[0], query, lut_off, lut_pos,
+            ctx_off, xdrops, score_data,
         )
         return tuple(o[None] for o in out)
 
@@ -151,27 +211,172 @@ def run_sharded_seeding(
     lut_offsets: np.ndarray,
     lut_positions: np.ndarray,
     matrix16: np.ndarray,
-    x_drop: int,
     *,
+    subject_starts: np.ndarray,
+    subject_lengths: np.ndarray,
+    ctx_offsets: np.ndarray,     # int32[n_ctx + 1]
+    x_dropoffs: np.ndarray,      # int32[n_ctx] per-context raw X-drop
     scan_step: int,
     lut_word: int,
     word_size: int,
     cmax: int = 8,
+    hit_cap: int = 16384,
+    seed_cap: int = 16384,
+    use_pallas: bool | None = None,
 ):
-    """Shard, run, and return host seed arrays (q_off, s_off, valid,
-    q_start, s_start, length, score) in global subject coordinates,
-    concatenated across shards."""
+    """Shard, run, retry on overflow, escalate edge truncations, and
+    return exact host seed arrays (q_off, s_off int64 global, ctx,
+    q_start, s_start, length, score), compacted (valid seeds only)."""
+    from gblastn_tpu.utils.profiling import slog
+
     n = mesh.devices.size
     sub, val, bases, core = shard_subject(subject2, subject_valid, n)
-    n_scan = max((core - 1) // scan_step + 1, 1)
-    step = make_sharded_seeding(
-        mesh, scan_step=scan_step, lut_word=lut_word, word_size=word_size,
-        cmax=cmax, n_scan=n_scan,
-    )
-    out = step(
-        jnp.asarray(sub), jnp.asarray(val), jnp.asarray(bases),
+    L = sub.shape[1]
+    ls, le = _shard_bounds(subject_starts, subject_lengths, bases, L)
+    if use_pallas is None:
+        use_pallas = mesh.devices.flat[0].platform == "tpu"
+
+    S = len(subject2)
+    npos = S - lut_word + 1
+    pos_base = np.zeros(n, np.int32)
+    pos_end = np.zeros(n, np.int32)
+    for d in range(n):
+        p_lo = ((d * core + scan_step - 1) // scan_step) * scan_step
+        p_hi = min((d + 1) * core, npos)
+        pos_base[d] = p_lo - bases[d]
+        pos_end[d] = max(p_hi - bases[d], pos_base[d])
+    n_scan = core // scan_step + 1
+
+    if use_pallas:
+        from gblastn_tpu.ops.pallas_ungapped import (
+            make_table64, prepare_query,
+        )
+
+        score_data = (
+            jax.jit(prepare_query)(jnp.asarray(query)),
+            jnp.asarray(make_table64(matrix16)),
+        )
+    else:
+        score_data = (jnp.asarray(matrix16),)
+
+    args = (
+        jnp.asarray(sub), jnp.asarray(val), jnp.asarray(ls),
+        jnp.asarray(le), jnp.asarray(pos_base), jnp.asarray(pos_end),
         jnp.asarray(query), jnp.asarray(lut_offsets),
-        jnp.asarray(lut_positions), jnp.asarray(matrix16),
-        jnp.asarray(x_drop, jnp.int32),
+        jnp.asarray(lut_positions), jnp.asarray(ctx_offsets),
+        jnp.asarray(x_dropoffs), score_data,
     )
-    return tuple(np.asarray(o).reshape(-1) for o in out)
+
+    while True:
+        step = make_sharded_seeding(
+            mesh, scan_step=scan_step, lut_word=lut_word,
+            word_size=word_size, cmax=cmax, n_scan=n_scan,
+            hit_cap=hit_cap, seed_cap=seed_cap, out_cap=seed_cap // 2,
+            use_pallas=use_pallas,
+        )
+        out = step(*args)
+        if jax.process_count() > 1:  # pragma: no cover - multi-host
+            from jax.experimental import multihost_utils
+
+            host = [
+                np.asarray(multihost_utils.process_allgather(o))
+                for o in out
+            ]
+        else:
+            host = [np.asarray(o) for o in out]
+        if int(host[11].max()) == 0:
+            break
+        hit_cap *= 2
+        seed_cap *= 2
+        if hit_cap > 1 << 23:
+            raise RuntimeError(
+                "sharded seeding capacity overflow did not clear"
+            )
+    slog.diagnostics.lookup_hits += int(host[12].sum())
+
+    (qs, ss, okm, ctx, uq, us, ulen, uscore, bits, maxl, maxr) = host[:11]
+    ok = okm.astype(bool)
+    d_idx, lane = np.nonzero(ok)
+    base_of = bases[d_idx]
+    qs = qs[d_idx, lane].astype(np.int64)
+    ss_g = ss[d_idx, lane].astype(np.int64) + base_of
+    ctx = ctx[d_idx, lane]
+    uq = uq[d_idx, lane].astype(np.int64)
+    us_g = us[d_idx, lane].astype(np.int64) + base_of
+    ulen = ulen[d_idx, lane].astype(np.int64)
+    uscore = uscore[d_idx, lane].astype(np.int64)
+    bits = bits[d_idx, lane]
+    maxl = maxl[d_idx, lane].astype(np.int64)
+    maxr = maxr[d_idx, lane].astype(np.int64)
+
+    # exact escalation of artificial-bound stops (shard edge / WINDOW)
+    starts = np.asarray(subject_starts, dtype=np.int64)
+    ends = starts + np.asarray(subject_lengths, dtype=np.int64)
+    oid = np.searchsorted(starts, ss_g, side="right") - 1
+    Q = len(query)
+    true_l = np.minimum(qs, ss_g - starts[oid])
+    true_r = np.minimum(Q - qs, ends[oid] - ss_g)
+    suspect = (
+        ((bits & 1) != 0)
+        | (((bits & 2) != 0) & (true_l > maxl))
+        | (((bits & 4) != 0) & (true_r > maxr))
+    )
+    tidx = np.nonzero(suspect)[0]
+    if len(tidx):
+        with slog.time("host.shard_escalate"):
+            n_ctx = len(x_dropoffs)
+            xd_seed = np.asarray(x_dropoffs)[
+                np.clip(ctx[tidx], 0, n_ctx - 1)
+            ]
+            e_q, e_s, e_len, e_score = _host_extend_arrays(
+                np.asarray(query), matrix16, subject2, subject_valid,
+                starts[oid[tidx]], ends[oid[tidx]],
+                qs[tidx], ss_g[tidx], xd_seed,
+            )
+            uq[tidx] = e_q
+            us_g[tidx] = e_s
+            ulen[tidx] = e_len
+            uscore[tidx] = e_score
+    return qs, ss_g, ctx, uq, us_g, ulen, uscore
+
+
+def _host_extend_arrays(
+    query, matrix16, subject2, subject_valid,
+    sub_start, sub_end, q_off, s_off, x_drop,
+):
+    """Exact host X-drop extension over the unpacked subject arrays
+    (the sharded-path twin of engine.stream.ungapped_extend_host)."""
+    from gblastn_tpu.engine.stream import _xdrop_dir_host
+
+    Q = len(query)
+    n = len(q_off)
+    uq = np.zeros(n, np.int64)
+    us = np.zeros(n, np.int64)
+    ulen = np.zeros(n, np.int64)
+    uscore = np.zeros(n, np.int64)
+    m16 = matrix16.astype(np.int64)
+    s2 = subject2.astype(np.int64)
+    for i in range(n):
+        qo = int(q_off[i])
+        so = int(s_off[i])
+        x = int(x_drop[i])
+        max_l = min(qo, so - int(sub_start[i]))
+        max_r = min(Q - qo, int(sub_end[i]) - so)
+
+        def fetch_l(base, k, qo=qo, so=so):
+            qseg = query[qo - base - k: qo - base][::-1].astype(np.int64)
+            sseg = s2[so - base - k: so - base][::-1]
+            return m16[qseg, sseg]
+
+        def fetch_r(base, k, qo=qo, so=so):
+            qseg = query[qo + base: qo + base + k].astype(np.int64)
+            sseg = s2[so + base: so + base + k]
+            return m16[qseg, sseg]
+
+        l_best, l_pos = _xdrop_dir_host(fetch_l, max_l, x)
+        r_best, r_pos = _xdrop_dir_host(fetch_r, max_r, x)
+        uq[i] = qo - l_pos
+        us[i] = so - l_pos
+        ulen[i] = l_pos + r_pos
+        uscore[i] = l_best + r_best
+    return uq, us, ulen, uscore
