@@ -22,6 +22,9 @@ true-base rescoring happens in the traceback stage.
 """
 from __future__ import annotations
 
+import os
+from dataclasses import dataclass
+
 import numpy as np
 
 from gblastn_tpu.gapped.dynprog import dyn_prog_nt_gapped_alignment
@@ -44,6 +47,163 @@ from gblastn_tpu.stats.karlin import nucl_score_matrix
 from gblastn_tpu.utils.profiling import slog
 
 
+@dataclass
+class DeviceGappedData:
+    """Device-side banded-DP rejection filter context (ops.pallas_gapped).
+
+    ``dbl`` is the score scale the kernel runs in relative to the host
+    aligner's reported scores (2 when the host greedy works in doubled
+    units, else 1); ``margin`` absorbs the rare pruning-order
+    underestimate documented in ops.gapped_ref."""
+
+    query_ops: tuple               # (b_fwd, b_rev) padded device arrays
+    subject_ops: tuple             # (a_fwd, a_rev)
+    table64: object                # jnp int32[72]
+    rows: int
+    dbl: int
+    gap_open: int                  # kernel scale
+    gap_extend: int
+    x_drop: int                    # kernel scale
+    margin: int                    # kernel scale
+    q_len: int
+    s_len: int
+    interpret: bool = False
+
+
+def device_gapped_params(opts, gap_x_dropoff: int):
+    """(matrix16, dbl, gap_open, gap_extend, x_drop) for the kernel's
+    score scale, mirroring the host aligner drivers
+    (gapped.greedy.greedy_gapped_alignment scale conversions and
+    gapped.dynprog.dyn_prog_nt_gapped_alignment)."""
+    from gblastn_tpu.ops.pallas_gapped import NEG
+    from gblastn_tpu.stats.karlin import nucl_score_matrix
+
+    r, p = opts.reward, opts.penalty
+    if opts.extension_method is ExtensionMethod.GREEDY:
+        if opts.gap_open == 0 and opts.gap_extend == 0:
+            # non-affine greedy == affine DP at (2r, 2p, open 0,
+            # extend r - 2p) in doubled units
+            dbl, go, ge = 2, 0, r - 2 * p
+        elif r % 2 == 1:
+            dbl, go, ge = 2, 2 * opts.gap_open, 2 * opts.gap_extend
+        else:
+            dbl, go, ge = 1, opts.gap_open, opts.gap_extend
+        # greedy match semantics: code < 4 and equal, else mismatch
+        m = np.full((16, 4), dbl * p, np.int32)
+        for c in range(4):
+            m[c, c] = dbl * r
+        m[15, :] = NEG
+        return m, dbl, go, ge, dbl * gap_x_dropoff
+    m = np.asarray(nucl_score_matrix(r, p), np.int32)[:16, :4]
+    return m, 1, opts.gap_open, opts.gap_extend, gap_x_dropoff
+
+
+def build_device_gapped(
+    qblock: QueryBlock,
+    params: SearchParams,
+    subject_ops,                   # prepare_gapped_subject output
+    rows: int,
+    s_len: int,
+    interpret: bool = False,
+) -> DeviceGappedData:
+    import jax.numpy as jnp
+
+    from gblastn_tpu.ops.pallas_gapped import prepare_gapped_query
+    from gblastn_tpu.ops.pallas_ungapped import make_table64
+
+    opts = params.options
+    matrix, dbl, go, ge, xd = device_gapped_params(
+        opts, params.gap_x_dropoff
+    )
+    # the X-drop schedule differences (lazy per-row vs greedy's
+    # distance-delayed test) underestimate the host score by <= 10
+    # doubled units over 1500 adversarial trials; 16*dbl gives 3x
+    # headroom (tests/test_gapped_device.py measures this)
+    margin = int(os.environ.get("GBLASTN_TPU_GAPPED_MARGIN", "0")) or (
+        16 * dbl
+    )
+    return DeviceGappedData(
+        query_ops=prepare_gapped_query(jnp.asarray(qblock.buffer), rows),
+        subject_ops=subject_ops,
+        table64=jnp.asarray(make_table64(matrix)),
+        rows=rows, dbl=dbl, gap_open=go, gap_extend=ge, x_drop=xd,
+        margin=margin, q_len=len(qblock.buffer), s_len=s_len,
+        interpret=interpret,
+    )
+
+
+def device_gapped_rejects(
+    init: InitHits,
+    qblock: QueryBlock,
+    subject_starts: np.ndarray,
+    subject_lengths: np.ndarray,
+    params: SearchParams,
+    dgd: DeviceGappedData,
+) -> np.ndarray:
+    """bool[n] mask of candidates the banded device DP certifies can
+    NOT reach their context cutoff (flag-free band score + margin below
+    cutoff); the host walk skips extending these. Admitted candidates
+    are still extended exactly on host, so saved HSPs are identical to
+    the host-only path."""
+    from gblastn_tpu.ops.pallas_gapped import banded_gapped_scores
+
+    n = len(init)
+    opts = params.options
+    ctx = np.asarray(init.context, np.int64)
+    ctx_off = qblock.context_offsets().astype(np.int64)
+    ctx_len = np.array(
+        [c.length for c in qblock.contexts], np.int64
+    )
+    q_lo = ctx_off[ctx]
+    q_hi = q_lo + ctx_len[ctx]
+    oid = np.asarray(init.oid, np.int64)
+    s_lo = np.asarray(subject_starts, np.int64)[oid]
+    s_hi = s_lo + np.asarray(subject_lengths, np.int64)[oid]
+
+    if opts.extension_method is ExtensionMethod.GREEDY:
+        # greedy seeds at the middle of the ungapped alignment
+        # (blast_gapalign.c:3466-3471)
+        q_seed = np.asarray(init.q_start, np.int64) + (
+            np.asarray(init.length, np.int64) // 2
+        )
+        s_seed = np.asarray(init.s_start, np.int64) + (
+            np.asarray(init.length, np.int64) // 2
+        )
+    else:
+        # DP split point: the byte-boundary adjustment of
+        # s_BlastDynProgNtGappedAlignment (blast_gapalign.c:2762) on
+        # top of the first-all-match-byte start selection (:3486-3499)
+        q_off = np.asarray(init.q_off, np.int64).copy()
+        s_off = np.asarray(init.s_off, np.int64).copy()
+        us = np.asarray(init.s_start, np.int64)
+        ln = np.asarray(init.length, np.int64)
+        adj3 = us + ln >= s_off + 8
+        q_off[adj3] += 3
+        s_off[adj3] += 3
+        s_loc = s_off - s_lo
+        adjust = 4 - (s_loc % 4)
+        q_seed = q_off + adjust
+        s_seed = s_off + adjust
+        over = (q_seed > q_hi) | (s_seed > s_hi)
+        q_seed[over] -= 4
+        s_seed[over] -= 4
+
+    x = np.full(n, dgd.x_drop, np.int32)
+    total, flags = banded_gapped_scores(
+        dgd.query_ops + dgd.subject_ops, dgd.table64,
+        dgd.q_len, dgd.s_len,
+        q_seed, s_seed, q_lo, q_hi, s_lo, s_hi, x,
+        rows=dgd.rows, gap_open=dgd.gap_open,
+        gap_extend=dgd.gap_extend, interpret=dgd.interpret,
+    )
+    cutoff = np.array(
+        [c.cutoff_score for c in params.contexts], np.int64
+    )[ctx]
+    reject = (flags == 0) & (total < dgd.dbl * cutoff - dgd.margin)
+    slog.diagnostics.device_gapped_rejects += int(reject.sum())
+    return reject
+
+
 def get_gapped_score_one_subject(
     qblock: QueryBlock,
     subject2: np.ndarray,          # uint8[s_len] 2-bit codes of one subject
@@ -51,6 +211,7 @@ def get_gapped_score_one_subject(
     init_order: np.ndarray,        # indices into init (score order)
     init: InitHits,
     params: SearchParams,
+    reject: np.ndarray | None = None,   # device filter verdicts (global)
 ) -> list[HSP]:
     """BLAST_GetGappedScore (blast_gapalign.c:3233), greedy and DP
     branches."""
@@ -81,6 +242,14 @@ def get_gapped_score_one_subject(
             uq_start, uq_start + length, us_start, us_start + length,
             score, ctx,
         ):
+            continue
+
+        if reject is not None and reject[i]:
+            # the device band DP certified this extension cannot reach
+            # the cutoff; a rejected extension saves nothing and adds
+            # nothing to the containment index, so the walk is
+            # host-identical
+            n_extensions += 1
             continue
 
         cutoff = params.contexts[ctx].cutoff_score
@@ -130,12 +299,16 @@ def run_gapped_prelim(
     get_subject2,                  # fn(oid) -> uint8[s_len] 2-bit codes
     subject_starts: np.ndarray,    # int64[num_seqs] DB base offsets
     params: SearchParams,
+    device_gapped: DeviceGappedData | None = None,
+    subject_lengths: np.ndarray | None = None,
 ) -> list[HSPList]:
     """Prelim gapped stage over all subjects with init hits.
 
     ``init`` must be in final score order per subject (run_seeding output).
     Returns per-oid HSPLists sorted by score, with e-values assigned and
-    reaped (blast_engine.c:503-509 and :792-812).
+    reaped (blast_engine.c:503-509 and :792-812). With ``device_gapped``
+    the TPU band-DP kernel pre-screens every candidate in one batch and
+    the host only extends the survivors.
     """
     eff_searchsp = {
         c: params.contexts[c].eff_searchsp
@@ -144,12 +317,20 @@ def run_gapped_prelim(
     out: list[HSPList] = []
     if len(init) == 0:
         return out
+    reject = None
+    if device_gapped is not None and subject_lengths is not None:
+        with slog.time("device.gapped_filter"):
+            reject = device_gapped_rejects(
+                init, qblock, subject_starts, subject_lengths,
+                params, device_gapped,
+            )
     oids = np.asarray(init.oid)
     for oid in np.unique(oids):
         order = np.flatnonzero(oids == oid)
         subject2 = get_subject2(int(oid))
         hsps = get_gapped_score_one_subject(
-            qblock, subject2, int(subject_starts[oid]), order, init, params
+            qblock, subject2, int(subject_starts[oid]), order, init,
+            params, reject,
         )
         if not hsps:
             continue

@@ -50,6 +50,58 @@ def device_matrix16(reward: int, penalty: int) -> np.ndarray:
     return np.clip(m, NEG_CLIP, None).astype(np.int32)
 
 
+def _build_gapped_filter(qblock, params, db):
+    """Device banded-DP gapped pre-filter context, or None when off.
+
+    GBLASTN_TPU_GAPPED_FILTER: auto (default: on when the backend is a
+    TPU), 1 (force), 0 (off), interpret (Pallas interpret mode, for
+    CPU equivalence tests). Queries longer than the kernel's row budget
+    disable the filter (every candidate would flag FLAG_ROWS and fall
+    back to host anyway)."""
+    import os
+
+    mode = os.environ.get("GBLASTN_TPU_GAPPED_FILTER", "auto")
+    interpret = mode == "interpret"
+    if mode in ("0", "off"):
+        return None
+    if mode == "auto":
+        # the device actually targeted, not the registered backend
+        # (the axon plugin registers as default even when computations
+        # are routed to the CPU mesh -- CLAUDE.md environment notes)
+        dev = jax.config.jax_default_device or jax.devices()[0]
+        if dev.platform != "tpu":
+            return None
+    if not params.options.gapped:
+        return None
+
+    from gblastn_tpu.engine.gapped import build_device_gapped
+
+    maxlen = max((c.length for c in qblock.contexts), default=0)
+    rows = 256
+    while rows < maxlen + 192:
+        rows *= 2
+    if rows > 4096:
+        return None
+
+    cache = getattr(db, "_gapped_subject_cache", None)
+    if cache is None or cache[0] != rows:
+        from gblastn_tpu.ops.pallas_gapped import prepare_gapped_subject
+
+        with slog.time("setup.gapped_subject"):
+            sub_ops = prepare_gapped_subject(
+                jnp.asarray(db.unpacked().astype(np.int8)), rows
+            )
+            jax.block_until_ready(sub_ops)
+        cache = (rows, sub_ops)
+        db._gapped_subject_cache = cache
+    # s_len is the length of the array the padded forms were built
+    # from (reversed-offset mapping), i.e. the padded buffer
+    return build_device_gapped(
+        qblock, params, cache[1], rows, db.padded_length,
+        interpret=interpret,
+    )
+
+
 @dataclass
 class QueryResult:
     """Finished results for one query: HSP lists by subject, ranked."""
@@ -231,6 +283,7 @@ def prelim_search(
         and stream_env != "0"
         and (stream_env == "1" or db.padded_length > stream_threshold)
     )
+    device_gapped = None   # banded-DP rejection filter (device path only)
     if n_shards > 1:
         # multi-chip: DB-sharded seeding over the device mesh
         from gblastn_tpu.engine.seeding import run_seeding_sharded
@@ -330,12 +383,15 @@ def prelim_search(
                 cmax=cmax,
                 window_size=options.window_size,
             )
+        device_gapped = _build_gapped_filter(qblock, params, db)
     slog.diagnostics.good_init_extends += len(init)
 
     if options.gapped:
         with slog.time("host.prelim_gapped"):
             prelim_lists = run_gapped_prelim(
-                init, qblock, db.get_sequence_2na, db.starts, params
+                init, qblock, db.get_sequence_2na, db.starts, params,
+                device_gapped=device_gapped,
+                subject_lengths=db.lengths,
             )
     else:
         from gblastn_tpu.engine.ungapped import run_ungapped_prelim

@@ -24,6 +24,7 @@ class Diagnostics:
     init_extends: int = 0       # seeds surviving mini-extension
     good_init_extends: int = 0  # ungapped extensions above cutoff
     gapped_extensions: int = 0  # prelim gapped extensions attempted
+    device_gapped_rejects: int = 0  # extensions screened out on device
     good_gapped: int = 0        # prelim HSPs above cutoff
     final_hsps: int = 0         # HSPs after traceback + filtering
 
@@ -69,6 +70,7 @@ class StageLog:
             f"{'seeds after mini-ext':<32s} {d.init_extends:12d}\n"
             f"{'ungapped above cutoff':<32s} {d.good_init_extends:12d}\n"
             f"{'gapped extensions':<32s} {d.gapped_extensions:12d}\n"
+            f"{'device gapped rejects':<32s} {d.device_gapped_rejects:12d}\n"
             f"{'prelim HSPs':<32s} {d.good_gapped:12d}\n"
             f"{'final HSPs':<32s} {d.final_hsps:12d}"
         )
