@@ -158,10 +158,11 @@ def _parse_outfmt(outfmt: str):
     parts = outfmt.split()
     kind = int(parts[0])
     fields = parts[1:] or None
-    if kind not in (0, 5, 6, 7, 17):
+    if kind not in (0, 5, 6, 7, 8, 9, 10, 17):
         raise SystemExit(
             f"-outfmt {kind} not supported yet "
-            "(0 pairwise, 5 XML, 6/7 tabular, 17 SAM)"
+            "(0 pairwise, 5 XML, 6/7 tabular, 8/9 ASN.1, 10 CSV, "
+            "17 SAM)"
         )
     return kind, fields
 
@@ -244,9 +245,15 @@ def run_blastn(argv) -> int:
     else:
         query_files.append(args.query)
 
-    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    if kind == 9:   # binary ASN.1 writes bytes
+        out = (
+            sys.stdout.buffer if args.out == "-"
+            else open(args.out, "wb")
+        )
+    else:
+        out = sys.stdout if args.out == "-" else open(args.out, "w")
     try:
-        pairwise = sam = xmlw = None
+        pairwise = sam = xmlw = asnw = None
         writer = None
         if kind == 5:
             from gblastn_tpu.format.xmlout import XmlWriter
@@ -262,14 +269,22 @@ def run_blastn(argv) -> int:
                     "filter": "L;m;" if options.dust else "F",
                 },
             )
-        elif kind in (6, 7):
+        elif kind in (6, 7, 10):
             writer = TabularWriter(
                 out=out,
                 commented=(kind == 7),
                 dbname=db.title or args.db,
+                delimiter="," if kind == 10 else "\t",
             )
             if fields:
                 writer.fields = fields
+        elif kind in (8, 9):
+            from gblastn_tpu.format.asn1out import AsnWriter
+
+            asnw = AsnWriter(
+                out=out, binary=(kind == 9), task=args.task,
+                db_title=db.title or args.db or "",
+            )
         elif kind == 0:
             from gblastn_tpu.format.pairwise import PairwiseWriter
 
@@ -363,6 +378,17 @@ def run_blastn(argv) -> int:
                         qid, qtitle, qlen, xhits, get_query,
                         params.contexts[ctx0].eff_searchsp,
                         kbp.K, kbp.Lambda, kbp.H,
+                    )
+                elif asnw is not None:
+                    ctx_lengths = {
+                        c: qb.contexts[c].length
+                        for c in range(len(qb.contexts))
+                    }
+                    asnw.write_query_results(
+                        qid,
+                        [(db.ids[lst.oid], lst.hsps)
+                         for lst in qres.hsplists],
+                        ctx_lengths,
                     )
                 else:
                     for lst in qres.hsplists:

@@ -50,7 +50,7 @@ def device_matrix16(reward: int, penalty: int) -> np.ndarray:
     return np.clip(m, NEG_CLIP, None).astype(np.int32)
 
 
-def _build_gapped_filter(qblock, params, db):
+def _build_gapped_filter(qblock, params, db, device_arrays=None):
     """Device banded-DP gapped pre-filter context, or None when off.
 
     GBLASTN_TPU_GAPPED_FILTER: auto (default: on when the backend is a
@@ -65,11 +65,12 @@ def _build_gapped_filter(qblock, params, db):
     if mode in ("0", "off"):
         return None
     if mode == "auto":
-        # the device actually targeted, not the registered backend
-        # (the axon plugin registers as default even when computations
-        # are routed to the CPU mesh -- CLAUDE.md environment notes)
-        dev = jax.config.jax_default_device or jax.devices()[0]
-        if dev.platform != "tpu":
+        # gate on where the seeding arrays actually live, not on the
+        # registered backend (the axon plugin registers itself even
+        # when computations are routed to CPU -- CLAUDE.md notes)
+        if device_arrays is None:
+            return None
+        if next(iter(device_arrays.devices())).platform != "tpu":
             return None
     if not params.options.gapped:
         return None
@@ -383,7 +384,9 @@ def prelim_search(
                 cmax=cmax,
                 window_size=options.window_size,
             )
-        device_gapped = _build_gapped_filter(qblock, params, db)
+        device_gapped = _build_gapped_filter(
+            qblock, params, db, device_arrays=dev.subject2
+        )
     slog.diagnostics.good_init_extends += len(init)
 
     if options.gapped:

@@ -355,8 +355,14 @@ def _seeding_tpu_fused(
     if sync:
         with slog.time("device.seeding.pallas_sync"):
             jax.block_until_ready((f_q, f_s, f_len, f_score, f_tr))
-    return _pack11(qs, ss, ok, ctx, f_q, f_s, f_len, f_score, f_tr,
-                   n_overflow, n_raw)
+    packed = _pack11(qs, ss, ok, ctx, f_q, f_s, f_len, f_score, f_tr,
+                     n_overflow, n_raw)
+    # the caller fetches `packed` immediately, so blocking here costs
+    # nothing -- and fetching a ready buffer avoids the tunnel's
+    # (much) slower transfer-of-pending-computation path
+    with slog.time("device.seeding.pack_sync"):
+        jax.block_until_ready(packed)
+    return packed
 
 
 def run_seeding(

@@ -202,13 +202,18 @@ def format_field(hit: TabularHit, name: str) -> str:
 
 @dataclass
 class TabularWriter:
-    """outfmt 6 (plain) / outfmt 7 (commented) writer."""
+    """outfmt 6 (plain) / 7 (commented) / 10 (CSV) writer.
+
+    outfmt 10 prints the identical field strings joined by ','
+    (CBlastTabularInfo::Print with the eComma delimiter,
+    tabular.cpp:121-129, :925-933) with no comment lines."""
 
     out: object                     # file-like
     fields: list[str] = field(default_factory=lambda: list(DEFAULT_FIELDS))
     commented: bool = False         # outfmt 7
     dbname: str = ""
     program: str = PROGRAM_VERSION
+    delimiter: str = "\t"           # ',' for outfmt 10
 
     def write_query_results(
         self, query_id: str, query_title: str, hits: list[TabularHit]
@@ -224,7 +229,9 @@ class TabularWriter:
             self.out.write(f"# {len(hits)} hits found\n")
         for h in hits:
             self.out.write(
-                "\t".join(format_field(h, f) for f in self.fields) + "\n"
+                self.delimiter.join(
+                    format_field(h, f) for f in self.fields
+                ) + "\n"
             )
 
     def finalize(self, num_queries: int) -> None:
