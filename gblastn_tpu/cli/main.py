@@ -25,6 +25,8 @@ import sys
 import time
 from pathlib import Path
 
+import numpy as np
+
 from gblastn_tpu.format.tabular import TabularWriter, hsp_to_tabular
 from gblastn_tpu.io.fasta import (
     BATCH_SIZE_BLASTN,
@@ -158,11 +160,11 @@ def _parse_outfmt(outfmt: str):
     parts = outfmt.split()
     kind = int(parts[0])
     fields = parts[1:] or None
-    if kind not in (0, 5, 6, 7, 8, 9, 10, 17):
+    if kind not in (0, 5, 6, 7, 8, 9, 10, 11, 17):
         raise SystemExit(
             f"-outfmt {kind} not supported yet "
             "(0 pairwise, 5 XML, 6/7 tabular, 8/9 ASN.1, 10 CSV, "
-            "17 SAM)"
+            "11 archive, 17 SAM)"
         )
     return kind, fields
 
@@ -176,13 +178,20 @@ def run_blastn(argv) -> int:
 
     if args.import_search_strategy:
         # RecoverSearchStrategy (blastn_app.cpp:423, search_strategy.cpp)
-        import dataclasses
-        import json
+        text = Path(args.import_search_strategy).read_text()
+        if text.lstrip().startswith("{"):
+            # legacy JSON strategy files
+            import json
 
-        saved = json.loads(Path(args.import_search_strategy).read_text())
-        for k, v in saved.get("args", {}).items():
+            saved_args = json.loads(text).get("args", {})
+        else:
+            from gblastn_tpu.objects.blast4 import strategy_to_args
+
+            saved_args = strategy_to_args(text)
+        for k, v in saved_args.items():
             if getattr(args, k, None) in (None, 0, 0.0, "both", "megablast",
-                                          "6", "yes", 10.0, "true", 1):
+                                          "6", "yes", 10.0, "true", 1,
+                                          False):
                 setattr(args, k, v)
 
     if not args.query and not args.query_list:
@@ -191,40 +200,50 @@ def run_blastn(argv) -> int:
     options = _build_options(args)
 
     if args.export_search_strategy:
-        # SaveSearchStrategy (blastn_app.cpp:593)
-        import dataclasses
-        import json
+        # SaveSearchStrategy (blastn_app.cpp:593): a Blast4-request
+        # ASN.1 text with the queries embedded as a Bioseq-set
+        from gblastn_tpu.io.encoding import IUPACNA_TO_BLASTNA
+        from gblastn_tpu.objects.asn1 import to_text
+        from gblastn_tpu.objects.blast4 import (
+            bioseq,
+            bioseq_set,
+            blast4_request,
+            queue_search_request,
+        )
 
-        strategy = {
-            "format_version": 1,
-            "program": "blastn",
-            "args": {
-                "query": args.query,
-                "query_list": args.query_list,
-                "db": args.db,
-                "task": args.task,
-                "evalue": args.evalue,
-                "word_size": args.word_size,
-                "reward": args.reward,
-                "penalty": args.penalty,
-                "gapopen": args.gapopen,
-                "gapextend": args.gapextend,
-                "max_target_seqs": args.max_target_seqs,
-                "outfmt": args.outfmt,
-                "strand": args.strand,
-                "perc_identity": args.perc_identity,
-                "dust": args.dust,
-                "window_masker_db": args.window_masker_db,
-                "filtering_db": args.filtering_db,
-                "window_size": args.window_size,
-                "ungapped": args.ungapped,
-                "lcase_masking": args.lcase_masking,
-                "subject": args.subject,
-            },
-            "options": dataclasses.asdict(options),
-        }
+        seqs = []
+        strat_files = []
+        if args.query_list:
+            strat_files = [
+                ln.strip()
+                for ln in Path(args.query_list).read_text().splitlines()
+                if ln.strip()
+            ]
+        elif args.query:
+            strat_files = [args.query]
+        for qfile in strat_files:
+            for rec in parse_fasta(qfile):
+                seqs.append(bioseq(
+                    rec.seq_id, rec.title,
+                    IUPACNA_TO_BLASTNA[
+                        np.frombuffer(rec.sequence, dtype=np.uint8)
+                    ],
+                ))
+        request = blast4_request(
+            "blastn: 2.2.28+ (gblastn-tpu)",
+            queue_search_request(
+                program="blastn",
+                service=(
+                    "megablast" if args.task == "megablast" else "plain"
+                ),
+                queries=bioseq_set(seqs),
+                subject_db=args.db or args.subject or "",
+                paramset=args.task,
+                options=options,
+            ),
+        )
         Path(args.export_search_strategy).write_text(
-            json.dumps(strategy, indent=1, default=str)
+            to_text("Blast4-request", request)
         )
     if args.subject:
         if args.db:
@@ -253,7 +272,7 @@ def run_blastn(argv) -> int:
     else:
         out = sys.stdout if args.out == "-" else open(args.out, "w")
     try:
-        pairwise = sam = xmlw = asnw = None
+        pairwise = sam = xmlw = asnw = archw = None
         writer = None
         if kind == 5:
             from gblastn_tpu.format.xmlout import XmlWriter
@@ -284,6 +303,16 @@ def run_blastn(argv) -> int:
             asnw = AsnWriter(
                 out=out, binary=(kind == 9), task=args.task,
                 db_title=db.title or args.db or "",
+            )
+        elif kind == 11:
+            from gblastn_tpu.format.archive import ArchiveWriter
+
+            archw = ArchiveWriter(
+                out=out, options=options,
+                dbname=args.db or args.subject or "",
+                db_num_seqs=db.num_seqs,
+                db_length=int(db.total_length),
+                task=args.task,
             )
         elif kind == 0:
             from gblastn_tpu.format.pairwise import PairwiseWriter
@@ -390,6 +419,36 @@ def run_blastn(argv) -> int:
                          for lst in qres.hsplists],
                         ctx_lengths,
                     )
+                elif archw is not None:
+                    n_ctx_per_q = (
+                        2 if options.strand == "both" else 1
+                    )
+                    ctx0 = qi * n_ctx_per_q
+                    q0 = int(ctx_off[ctx0])
+                    mask_ivs = []
+                    if results.masks:
+                        mask_ivs = [
+                            (f - q0, t - q0 + 1)
+                            for f, t in results.masks[ctx0]
+                        ]
+                    archw.add_query(
+                        qid, qb.titles[qi],
+                        qb.buffer[q0: q0 + qb.contexts[ctx0].length],
+                        mask_ivs,
+                    )
+                    ctx_lengths = {
+                        c: qb.contexts[c].length
+                        for c in range(len(qb.contexts))
+                    }
+                    archw.add_alignments(
+                        qid,
+                        [(db.ids[lst.oid], lst.hsps)
+                         for lst in qres.hsplists],
+                        ctx_lengths,
+                    )
+                    archw.set_ka(
+                        results.params.kbp_ungap, results.params.kbp_gap
+                    )
                 else:
                     for lst in qres.hsplists:
                         sid = db.ids[lst.oid]
@@ -424,6 +483,8 @@ def run_blastn(argv) -> int:
             pairwise.finalize()
         elif xmlw is not None:
             xmlw.finalize()
+        elif archw is not None:
+            archw.finalize(num_queries)
         print(
             f"# {num_queries} queries in {time.time() - t0:.2f}s",
             file=sys.stderr,

@@ -116,6 +116,9 @@ class BlastResults:
     qblock: QueryBlock
     params: SearchParams
     queries: list[QueryResult] = field(default_factory=list)
+    # per-context inclusive (from, to) masked ranges in concatenated-
+    # buffer coordinates (dust/windowmasker/lcase/repeats), or None
+    masks: list[list[tuple[int, int]]] | None = None
 
 
 @dataclass
@@ -127,6 +130,7 @@ class PrelimResult:
     qblock: QueryBlock
     params: SearchParams
     hitlists: list[HitList]
+    masks: list[list[tuple[int, int]]] | None = None
 
 
 def prelim_search(
@@ -461,7 +465,8 @@ def prelim_search(
             for qi, sub in by_query.items():
                 hitlist_update(hitlists[qi], sub)
 
-    return PrelimResult(qblock=qblock, params=params, hitlists=hitlists)
+    return PrelimResult(qblock=qblock, params=params, hitlists=hitlists,
+                        masks=masks)
 
 
 def finish_search(
@@ -476,7 +481,8 @@ def finish_search(
     hitlist_size = options.max_target_seqs or options.hitlist_size
 
     matrix = nucl_score_matrix(options.reward, options.penalty)
-    results = BlastResults(qblock=qblock, params=params)
+    results = BlastResults(qblock=qblock, params=params,
+                           masks=prelim.masks)
     subj_cache: dict[int, np.ndarray] = {}
     with slog.time("host.traceback"):
         for qi, hl in enumerate(hitlists):

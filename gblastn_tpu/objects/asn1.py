@@ -55,6 +55,13 @@ class Enum:
 
 
 @dataclass
+class Octets:
+    """OCTET STRING: text form ``'...'H`` hex, BER tag 4."""
+
+    value: bytes
+
+
+@dataclass
 class Member:
     """A SEQUENCE member or CHOICE alternative: ``tag`` is the
     zero-based definition-order context tag."""
@@ -114,6 +121,11 @@ def _text(node, indent: int, out: list) -> None:
         out.append("{ %d, 10, %d }" % (m, e))
     elif isinstance(node, Str):
         out.append(_quote(node.value))
+    elif isinstance(node, Octets):
+        hx = node.value.hex().upper()
+        # CObjectOStreamAsn wraps octet-string hex across lines
+        lines = [hx[i: i + 78] for i in range(0, len(hx), 78)] or [""]
+        out.append("'" + "\n".join(lines) + "'H")
     elif isinstance(node, Enum):
         out.append(node.name)
     elif isinstance(node, Choice):
@@ -189,6 +201,8 @@ def to_ber(node) -> bytes:
         return _prim(0x09, b"\x03" + txt)
     if isinstance(node, Str):
         return _prim(0x1A, node.value.encode("ascii", "replace"))
+    if isinstance(node, Octets):
+        return _prim(0x04, node.value)
     if isinstance(node, Enum):
         tag = 0x02 if node.integer else 0x0A
         return _prim(tag, _int_content(node.value))
@@ -204,3 +218,153 @@ def to_ber(node) -> bytes:
         head = b"\x31\x80" if node.set_of else b"\x30\x80"
         return head + inner + b"\x00\x00"
     raise TypeError(f"unknown ASN.1 node {node!r}")
+
+
+# ------------------------------------------------------------ text parser
+
+@dataclass
+class Named:
+    """Parsed ``name value`` pair: a SEQUENCE member or a CHOICE
+    alternative (the text form does not distinguish them). Chains nest:
+    ``local str "q1"`` parses as Named(local, Named(str, "q1"))."""
+
+    name: str
+    value: object
+
+
+def named_get(items, name, default=None):
+    """Member lookup inside a parsed ``{ ... }`` block."""
+    for it in items:
+        if isinstance(it, Named) and it.name == name:
+            return it.value
+    return default
+
+
+def _tokenize(text: str):
+    """Token stream for NCBI ASN.1 text form (CObjectIStreamAsn)."""
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c.isspace():
+            i += 1
+        elif text.startswith("--", i):        # comment to end of line
+            j = text.find("\n", i)
+            i = n if j < 0 else j + 1
+        elif c in "{},":
+            yield c, c
+            i += 1
+        elif text.startswith("::=", i):
+            yield "::=", "::="
+            i += 3
+        elif c == '"':
+            j = i + 1
+            parts = []
+            while j < n:
+                if text[j] == '"':
+                    if j + 1 < n and text[j + 1] == '"':
+                        parts.append('"')
+                        j += 2
+                        continue
+                    break
+                # literal newline in a wrapped string is a space-less
+                # continuation in NCBI text output
+                if text[j] != "\n":
+                    parts.append(text[j])
+                j += 1
+            yield "str", "".join(parts)
+            i = j + 1
+        elif c == "'":
+            j = text.index("'", i + 1)
+            hx = "".join(text[i + 1: j].split())
+            suffix = text[j + 1: j + 2]
+            if suffix.upper() == "H":
+                yield "octets", bytes.fromhex(hx)
+            else:                               # 'B' bit string
+                yield "octets", int(hx or "0", 2).to_bytes(
+                    (len(hx) + 7) // 8 or 1, "big"
+                )
+            i = j + 2
+        elif c == "-" or c.isdigit():
+            j = i + 1
+            while j < n and (text[j].isdigit()):
+                j += 1
+            yield "int", int(text[i:j])
+            i = j
+        else:
+            j = i
+            while j < n and (text[j].isalnum() or text[j] in "-_."):
+                j += 1
+            yield "ident", text[i:j]
+            i = j
+
+
+class _Tokens:
+    def __init__(self, text):
+        self._it = list(_tokenize(text))
+        self._pos = 0
+
+    def peek(self):
+        if self._pos < len(self._it):
+            return self._it[self._pos]
+        return None, None
+
+    def next(self):
+        t = self.peek()
+        if t[0] is None:
+            raise ValueError("unexpected end of ASN.1 text")
+        self._pos += 1
+        return t
+
+
+def _parse_value(tk: _Tokens):
+    kind, val = tk.next()
+    if kind == "{":
+        items = []
+        k, _ = tk.peek()
+        if k == "}":
+            tk.next()
+            return items
+        while True:
+            items.append(_parse_value(tk))
+            k, _ = tk.next()
+            if k == "}":
+                return items
+            if k != ",":
+                raise ValueError(f"expected ',' or '}}', got {k}")
+    if kind in ("int", "str", "octets"):
+        return val
+    if kind == "ident":
+        if val == "TRUE":
+            return True
+        if val == "FALSE":
+            return False
+        if val == "NULL":
+            return None
+        k, _ = tk.peek()
+        if k in (",", "}", None):
+            return val                       # bare enum identifier
+        return Named(val, _parse_value(tk))
+    raise ValueError(f"unexpected token {kind}:{val!r}")
+
+
+def parse_text(text: str):
+    """Parse ``Type ::= value`` NCBI ASN.1 text; returns (type, value).
+
+    Schema-free: SEQUENCE members and CHOICE alternatives both come
+    back as Named(name, value); ``{ ... }`` blocks as Python lists;
+    REAL ``{ m, 10, e }`` as the 3-int list (use real_value())."""
+    tk = _Tokens(text)
+    kind, name = tk.next()
+    if kind != "ident":
+        raise ValueError("expected type name")
+    kind, _ = tk.next()
+    if kind != "::=":
+        raise ValueError("expected '::='")
+    return name, _parse_value(tk)
+
+
+def real_value(v) -> float:
+    """Interpret a parsed REAL: [m, 10, e] list or a plain int."""
+    if isinstance(v, list) and len(v) == 3:
+        return float(v[0]) * 10.0 ** float(v[2])
+    return float(v)
