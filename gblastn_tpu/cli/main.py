@@ -12,11 +12,15 @@ feature exists; G-BLASTN's GPU flags map to TPU equivalents:
 
 Usage:
   gblastn-tpu makedb  -in ref.fa -out db_dir [-title T]
+                      [-mask_data m.intervals -mask_id 10]
   gblastn-tpu blastn  -query q.fa -db db_dir [-task megablast]
                       [-evalue 10] [-max_target_seqs 500]
-                      [-outfmt 6|7] [-out out.tsv] [-strand both]
-                      [-word_size N] [-reward N] [-penalty N]
-                      [-gapopen N] [-gapextend N] [-query_list list.txt]
+                      [-outfmt 0|5|6|7|8|9|10|11|17] [-out out.tsv]
+                      [-strand both] [-word_size N] [-reward N]
+                      [-penalty N] [-gapopen N] [-gapextend N]
+                      [-query_list list.txt] [-db_soft_mask ID]
+  gblastn-tpu blastdbcmd | dustmasker | windowmasker |
+              convert2blastmask | blastdb_aliastool | blastdbcheck
 """
 from __future__ import annotations
 
@@ -86,6 +90,12 @@ def _add_blastn_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-window_masker_db", default=None)
     p.add_argument("-filtering_db", default=None,
                    help="repeats database for query masking")
+    p.add_argument("-db_soft_mask", type=int, default=None,
+                   help="database masking algorithm id: masked subject "
+                        "ranges are excluded from seeding")
+    p.add_argument("-db_hard_mask", type=int, default=None,
+                   help="database masking algorithm id: masked subject "
+                        "ranges excluded from seeding and rendered N")
     p.add_argument("-num_threads", type=int, default=1)
     # G-BLASTN compatibility flags, mapped to TPU equivalents
     p.add_argument("-use_gpu", default=None, help="alias of -use_tpu")
@@ -149,6 +159,10 @@ def _build_options(args):
         overrides["filtering_db"] = args.filtering_db
     if args.window_size is not None:
         overrides["window_size"] = args.window_size
+    if args.db_soft_mask is not None:
+        overrides["db_soft_mask"] = args.db_soft_mask
+    if args.db_hard_mask is not None:
+        overrides["db_hard_mask"] = args.db_hard_mask
     if args.ungapped:
         overrides["gapped"] = False
     if args.lcase_masking:
@@ -465,18 +479,58 @@ def run_blastn(argv) -> int:
             for qfile in query_files:
                 yield from batch_records(parse_fasta(qfile), batch_size)
 
-        if args.mode == 1:
-            # Method1: sequential per-batch loop (blastn_app.cpp:500)
-            for batch in all_batches():
-                emit(search(batch, db, options))
-        else:
-            # Method2/3: pipelined stages (blastn_app.cpp:725/:991)
-            from gblastn_tpu.engine.pipeline import run_pipelined_search
+        # cooperative cancellation: first Ctrl-C requests a clean stop
+        # at the next stage boundary (partial output stays valid), a
+        # second Ctrl-C aborts immediately (TInterruptFnPtr contract)
+        import signal
+        import threading
 
-            run_pipelined_search(
-                all_batches(), db, options, emit,
-                trace_threads=max(args.trace_thread, 1),
+        from gblastn_tpu.utils.interrupt import SearchInterrupted
+
+        stop_req = threading.Event()
+
+        def _on_sigint(signum, frame):
+            if stop_req.is_set():
+                raise KeyboardInterrupt
+            stop_req.set()
+            print(
+                "gblastn_tpu: interrupt requested -- stopping at the "
+                "next stage boundary (Ctrl-C again to abort now)",
+                file=sys.stderr,
             )
+
+        try:
+            prev_handler = signal.signal(signal.SIGINT, _on_sigint)
+        except ValueError:       # not the main thread (e.g. tests)
+            prev_handler = None
+        interrupted = False
+        try:
+            if args.mode == 1:
+                # Method1: sequential per-batch loop (blastn_app.cpp:500)
+                for batch in all_batches():
+                    emit(search(batch, db, options,
+                                interrupt_fn=stop_req.is_set))
+            else:
+                # Method2/3: pipelined stages (blastn_app.cpp:725/:991)
+                from gblastn_tpu.engine.pipeline import (
+                    run_pipelined_search,
+                )
+
+                run_pipelined_search(
+                    all_batches(), db, options, emit,
+                    trace_threads=max(args.trace_thread, 1),
+                    interrupt_fn=stop_req.is_set,
+                )
+        except SearchInterrupted:
+            interrupted = True
+            print(
+                f"gblastn_tpu: search interrupted after {num_queries} "
+                "queries; output above is complete for those queries",
+                file=sys.stderr,
+            )
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGINT, prev_handler)
         if writer is not None:
             writer.finalize(num_queries)
         elif pairwise is not None:
@@ -494,6 +548,8 @@ def run_blastn(argv) -> int:
 
             with open(args.logfile, "w") as lf:
                 lf.write(slog.report() + "\n")
+        if interrupted:
+            return 130
     finally:
         if out is not sys.stdout:
             out.close()
@@ -509,8 +565,39 @@ def run_makedb(argv) -> int:
     p.add_argument("-blastdb_version", type=int, default=0,
                    help="4 = also write an NCBI v4 volume "
                         "(<out>.nin/.nhr/.nsq) next to the native db")
+    p.add_argument("-mask_data", default=None,
+                   help="comma-separated interval mask files "
+                        "(dustmasker/windowmasker/convert2blastmask "
+                        "output) stored as db mask columns")
+    p.add_argument("-mask_id", default=None,
+                   help="comma-separated algorithm ids for -mask_data "
+                        "files (default: dust=10, windowmasker=30, "
+                        "repeat=40, other=100+)")
+    p.add_argument("-mask_desc", default=None,
+                   help="comma-separated algorithm descriptions")
     args = p.parse_args(argv)
     db = SequenceDB.from_fasta(args.input, title=args.title or args.input)
+    if args.mask_data:
+        from gblastn_tpu.io.maskdata import read_interval_masks
+
+        files = args.mask_data.split(",")
+        ids = (
+            [int(x) for x in args.mask_id.split(",")]
+            if args.mask_id else []
+        )
+        descs = args.mask_desc.split(",") if args.mask_desc else []
+        for i, f in enumerate(files):
+            algo = ids[i] if i < len(ids) else 100 + i
+            desc = descs[i] if i < len(descs) else Path(f).name
+            program = {10: "dust", 20: "seg", 30: "windowmasker",
+                       40: "repeat"}.get(algo, "other")
+            db.add_mask_set(
+                algo, program, desc, read_interval_masks(f)
+            )
+            print(
+                f"Mask data {f}: algorithm id {algo} ({program})",
+                file=sys.stderr,
+            )
     db.save(args.out)
     if args.blastdb_version == 4:
         from gblastn_tpu.io.fasta import parse_fasta
@@ -628,6 +715,143 @@ def run_windowmasker(argv) -> int:
     return 0
 
 
+def run_aliastool(argv) -> int:
+    """blastdb_aliastool analog (reference:
+    src/app/blastdb/blastdb_aliastool.cpp): present several databases
+    as one. Native db dirs get an ``alias.json`` directory; NCBI-style
+    prefixes get a ``.nal`` text alias (both load transparently)."""
+    p = argparse.ArgumentParser(prog="gblastn-tpu blastdb_aliastool")
+    p.add_argument("-dblist", required=True,
+                   help="space-separated member database paths")
+    p.add_argument("-out", required=True, dest="out",
+                   help="alias database name")
+    p.add_argument("-title", default="")
+    p.add_argument("-dbtype", default="nucl", choices=["nucl"])
+    args = p.parse_args(argv)
+
+    members = args.dblist.split()
+    native = all(
+        (Path(m) / "manifest.json").exists()
+        or (Path(m) / "alias.json").exists()
+        for m in members
+    )
+    if native:
+        import json
+
+        outdir = Path(args.out)
+        outdir.mkdir(parents=True, exist_ok=True)
+        (outdir / "alias.json").write_text(json.dumps({
+            "title": args.title or args.out,
+            "dblist": members,
+        }))
+        # validate it loads
+        db = SequenceDB.load(outdir)
+        print(
+            f"Created alias {args.out}: {len(members)} members, "
+            f"{db.num_seqs} sequences, {db.total_length} bases",
+            file=sys.stderr,
+        )
+    else:
+        # NCBI-style .nal text alias (ncbidb.py reads these natively)
+        nal = Path(str(args.out) + ".nal")
+        nal.write_text(
+            f"TITLE {args.title or args.out}\n"
+            f"DBLIST {' '.join(members)}\n"
+        )
+        print(f"Created alias file {nal}", file=sys.stderr)
+    return 0
+
+
+def run_blastdbcheck(argv) -> int:
+    """blastdbcheck analog (reference: src/app/blastdb/blastdbcheck.cpp):
+    verify database integrity."""
+    p = argparse.ArgumentParser(prog="gblastn-tpu blastdbcheck")
+    p.add_argument("-db", required=True)
+    p.add_argument("-full", action="store_true",
+                   help="also decode every sequence")
+    args = p.parse_args(argv)
+
+    issues: list[str] = []
+    try:
+        db = SequenceDB.load(args.db)
+    except Exception as e:
+        print(f"{args.db}: LOAD FAILED: {e}", file=sys.stderr)
+        return 2
+    n = db.num_seqs
+    if len(db.starts) != n or len(db.lengths) != n or len(db.titles) != n:
+        issues.append("metadata array lengths disagree")
+    if len(set(db.ids)) != n:
+        issues.append("duplicate sequence ids")
+    if n and (np.diff(db.starts) <= 0).any():
+        issues.append("subject starts not strictly increasing")
+    ends = db.starts + db.lengths
+    if n and (ends > db.padded_length).any():
+        issues.append("subject extends past packed buffer")
+    if n and (np.asarray(db.starts) % 4).any():
+        issues.append("subject start not byte-aligned")
+    if len(db.ambig_pos) != len(db.ambig_code):
+        issues.append("ambiguity arrays disagree")
+    if len(db.ambig_pos) and (
+        (db.ambig_pos < 0) | (db.ambig_pos >= db.padded_length)
+    ).any():
+        issues.append("ambiguity position out of range")
+    for algo, m in db.masks.items():
+        iv = m.intervals
+        if len(iv) and (
+            (iv[:, 0] >= iv[:, 1]).any()
+            or (iv[:, 1] > db.padded_length).any()
+            or (np.diff(iv[:, 0]) < 0).any()
+        ):
+            issues.append(f"mask column {algo}: bad intervals")
+    if args.full:
+        for oid in range(n):
+            seq = db.get_sequence_blastna(oid)
+            if len(seq) != int(db.lengths[oid]):
+                issues.append(f"oid {oid}: decode length mismatch")
+            elif (seq > 15).any():
+                issues.append(f"oid {oid}: invalid residue code")
+    status = "ok" if not issues else "FAILED"
+    print(
+        f"{args.db}: {n} sequences, {db.total_length} bases, "
+        f"{len(db.masks)} mask column(s): {status}"
+    )
+    for msg in issues:
+        print(f"  {msg}", file=sys.stderr)
+    return 0 if not issues else 1
+
+
+def run_convert2blastmask(argv) -> int:
+    """convert2blastmask analog: extract lowercase-masked ranges from a
+    FASTA file into makedb -mask_data interval files (reference:
+    src/app/blastdb/convert2blastmask.cpp)."""
+    p = argparse.ArgumentParser(prog="gblastn-tpu convert2blastmask")
+    p.add_argument("-in", dest="input", required=True,
+                   help="lowercase-masked FASTA")
+    p.add_argument("-out", default="-")
+    p.add_argument("-masking_algorithm", default="other",
+                   help="algorithm name recorded for provenance")
+    p.add_argument("-masking_options", default="")
+    args = p.parse_args(argv)
+
+    from gblastn_tpu.io.maskdata import (
+        lowercase_halfopen,
+        write_interval_masks,
+    )
+
+    masks = {}
+    for rec in parse_fasta(args.input):
+        ivs = lowercase_halfopen(rec.sequence)
+        if ivs:
+            masks[rec.seq_id] = ivs
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    try:
+        write_interval_masks(out, masks)
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
 def run_blastdbcmd(argv) -> int:
     """blastdbcmd analog: DB info and sequence retrieval (reference:
     src/app/blastdb/blastdbcmd.cpp)."""
@@ -658,16 +882,31 @@ def run_blastdbcmd(argv) -> int:
                 f"{info.total_length:,} total bases\n\n"
             )
             out.write(f"Longest sequence: {info.max_length:,} bases\n")
+            if db.masks:
+                out.write("\nAvailable filtering algorithms applied "
+                          "to database sequences:\n\n")
+                out.write("Algorithm ID  Algorithm name      "
+                          "Algorithm options\n")
+                for algo, m in sorted(db.masks.items()):
+                    out.write(
+                        f"{algo:>12}  {m.program:<18}  {m.options}\n"
+                    )
             return 0
         if args.entry == "all":
             oids = range(db.num_seqs)
         else:
-            wanted = set(args.entry.split(","))
-            oids = [i for i, sid in enumerate(db.ids) if sid in wanted]
-            missing = wanted - {db.ids[i] for i in oids}
+            # O(log n) per id via the sorted index (ISAM role)
+            oids = []
+            missing = []
+            for sid in args.entry.split(","):
+                oid = db.oid_of_id(sid)
+                if oid is None:
+                    missing.append(sid)
+                else:
+                    oids.append(oid)
             if missing:
                 print(
-                    f"Error: {','.join(sorted(missing))}: not found",
+                    f"Error: {','.join(missing)}: not found",
                     file=sys.stderr,
                 )
                 return 1
@@ -707,6 +946,12 @@ def main(argv=None) -> int:
         return run_blastdbcmd(rest)
     if cmd == "dustmasker":
         return run_dustmasker(rest)
+    if cmd == "convert2blastmask":
+        return run_convert2blastmask(rest)
+    if cmd == "blastdb_aliastool":
+        return run_aliastool(rest)
+    if cmd == "blastdbcheck":
+        return run_blastdbcheck(rest)
     # default: treat as blastn args directly
     return run_blastn(argv)
 

@@ -39,10 +39,13 @@ def run_pipelined_search(
     on_results: Callable[[BlastResults], None],
     trace_threads: int = 2,
     queue_depth: int = 2,
+    interrupt_fn=None,
 ) -> int:
     """Stream query batches through the two-stage pipeline; calls
     ``on_results`` for every batch in submission order. Returns the
-    number of batches processed. Exceptions in any stage propagate."""
+    number of batches processed. Exceptions in any stage propagate;
+    ``interrupt_fn`` is polled between batches in every stage
+    (utils.interrupt contract)."""
     prelim_q: queue.Queue = queue.Queue(maxsize=queue_depth)
     result_q: queue.Queue = queue.Queue()
     errors: list[BaseException] = []
@@ -50,7 +53,7 @@ def run_pipelined_search(
     def prelim_worker():
         try:
             for idx, batch in enumerate(batches):
-                prelim = prelim_search(batch, db, options)
+                prelim = prelim_search(batch, db, options, interrupt_fn)
                 prelim_q.put((idx, prelim))
         except BaseException as e:  # noqa: BLE001 - propagated below
             errors.append(e)
@@ -66,7 +69,7 @@ def run_pipelined_search(
                 return
             idx, prelim = item
             try:
-                results = finish_search(prelim, db, options)
+                results = finish_search(prelim, db, options, interrupt_fn)
             except BaseException as e:  # noqa: BLE001
                 errors.append(e)
                 result_q.put(_STOP)

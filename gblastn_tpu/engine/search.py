@@ -137,12 +137,19 @@ def prelim_search(
     records: list[FastaRecord],
     db: SequenceDB,
     options: SearchOptions,
+    interrupt_fn=None,
 ) -> PrelimResult:
-    """Device seeding + host prelim gapped stage + hitlist collection."""
+    """Device seeding + host prelim gapped stage + hitlist collection.
+
+    ``interrupt_fn`` (optional, () -> bool) is polled at stage
+    boundaries; returning True raises SearchInterrupted (the
+    TInterruptFnPtr contract, utils.interrupt)."""
     from gblastn_tpu.utils.cache import enable_compilation_cache
+    from gblastn_tpu.utils.interrupt import check
 
     enable_compilation_cache()
     options.validate()
+    check(interrupt_fn)
     with slog.time("setup.query_block"):
         qblock = build_query_block(records, options.strand)
     ctx_offsets = qblock.context_offsets()
@@ -288,6 +295,43 @@ def prelim_search(
         and stream_env != "0"
         and (stream_env == "1" or db.padded_length > stream_threshold)
     )
+    # database-side masking (-db_soft_mask / -db_hard_mask): masked
+    # subject ranges are excluded from scanning; hard masking also
+    # renders them as N on the host re-evaluation path (masksubj.inl
+    # s_DetermineScanningOffsets semantics)
+    db_mask_ivs = None
+    if (options.db_soft_mask is not None
+            and options.db_hard_mask is not None):
+        raise ValueError(
+            "-db_soft_mask and -db_hard_mask are mutually exclusive"
+        )
+    mask_algo = (
+        options.db_soft_mask if options.db_soft_mask is not None
+        else options.db_hard_mask
+    )
+    if mask_algo is not None:
+        db_mask_ivs = db.mask_intervals(int(mask_algo))
+        if options.db_hard_mask is not None:
+            db.apply_hard_mask(int(mask_algo))
+        if n_shards > 1:
+            raise NotImplementedError(
+                "-db_soft_mask/-db_hard_mask is not supported on the "
+                "sharded seeding path yet (unset GBLASTN_TPU_SHARDS)"
+            )
+
+    mask_starts = mask_ends = None
+    if db_mask_ivs is not None and len(db_mask_ivs):
+        # bucketed int32 (starts, ends) with a huge sorted sentinel so
+        # the compiled scan variant count stays logarithmic in M
+        m = 16
+        while m < len(db_mask_ivs):
+            m *= 2
+        sent = np.iinfo(np.int32).max - 64
+        mask_starts = np.full(m, sent, np.int32)
+        mask_ends = np.full(m, sent, np.int32)
+        mask_starts[: len(db_mask_ivs)] = db_mask_ivs[:, 0]
+        mask_ends[: len(db_mask_ivs)] = db_mask_ivs[:, 1]
+
     device_gapped = None   # banded-DP rejection filter (device path only)
     if n_shards > 1:
         # multi-chip: DB-sharded seeding over the device mesh
@@ -335,6 +379,7 @@ def prelim_search(
                     "GBLASTN_TPU_BLOCK_BASES", str(1 << 27)
                 )),
                 halo=int(os.environ.get("GBLASTN_TPU_BLOCK_HALO", "4096")),
+                mask_intervals=db_mask_ivs,
             )
     else:
         # the subject arrays are per-database and immutable: upload once
@@ -387,11 +432,14 @@ def prelim_search(
                 x_dropoffs=x_dropoffs,
                 cmax=cmax,
                 window_size=options.window_size,
+                mask_starts=mask_starts,
+                mask_ends=mask_ends,
             )
         device_gapped = _build_gapped_filter(
             qblock, params, db, device_arrays=dev.subject2
         )
     slog.diagnostics.good_init_extends += len(init)
+    check(interrupt_fn)
 
     if options.gapped:
         with slog.time("host.prelim_gapped"):
@@ -473,8 +521,11 @@ def finish_search(
     prelim: PrelimResult,
     db: SequenceDB,
     options: SearchOptions,
+    interrupt_fn=None,
 ) -> BlastResults:
     """Traceback + final ranking over a prelim result."""
+    from gblastn_tpu.utils.interrupt import check
+
     qblock = prelim.qblock
     params = prelim.params
     hitlists = prelim.hitlists
@@ -486,6 +537,7 @@ def finish_search(
     subj_cache: dict[int, np.ndarray] = {}
     with slog.time("host.traceback"):
         for qi, hl in enumerate(hitlists):
+            check(interrupt_fn)
             qres = QueryResult(query_index=qi)
             for lst in hl.hsplists:
                 if lst.oid not in subj_cache:
@@ -522,6 +574,7 @@ def search(
     records: list[FastaRecord],
     db: SequenceDB,
     options: SearchOptions,
+    interrupt_fn=None,
 ) -> BlastResults:
     """Run a complete gapped nucleotide search end to end.
 
@@ -541,10 +594,14 @@ def search(
     )
     if not any_split:
         return finish_search(
-            prelim_search(records, db, options), db, options
+            prelim_search(records, db, options, interrupt_fn),
+            db, options, interrupt_fn,
         )
 
-    sub = finish_search(prelim_search(recs2, db, options), db, options)
+    sub = finish_search(
+        prelim_search(recs2, db, options, interrupt_fn),
+        db, options, interrupt_fn,
+    )
     qblock_orig = build_query_block(records, options.strand)
     n_ctx_per_query = 2 if options.strand == "both" else 1
     hitlist_size = options.max_target_seqs or options.hitlist_size

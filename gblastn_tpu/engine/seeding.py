@@ -318,6 +318,7 @@ def _seeding_tpu_fused(
     ctx_offsets, x_dropoffs, subject_starts, subject_ends,
     subject_p, table64,
     *, scan_step, lut_word, word_size, cmax, n_scan, hit_cap, seed_cap,
+    mask_starts=None, mask_ends=None,
 ):
     """TPU seeding stage: scan+mini (one jit), the Pallas ungapped
     kernel (its own dispatch -- nesting it inside one mega-jit makes
@@ -341,6 +342,7 @@ def _seeding_tpu_fused(
     qs, ss, ok, ctx, xd, maxl, maxr, n_overflow, n_raw = seeding_scan_mini(
         subject2, subject_valid, lut_offsets, lut_positions, query,
         ctx_offsets, x_dropoffs, subject_starts, subject_ends,
+        mask_starts=mask_starts, mask_ends=mask_ends,
         scan_step=scan_step, lut_word=lut_word, word_size=word_size,
         cmax=cmax, n_scan=n_scan, hit_cap=hit_cap, seed_cap=seed_cap,
         out_cap=seed_cap // 2,
@@ -381,6 +383,8 @@ def run_seeding(
     hit_cap: int = 16384,
     seed_cap: int = 16384,
     window_size: int = 0,
+    mask_starts: np.ndarray | None = None,  # int32[M] sorted, padded
+    mask_ends: np.ndarray | None = None,    # (db soft-mask intervals)
 ) -> InitHits:
     """Full seeding pass over one subject buffer; returns saved init hits.
 
@@ -426,6 +430,10 @@ def run_seeding(
             [subject_starts[1:], [int(dev.subject2.shape[0])]]
         )
 
+    mask_dev = (None, None)
+    if mask_starts is not None and len(mask_starts):
+        mask_dev = (jnp.asarray(mask_starts), jnp.asarray(mask_ends))
+
     while True:
         if pallas_primary:
             with slog.time("device.seeding.pipeline"):
@@ -440,6 +448,7 @@ def run_seeding(
                     scan_step=scan_step, lut_word=lut_word,
                     word_size=word_size, cmax=cmax, n_scan=n_scan,
                     hit_cap=hit_cap, seed_cap=seed_cap,
+                    mask_starts=mask_dev[0], mask_ends=mask_dev[1],
                 ))
                 qs, ss, fill, ctx = (
                     packed[0], packed[1], packed[2].astype(bool),
@@ -463,6 +472,7 @@ def run_seeding(
                     scan_step=scan_step, lut_word=lut_word,
                     word_size=word_size, cmax=cmax, n_scan=n_scan,
                     hit_cap=hit_cap, seed_cap=seed_cap,
+                    mask_starts=mask_dev[0], mask_ends=mask_dev[1],
                 )
                 (qs, ss, fill, ctx, ug_q, ug_s, ug_len, ug_score, trunc,
                  n_overflow, n_raw) = (np.asarray(o) for o in out)

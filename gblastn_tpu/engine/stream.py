@@ -197,12 +197,14 @@ def _pack_stream(qs, ss, ok, ctx, f_q, f_s, f_len, f_score, bits,
 def _xla_block_packed(
     packed, local_starts, local_ends, lut_offsets, lut_positions,
     query, matrix16, ctx_offsets, x_dropoffs, pos_base, pos_end,
+    mask_starts=None, mask_ends=None,
     *, scan_step, lut_word, word_size, cmax, n_scan, hit_cap, seed_cap,
     out_cap,
 ):
     outs = seeding_pipeline_block(
         packed, local_starts, local_ends, lut_offsets, lut_positions,
         query, matrix16, ctx_offsets, x_dropoffs, pos_base, pos_end,
+        mask_starts, mask_ends,
         scan_step=scan_step, lut_word=lut_word, word_size=word_size,
         cmax=cmax, n_scan=n_scan, hit_cap=hit_cap, seed_cap=seed_cap,
         out_cap=out_cap,
@@ -215,7 +217,7 @@ class _BlockPlan:
     """Static per-search geometry of the stream."""
 
     def __init__(self, db, *, block_bases: int, halo: int, lut_word: int,
-                 scan_step: int):
+                 scan_step: int, mask_intervals=None):
         self.B = max(block_bases - block_bases % 1024, 1024)
         self.halo = max(halo - halo % 4, 256)
         self.s_buf = self.B + 2 * self.halo
@@ -236,6 +238,23 @@ class _BlockPlan:
             self.slices.append((g0, a, b))
             kmax = max(kmax, b - a)
         self.kmax = _round_up_pow2(kmax, 16)
+        # db soft-mask intervals: per-block slice bounds + bucketed cap
+        self.mask_intervals = mask_intervals
+        if mask_intervals is not None and len(mask_intervals):
+            mi = np.asarray(mask_intervals, np.int64)
+            self.mask_intervals = mi
+            self.mask_slices = []
+            mmax = 1
+            for k in range(self.n_blocks):
+                g0 = self.slices[k][0]
+                lo = int(np.searchsorted(mi[:, 1], max(g0, 0), "right"))
+                hi = int(np.searchsorted(mi[:, 0], g0 + self.s_buf,
+                                         "left"))
+                self.mask_slices.append((lo, hi))
+                mmax = max(mmax, hi - lo)
+            self.mcap = _round_up_pow2(mmax, 16)
+        else:
+            self.mask_intervals = None
 
     def block_inputs(self, db, k: int):
         """(packed_bytes[s_buf/4], local_starts, local_ends, pos_base,
@@ -261,7 +280,21 @@ class _BlockPlan:
         le[: b - a] = np.clip(
             db.starts[a:b] + db.lengths[a:b] - g0, -CLIP, CLIP
         )
-        return buf, ls, le, np.int32(p_lo - g0), np.int32(p_hi - g0)
+        if self.mask_intervals is None:
+            masks = (None, None)
+        else:
+            mlo, mhi = self.mask_slices[k]
+            ms = np.full(self.mcap, CLIP, np.int32)
+            me = np.full(self.mcap, CLIP, np.int32)
+            ms[: mhi - mlo] = np.clip(
+                self.mask_intervals[mlo:mhi, 0] - g0, -CLIP, CLIP
+            )
+            me[: mhi - mlo] = np.clip(
+                self.mask_intervals[mlo:mhi, 1] - g0, -CLIP, CLIP
+            )
+            masks = (ms, me)
+        return (buf, ls, le, np.int32(p_lo - g0), np.int32(p_hi - g0),
+                masks)
 
 
 def run_seeding_streamed(
@@ -285,12 +318,13 @@ def run_seeding_streamed(
     hit_cap: int = 16384,
     seed_cap: int = 16384,
     use_pallas: bool | None = None,
+    mask_intervals: np.ndarray | None = None,  # int64[n, 2] absolute
 ) -> InitHits:
     """Streamed seeding over the whole database; same InitHits contract
     as engine.seeding.run_seeding (asserted equal in tests)."""
     plan = _BlockPlan(
         db, block_bases=block_bases, halo=halo, lut_word=lut_word,
-        scan_step=scan_step,
+        scan_step=scan_step, mask_intervals=mask_intervals,
     )
     if use_pallas is None:
         # decide off the actual placement of the device arrays: the
@@ -329,10 +363,12 @@ def run_seeding_streamed(
     caps = [hit_cap, seed_cap]
 
     def dispatch(inputs):
-        buf, ls, le, pos_base, pos_end = inputs
+        buf, ls, le, pos_base, pos_end, (mstarts, mends) = inputs
         packed_d = jnp.asarray(buf)
         ls_d = jnp.asarray(ls)
         le_d = jnp.asarray(le)
+        ms_d = jnp.asarray(mstarts) if mstarts is not None else None
+        me_d = jnp.asarray(mends) if mends is not None else None
         if use_pallas:
             from gblastn_tpu.ops.pallas_ungapped import (
                 ungapped_extend_pallas_prepared,
@@ -344,7 +380,7 @@ def run_seeding_streamed(
                 seeding_scan_mini(
                     s2, sval, lut_offsets_dev, lut_positions_dev,
                     query_dev, ctx_off_dev, xdrop_dev, ls_d, le_d,
-                    pos_base, pos_end,
+                    pos_base, pos_end, ms_d, me_d,
                     scan_step=scan_step, lut_word=lut_word,
                     word_size=word_size, cmax=cmax, n_scan=plan.n_scan,
                     hit_cap=caps[0], seed_cap=caps[1],
@@ -364,7 +400,7 @@ def run_seeding_streamed(
         return _xla_block_packed(
             packed_d, ls_d, le_d, lut_offsets_dev, lut_positions_dev,
             query_dev, m16_dev, ctx_off_dev, xdrop_dev,
-            pos_base, pos_end,
+            pos_base, pos_end, ms_d, me_d,
             scan_step=scan_step, lut_word=lut_word, word_size=word_size,
             cmax=cmax, n_scan=plan.n_scan, hit_cap=caps[0],
             seed_cap=caps[1], out_cap=caps[1] // 2,

@@ -40,6 +40,29 @@ PAD = 128
 
 FORMAT_VERSION = 1
 
+# EBlast_filter_program values (reference:
+# src/objects/blastdb/blastdb.asn Blast-filter-program) used as the
+# conventional algorithm ids for -db_soft_mask / -db_hard_mask.
+MASK_PROGRAMS = {
+    "dust": 10,
+    "seg": 20,
+    "windowmasker": 30,
+    "repeat": 40,
+    "other": 100,
+}
+
+
+@dataclass(frozen=True)
+class MaskSet:
+    """One masking algorithm's subject intervals (the role of a CSeqDB
+    mask column, reference seqdbcol.cpp / mask_column.txt): intervals
+    are half-open [start, end) in ABSOLUTE padded-buffer base
+    coordinates, sorted and non-overlapping."""
+
+    program: str                  # dust / windowmasker / repeat / other
+    options: str                  # free-form algorithm options string
+    intervals: np.ndarray         # int64[n, 2]
+
 
 @dataclass(frozen=True)
 class DBInfo:
@@ -47,6 +70,16 @@ class DBInfo:
     num_seqs: int
     total_length: int  # sum of true (unpadded) lengths
     max_length: int
+
+
+def _base_offsets(dbs) -> list[int]:
+    """Padded-base offset of each member in the concatenated space."""
+    offs = []
+    cur = 0
+    for d in dbs:
+        offs.append(cur)
+        cur += d.padded_length
+    return offs
 
 
 class SequenceDB:
@@ -77,6 +110,10 @@ class SequenceDB:
             if ambig_code is not None else np.zeros(0, dtype=np.uint8)
         )
         self.title = title
+        self.masks: dict[int, MaskSet] = {}
+        # algo id whose intervals get_sequence_blastna renders as N
+        # (the -db_hard_mask search path); set via apply_hard_mask
+        self.hard_mask_algo: int | None = None
 
     # ------------------------------------------------------------------ build
     @classmethod
@@ -130,6 +167,45 @@ class SequenceDB:
     def from_fasta(cls, path, title: str = "") -> "SequenceDB":
         return cls.from_records(parse_fasta(path), title=title or str(path))
 
+    @classmethod
+    def concat(cls, dbs: Sequence["SequenceDB"], title: str = "") -> "SequenceDB":
+        """Concatenate member databases (the alias-database role,
+        reference seqdbalias.cpp: an alias presents volumes as one DB).
+        Buffers stay PAD-aligned so packed bytes never straddle
+        members; mask columns merge per algorithm id."""
+        if not dbs:
+            raise ValueError("empty dblist")
+        out = cls(
+            packed=np.concatenate([d.packed for d in dbs]),
+            starts=np.concatenate([
+                d.starts + off
+                for d, off in zip(dbs, _base_offsets(dbs))
+            ]),
+            lengths=np.concatenate([d.lengths for d in dbs]),
+            ids=[i for d in dbs for i in d.ids],
+            titles=[t for d in dbs for t in d.titles],
+            ambig_pos=np.concatenate([
+                d.ambig_pos + off
+                for d, off in zip(dbs, _base_offsets(dbs))
+            ]),
+            ambig_code=np.concatenate([d.ambig_code for d in dbs]),
+            title=title or " ".join(d.title for d in dbs),
+        )
+        algos = {a for d in dbs for a in d.masks}
+        for algo in algos:
+            parts = []
+            program, options = "other", ""
+            for d, off in zip(dbs, _base_offsets(dbs)):
+                m = d.masks.get(algo)
+                if m is not None:
+                    parts.append(m.intervals + off)
+                    program, options = m.program, m.options
+            out.masks[algo] = MaskSet(
+                program=program, options=options,
+                intervals=np.concatenate(parts),
+            )
+        return out
+
     # ------------------------------------------------------------------ props
     @property
     def num_seqs(self) -> int:
@@ -161,13 +237,22 @@ class SequenceDB:
         return unpack_2na(self.packed[b0:b1], n)
 
     def get_sequence_blastna(self, oid: int) -> np.ndarray:
-        """Subject in BLASTNA codes with true ambiguity codes restored."""
+        """Subject in BLASTNA codes with true ambiguity codes restored.
+
+        When ``hard_mask_algo`` is set (-db_hard_mask), masked ranges
+        render as N (code 14) so host re-evaluation/traceback score
+        them as the reference scores hard-masked residues."""
         seq = self.get_sequence_2na(oid).copy()
+        start = int(self.starts[oid])
+        n = int(self.lengths[oid])
         if len(self.ambig_pos):
-            start = int(self.starts[oid])
-            n = int(self.lengths[oid])
             sel = (self.ambig_pos >= start) & (self.ambig_pos < start + n)
             seq[self.ambig_pos[sel] - start] = self.ambig_code[sel]
+        if self.hard_mask_algo is not None:
+            for a, b in self.mask_intervals_for_oid(
+                self.hard_mask_algo, oid
+            ):
+                seq[a: b] = 14
         return seq
 
     def unpacked(self) -> np.ndarray:
@@ -188,6 +273,88 @@ class SequenceDB:
     def oid_of_position(self, base_pos: np.ndarray) -> np.ndarray:
         """Map absolute base positions in the packed space to subject oids."""
         return np.searchsorted(self.starts, base_pos, side="right") - 1
+
+    def oid_of_id(self, sid: str) -> int | None:
+        """id -> oid in O(log n) via a lazily built sorted index (the
+        role of the reference's ISAM string index, seqdbisam.cpp;
+        ours is in-memory since the manifest already loads all ids).
+        Bare accessions also match ``db|accession`` style ids."""
+        import bisect
+
+        idx = getattr(self, "_id_index", None)
+        if idx is None:
+            keys: list[tuple[str, int]] = []
+            for i, full in enumerate(self.ids):
+                keys.append((full, i))
+                for part in full.split("|"):
+                    if part and part != full:
+                        keys.append((part, i))
+            keys.sort()
+            idx = ([k for k, _ in keys], [o for _, o in keys])
+            self._id_index = idx
+        ks, oids = idx
+        j = bisect.bisect_left(ks, sid)
+        if j < len(ks) and ks[j] == sid:
+            return oids[j]
+        return None
+
+    # ------------------------------------------------------------- masks
+    def add_mask_set(
+        self,
+        algo_id: int,
+        program: str,
+        options: str,
+        per_id_intervals: dict[str, list[tuple[int, int]]],
+    ) -> None:
+        """Attach a mask column: ``per_id_intervals`` maps sequence id
+        to half-open (start, end) intervals in SEQUENCE-LOCAL
+        coordinates (the CWriteDB_Impl::SetMaskData role)."""
+        oid_by_id = {sid: i for i, sid in enumerate(self.ids)}
+        rows = []
+        for sid, ivs in per_id_intervals.items():
+            oid = oid_by_id.get(sid)
+            if oid is None:
+                raise KeyError(f"mask data id {sid!r} not in database")
+            base = int(self.starts[oid])
+            n = int(self.lengths[oid])
+            for a, b in ivs:
+                a, b = max(int(a), 0), min(int(b), n)
+                if a < b:
+                    rows.append((base + a, base + b))
+        rows.sort()
+        self.masks[int(algo_id)] = MaskSet(
+            program=program, options=options,
+            intervals=np.array(rows or np.zeros((0, 2)), np.int64)
+            .reshape(-1, 2),
+        )
+
+    def mask_intervals(self, algo_id: int) -> np.ndarray:
+        """int64[n, 2] absolute half-open intervals of one algorithm."""
+        if algo_id not in self.masks:
+            avail = ", ".join(
+                f"{k} ({v.program})" for k, v in self.masks.items()
+            ) or "none"
+            raise KeyError(
+                f"masking algorithm {algo_id} not in database "
+                f"(available: {avail})"
+            )
+        return self.masks[algo_id].intervals
+
+    def mask_intervals_for_oid(self, algo_id: int, oid: int) -> list:
+        """Sequence-local half-open intervals of one subject."""
+        ivs = self.mask_intervals(algo_id)
+        base = int(self.starts[oid])
+        end = base + int(self.lengths[oid])
+        lo = int(np.searchsorted(ivs[:, 1], base, side="right"))
+        hi = int(np.searchsorted(ivs[:, 0], end, side="left"))
+        return [
+            (max(int(a) - base, 0), min(int(b), end) - base)
+            for a, b in ivs[lo:hi]
+        ]
+
+    def apply_hard_mask(self, algo_id: int) -> None:
+        self.mask_intervals(algo_id)   # validates
+        self.hard_mask_algo = int(algo_id)
 
     # ------------------------------------------------------------------ shard
     def shard(self, n_shards: int) -> list["SequenceDB"]:
@@ -221,7 +388,7 @@ class SequenceDB:
             int(self.starts[b]) if b < self.num_seqs else self.padded_length
         )
         sel = (self.ambig_pos >= base0) & (self.ambig_pos < end)
-        return SequenceDB(
+        db = SequenceDB(
             packed=self.packed[base0 // 4: end // 4],
             starts=self.starts[a:b] - base0,
             lengths=self.lengths[a:b],
@@ -231,6 +398,15 @@ class SequenceDB:
             ambig_code=self.ambig_code[sel],
             title=self.title,
         )
+        for algo, m in self.masks.items():
+            ivs = m.intervals
+            keep = (ivs[:, 1] > base0) & (ivs[:, 0] < end)
+            clipped = np.clip(ivs[keep] - base0, 0, end - base0)
+            db.masks[algo] = MaskSet(
+                program=m.program, options=m.options, intervals=clipped
+            )
+        db.hard_mask_algo = self.hard_mask_algo
+        return db
 
     # ------------------------------------------------------------------ disk
     def save(self, path) -> None:
@@ -244,20 +420,35 @@ class SequenceDB:
             "pad": PAD,
             "ids": self.ids,
             "titles": self.titles,
+            "masks": {
+                str(algo): {"program": m.program, "options": m.options}
+                for algo, m in self.masks.items()
+            },
         }
         (path / "manifest.json").write_text(json.dumps(manifest))
-        np.savez_compressed(
-            path / "arrays.npz",
-            packed=self.packed,
-            starts=self.starts,
-            lengths=self.lengths,
-            ambig_pos=self.ambig_pos,
-            ambig_code=self.ambig_code,
-        )
+        arrays = {
+            "packed": self.packed,
+            "starts": self.starts,
+            "lengths": self.lengths,
+            "ambig_pos": self.ambig_pos,
+            "ambig_code": self.ambig_code,
+        }
+        for algo, m in self.masks.items():
+            arrays[f"mask_{algo}"] = m.intervals
+        np.savez_compressed(path / "arrays.npz", **arrays)
 
     @classmethod
     def load(cls, path) -> "SequenceDB":
         path = Path(path)
+        if (path / "alias.json").exists():
+            # native alias database (blastdb_aliastool output): a list
+            # of member db paths presented as one database
+            alias = json.loads((path / "alias.json").read_text())
+            members = [
+                cls.load(Path(p) if os.path.isabs(p) else path.parent / p)
+                for p in alias["dblist"]
+            ]
+            return cls.concat(members, title=alias.get("title", ""))
         if not (path / "manifest.json").exists():
             # fall back to NCBI BLAST database format (.nin/.nal),
             # so makeblastdb-built dbs work directly
@@ -271,7 +462,7 @@ class SequenceDB:
             )
         manifest = json.loads((path / "manifest.json").read_text())
         arrays = np.load(path / "arrays.npz")
-        return cls(
+        db = cls(
             packed=arrays["packed"],
             starts=arrays["starts"],
             lengths=arrays["lengths"],
@@ -281,3 +472,11 @@ class SequenceDB:
             ambig_code=arrays["ambig_code"],
             title=manifest["title"],
         )
+        for algo, meta in manifest.get("masks", {}).items():
+            db.masks[int(algo)] = MaskSet(
+                program=meta["program"],
+                options=meta["options"],
+                intervals=np.asarray(arrays[f"mask_{algo}"], np.int64)
+                .reshape(-1, 2),
+            )
+        return db

@@ -63,8 +63,17 @@ def scan_block(
     pos_base=0,                   # first scan position (traced OK)
     pos_end=None,                 # exclusive scan bound (traced; None=all)
     hit_cap: int = 0,             # 0 = no compaction (dense fan-out)
+    mask_starts=None,             # int32[M] sorted soft-mask starts
+    mask_ends=None,               # int32[M] sorted soft-mask ends
 ):
     """Scan subject at stride positions; resolve CSR seeds.
+
+    ``mask_starts``/``mask_ends`` (optional) are sorted non-overlapping
+    half-open subject intervals (buffer-local coords, padded with a
+    past-the-end sentinel): scan words overlapping one are not seeded
+    -- database soft masking (the reference restricts scanning to the
+    unmasked ranges, masksubj.inl s_DetermineScanningOffsets), while
+    mini/ungapped extension still runs through masked bases.
 
     Word codes are computed for the whole subject with ``lut_word``
     shifted multiply-adds over the full array (one fused elementwise
@@ -107,6 +116,18 @@ def scan_block(
     start = lut_offsets[words]
     count = lut_offsets[words + 1] - start
     count = jnp.where(valid_word, count, 0)
+
+    if mask_starts is not None:
+        # word at pos overlaps a masked interval iff the first interval
+        # ending after pos starts before pos + lut_word
+        j = jnp.clip(
+            jnp.searchsorted(mask_ends, pos, side="right"),
+            0, mask_starts.shape[0] - 1,
+        )
+        soft_masked = (
+            (mask_starts[j] < pos + lut_word) & (mask_ends[j] > pos)
+        )
+        count = jnp.where(soft_masked, 0, count)
 
     if hit_cap:
         # compact PV-positive positions to hit_cap slots
@@ -413,6 +434,8 @@ def seeding_pipeline(
     seed_cap: int,
     chunk: int = 64,
     phase1_extend: int = 96,
+    mask_starts=None,
+    mask_ends=None,
 ):
     """Fused device seeding: scan -> seed compaction -> mini-extension
     -> survivor compaction -> clamped X-drop ungapped extension, one
@@ -433,6 +456,7 @@ def seeding_pipeline(
         subject2, subject_valid, lut_offsets, lut_positions,
         scan_step=scan_step, lut_word=lut_word, word_size=word_size,
         cmax=cmax, n_scan=n_scan, hit_cap=hit_cap,
+        mask_starts=mask_starts, mask_ends=mask_ends,
     )
     # compact raw seeds before the gather-heavy mini-extension
     n_raw = take.sum()
@@ -486,6 +510,8 @@ def seeding_scan_mini(
     subject_ends: jnp.ndarray,     # int64[num_subjects] true ends
     pos_base=0,                    # first scan position (traced OK)
     pos_end=None,                  # exclusive scan bound (traced OK)
+    mask_starts=None,              # int32[M] soft-mask starts (sorted)
+    mask_ends=None,                # int32[M] soft-mask ends
     *,
     scan_step: int,
     lut_word: int,
@@ -514,6 +540,7 @@ def seeding_scan_mini(
         scan_step=scan_step, lut_word=lut_word, word_size=word_size,
         cmax=cmax, n_scan=n_scan, hit_cap=hit_cap,
         pos_base=pos_base, pos_end=pos_end,
+        mask_starts=mask_starts, mask_ends=mask_ends,
     )
     n_raw = take.sum()
     ridx = jnp.nonzero(take, size=seed_cap, fill_value=0)[0]
@@ -634,6 +661,8 @@ def seeding_pipeline_block(
     x_dropoffs: jnp.ndarray,
     pos_base,                     # int32 first local scan position
     pos_end,                      # int32 exclusive local scan bound
+    mask_starts=None,             # int32[M] block-local soft-mask starts
+    mask_ends=None,
     *,
     scan_step: int,
     lut_word: int,
@@ -659,7 +688,7 @@ def seeding_pipeline_block(
         seeding_scan_mini(
             subject2, subject_valid, lut_offsets, lut_positions, query,
             ctx_offsets, x_dropoffs, local_starts, local_ends,
-            pos_base, pos_end,
+            pos_base, pos_end, mask_starts, mask_ends,
             scan_step=scan_step, lut_word=lut_word, word_size=word_size,
             cmax=cmax, n_scan=n_scan, hit_cap=hit_cap, seed_cap=seed_cap,
             out_cap=out_cap,

@@ -69,6 +69,11 @@ class SearchOptions:
     lcase_masking: bool = False         # lowercase query letters mask
     window_size: int = 0                # two-hit window; 0 = one-hit
 
+    # Subject-side masking: filtering algorithm id stored in the
+    # database's mask columns (-db_soft_mask / -db_hard_mask)
+    db_soft_mask: int | None = None
+    db_hard_mask: int | None = None
+
     # Effective length overrides
     db_length_override: int = 0
     db_num_seqs_override: int = 0
