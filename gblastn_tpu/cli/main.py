@@ -676,6 +676,10 @@ def run_windowmasker(argv) -> int:
     p.add_argument("-t_high", type=int, default=0)
     p.add_argument("-t_low", type=int, default=0)
     p.add_argument("-outfmt", default="interval")
+    p.add_argument("-sformat", default="ascii",
+                   choices=["ascii", "binary"],
+                   help="counts statistics format for -mk_counts "
+                        "(all four NCBI formats load)")
     args = p.parse_args(argv)
 
     from gblastn_tpu.io.encoding import seq_to_blastna
@@ -694,7 +698,10 @@ def run_windowmasker(argv) -> int:
             seqs, unit_size=args.unit,
             t_high_override=args.t_high, t_low_override=args.t_low,
         )
-        stats.save_ascii(args.out)
+        if args.sformat == "binary":
+            stats.save_binary(args.out)
+        else:
+            stats.save_ascii(args.out)
         print(
             f"windowmasker: unit={stats.unit_size} t_low={stats.t_low} "
             f"t_extend={stats.t_extend} t_threshold={stats.t_threshold} "
@@ -705,7 +712,7 @@ def run_windowmasker(argv) -> int:
 
     if not args.ustat:
         p.error("masking stage requires -ustat")
-    stats = WindowMaskerStats.load_ascii(args.ustat)
+    stats = WindowMaskerStats.load(args.ustat)
     with open(args.out, "w") as out:
         for rec in parse_fasta(args.input):
             intervals = window_mask(seq_to_blastna(rec.sequence), stats)

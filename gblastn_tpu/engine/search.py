@@ -175,7 +175,7 @@ def prelim_search(
         )
 
         with slog.time("setup.window_masker"):
-            stats = WindowMaskerStats.load_ascii(options.window_masker_db)
+            stats = WindowMaskerStats.load(options.window_masker_db)
             wm_masks = query_window_masks(qblock, stats)
         if masks is None:
             masks = wm_masks

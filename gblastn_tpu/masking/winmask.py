@@ -89,6 +89,153 @@ class WindowMaskerStats:
             f.write(f">t_threshold {self.t_threshold}\n")
             f.write(f">t_high      {self.t_high}\n")
 
+    def save_binary(self, path) -> None:
+        """NCBI windowmasker 'binary' statistics format
+        (seq_masker_ostat_bin.cpp): LE uint32 words -- format id 0,
+        unit size, (unit, count) pairs, then the four thresholds."""
+        words = [0, self.unit_size]
+        for u, c in zip(self.units, self.counts):
+            words.extend([int(u), int(c)])
+        words.extend([self.t_low, self.t_extend, self.t_threshold,
+                      self.t_high])
+        Path(path).write_bytes(
+            np.asarray(words, dtype="<u4").tobytes()
+        )
+
+    @classmethod
+    def load_binary(cls, path) -> "WindowMaskerStats":
+        """Inverse of save_binary (seq_masker_istat_bin.cpp)."""
+        w = np.frombuffer(Path(path).read_bytes(), dtype="<u4")
+        if len(w) < 6 or w[0] != 0:
+            raise ValueError(f"{path}: not a windowmasker binary file")
+        unit_size = int(w[1])
+        if not 1 <= unit_size <= 16:
+            raise ValueError(f"{path}: illegal unit size {unit_size}")
+        pairs = w[2:-4]
+        if len(pairs) % 2:
+            raise ValueError(f"{path}: wrong length")
+        u = pairs[0::2].astype(np.uint64)
+        c = pairs[1::2].astype(np.uint32)
+        order = np.argsort(u)
+        t_low, t_extend, t_threshold, t_high = (int(x) for x in w[-4:])
+        return cls(
+            unit_size=unit_size, units=u[order], counts=c[order],
+            t_low=t_low, t_extend=t_extend, t_threshold=t_threshold,
+            t_high=t_high,
+        )
+
+    @classmethod
+    def _from_hash_tables(
+        cls, unit_size, k, roff, bc, t_low, t_extend, t_threshold,
+        t_high, ht, vt,
+    ) -> "WindowMaskerStats":
+        """Decode the optimized hash container (CSeqMaskerUsetHash,
+        seq_masker_uset_hash.cpp:72-110) back to (unit, count) arrays.
+
+        hash_code splits a unit into a k-bit key (bits [roff, roff+k))
+        and an 8-bit remainder ((high_bits << roff) | low_bits), so
+        every stored unit is exactly recoverable from (key, rem):
+        unit = (rem >> roff) << (roff + k) | key << roff | low(rem).
+        Counts are capped at 0xFFF (direct) / 0x1FF (collision table).
+        """
+        units: list[int] = []
+        counts: list[int] = []
+        cmask = (1 << bc) - 1
+        lowmask = (1 << roff) - 1
+
+        def unit_of(key: int, rem: int) -> int:
+            return (
+                ((rem >> roff) << (roff + k))
+                | (key << roff)
+                | (rem & lowmask)
+            )
+
+        for key, hval in enumerate(ht):
+            hval = int(hval)
+            coll = hval & cmask
+            if coll == 0:
+                continue
+            if coll == 1:
+                rem = hval >> 24
+                units.append(unit_of(key, rem))
+                counts.append((hval >> bc) & 0xFFF)
+            else:
+                idx = hval >> bc
+                for e in vt[idx: idx + coll]:
+                    e = int(e)
+                    units.append(unit_of(key, e >> 9))
+                    counts.append(e & 0x1FF)
+        u = np.asarray(units, dtype=np.uint64)
+        c = np.asarray(counts, dtype=np.uint32)
+        order = np.argsort(u)
+        return cls(
+            unit_size=unit_size, units=u[order], counts=c[order],
+            t_low=t_low, t_extend=t_extend, t_threshold=t_threshold,
+            t_high=t_high,
+        )
+
+    @classmethod
+    def load_obinary(cls, path) -> "WindowMaskerStats":
+        """NCBI 'obinary' optimized format (seq_masker_istat_obinary
+        .cpp): format word 1/2, unit size, M, k, roff, bc, the four
+        thresholds, [cache bit array if format 2], 2^k-word hash
+        table, M uint16 values table."""
+        raw = Path(path).read_bytes()
+        w = np.frombuffer(raw[: 10 * 4], dtype="<u4")
+        fmt, unit_size, M, k, roff, bc = (int(x) for x in w[:6])
+        t_low, t_extend, t_threshold, t_high = (int(x) for x in w[6:10])
+        off = 10 * 4
+        if fmt == 2:
+            divisor = int(
+                np.frombuffer(raw[off: off + 4], dtype="<u4")[0]
+            )
+            off += 4
+            if divisor > 0:
+                off += (1 << (2 * unit_size)) // 8   # skip bit array
+        ht = np.frombuffer(raw[off: off + 4 * (1 << k)], dtype="<u4")
+        off += 4 * (1 << k)
+        vt = np.frombuffer(raw[off: off + 2 * M], dtype="<u2")
+        return cls._from_hash_tables(
+            unit_size, k, roff, bc, t_low, t_extend, t_threshold,
+            t_high, ht, vt,
+        )
+
+    @classmethod
+    def load_oascii(cls, path) -> "WindowMaskerStats":
+        """NCBI 'oascii' optimized format (seq_masker_istat_oascii
+        .cpp): format line, unit size, 'M k roff bc', four threshold
+        lines, 2^k hash-table lines, M values-table lines."""
+        lines = Path(path).read_text().split("\n")
+        unit_size = int(lines[1])
+        M, k, roff, bc = (int(x) for x in lines[2].split())
+        t_low, t_extend, t_threshold, t_high = (
+            int(lines[i]) for i in (3, 4, 5, 6)
+        )
+        ht = [int(x) for x in lines[7: 7 + (1 << k)]]
+        vt = [int(x) for x in lines[7 + (1 << k): 7 + (1 << k) + M]]
+        return cls._from_hash_tables(
+            unit_size, k, roff, bc, t_low, t_extend, t_threshold,
+            t_high, ht, vt,
+        )
+
+    @classmethod
+    def load(cls, path) -> "WindowMaskerStats":
+        """Load any NCBI unit-counts format, discriminated exactly as
+        CSeqMaskerIstatFactory::create (seq_masker_istat_factory.cpp:
+        first LE uint32: 0 = binary, 'AAAA' = oascii, 1/2 = obinary,
+        anything else = ascii)."""
+        with open(path, "rb") as f:
+            head = f.read(4)
+        if len(head) == 4:
+            word = int.from_bytes(head, "little")
+            if word == 0:
+                return cls.load_binary(path)
+            if head == b"AAAA":
+                return cls.load_oascii(path)
+            if word in (1, 2):
+                return cls.load_obinary(path)
+        return cls.load_ascii(path)
+
     @classmethod
     def load_ascii(cls, path) -> "WindowMaskerStats":
         unit_size = None

@@ -119,3 +119,113 @@ class TestMasking:
         assert res2.queries[0].hsplists
         total = sum(len(l.hsps) for l in res2.queries[0].hsplists)
         assert total >= 25
+
+
+class TestStatFormats:
+    """Binary + optimized (oascii/obinary) unit-count stores
+    (seq_masker_istat_{bin,oascii,obinary}.cpp formats)."""
+
+    def test_binary_roundtrip(self, repeat_genome, tmp_path):
+        genome, _ = repeat_genome
+        stats = generate_counts([seq_to_blastna(genome)])
+        path = tmp_path / "stats.bin"
+        stats.save_binary(path)
+        # factory sniffing picks the binary reader
+        loaded = WindowMaskerStats.load(path)
+        np.testing.assert_array_equal(loaded.units, stats.units)
+        np.testing.assert_array_equal(loaded.counts, stats.counts)
+        assert (
+            loaded.t_low, loaded.t_extend, loaded.t_threshold,
+            loaded.t_high,
+        ) == (
+            stats.t_low, stats.t_extend, stats.t_threshold,
+            stats.t_high,
+        )
+
+    @staticmethod
+    def _encode_hash(stats):
+        """Encode stats into the CSeqMaskerUsetHash layout: k-bit key
+        at bit offset roff, 8-bit remainder; direct entries pack
+        (rem << 24 | count << bc | 1), collision entries point into a
+        uint16 table of (rem << 9 | count)."""
+        us = stats.unit_size
+        roff = 0
+        # rem must fit the 7 bits above the 9-bit count in a uint16
+        # collision entry (seq_masker_uset_hash.cpp:100 `>>9`)
+        k = max(2 * us - 7, 1)
+        from collections import defaultdict
+
+        buckets = defaultdict(list)
+        for u, c in zip(stats.units, stats.counts):
+            u, c = int(u), int(c)
+            key = (u >> roff) & ((1 << k) - 1)
+            rem = ((u >> (roff + k)) << roff) | (u & ((1 << roff) - 1))
+            buckets[key].append((rem, min(c, 0x1FF)))
+        max_coll = max(len(v) for v in buckets.values())
+        bc = max(max_coll.bit_length(), 1)
+        ht = [0] * (1 << k)
+        vt = []
+        for key, entries in buckets.items():
+            if len(entries) == 1:
+                rem, c = entries[0]
+                ht[key] = (rem << 24) | (min(c, 0xFFF) << bc) | 1
+            else:
+                ht[key] = (len(vt) << bc) | len(entries)
+                vt.extend((rem << 9) | c for rem, c in entries)
+        return k, roff, bc, ht, vt
+
+    def test_obinary_load(self, repeat_genome, tmp_path):
+        genome, _ = repeat_genome
+        stats = generate_counts([seq_to_blastna(genome)])
+        # counts in the optimized stores are 9-bit; clamp expectation
+        k, roff, bc, ht, vt = self._encode_hash(stats)
+        words = [1, stats.unit_size, len(vt), k, roff, bc,
+                 stats.t_low, stats.t_extend, stats.t_threshold,
+                 stats.t_high]
+        blob = (
+            np.asarray(words, dtype="<u4").tobytes()
+            + np.asarray(ht, dtype="<u4").tobytes()
+            + np.asarray(vt, dtype="<u2").tobytes()
+        )
+        path = tmp_path / "stats.obin"
+        path.write_bytes(blob)
+        loaded = WindowMaskerStats.load(path)
+        assert loaded.unit_size == stats.unit_size
+        np.testing.assert_array_equal(loaded.units, stats.units)
+        np.testing.assert_array_equal(
+            loaded.counts, np.minimum(stats.counts, 0x1FF)
+        )
+
+    def test_oascii_load(self, repeat_genome, tmp_path):
+        genome, _ = repeat_genome
+        stats = generate_counts([seq_to_blastna(genome)])
+        k, roff, bc, ht, vt = self._encode_hash(stats)
+        lines = ["AAAA", str(stats.unit_size),
+                 f"{len(vt)} {k} {roff} {bc}",
+                 str(stats.t_low), str(stats.t_extend),
+                 str(stats.t_threshold), str(stats.t_high)]
+        lines += [str(x) for x in ht]
+        lines += [str(x) for x in vt]
+        path = tmp_path / "stats.oascii"
+        path.write_text("\n".join(lines) + "\n")
+        loaded = WindowMaskerStats.load(path)
+        np.testing.assert_array_equal(loaded.units, stats.units)
+        np.testing.assert_array_equal(
+            loaded.counts, np.minimum(stats.counts, 0x1FF)
+        )
+
+    def test_search_with_binary_stats(self, repeat_genome, tmp_path):
+        genome, element = repeat_genome
+        stats = generate_counts([seq_to_blastna(genome)])
+        path = tmp_path / "stats.bin"
+        stats.save_binary(path)
+        db = SequenceDB.from_records(
+            [FastaRecord("g", "", genome)], title="t"
+        )
+        q = [FastaRecord("q_rep", "", element * 3)]
+        opts = megablast_options(
+            evalue=1e-3, dust=False, window_masker_db=str(path)
+        )
+        res = search(q, db, opts)
+        nhits = sum(len(l.hsps) for l in res.queries[0].hsplists)
+        assert nhits == 0, "repeat query must be masked out"
