@@ -388,6 +388,7 @@ def prelim_search(
         dev_subject = getattr(db, "_device_cache", None)
         if dev_subject is None:
             from gblastn_tpu.ops.pallas_ungapped import prepare_subject
+            from gblastn_tpu.ops.seeding import pack_subject_words
 
             with slog.time("setup.subject_upload"):
                 sub2 = jnp.asarray(db.unpacked().astype(np.int8))
@@ -395,11 +396,13 @@ def prelim_search(
                     sub2,
                     jnp.asarray(db.valid_mask()),
                     prepare_subject(sub2),
+                    pack_subject_words(jnp.asarray(db.packed)),
                 )
                 jax.block_until_ready(dev_subject)
             db._device_cache = dev_subject
 
         from gblastn_tpu.ops.pallas_ungapped import make_table64
+        from gblastn_tpu.ops.seeding import pack_query_nibbles
 
         dev = SeedingDeviceData(
             query=qdev,
@@ -410,6 +413,8 @@ def prelim_search(
             matrix16=jnp.asarray(m16),
             pallas_subject=dev_subject[2],
             table64=jnp.asarray(make_table64(m16)),
+            query_nib=pack_query_nibbles(qdev),
+            subject_w=dev_subject[3],
         )
         if options.window_size > 0:
             host_sub = getattr(db, "_host_cache", None)

@@ -68,6 +68,9 @@ class SeedingDeviceData:
     # padded form for the Pallas ungapped kernel (None = XLA fallback)
     pallas_subject: jnp.ndarray | None = None  # guard-padded fwd2d
     table64: jnp.ndarray | None = None
+    # packed-word forms for mini_extend_packed (None = byte-gather path)
+    query_nib: jnp.ndarray | None = None       # uint32[Q/8]
+    subject_w: jnp.ndarray | None = None       # uint32[S/16]
     # host copies, needed only by the two-hit (window_size > 0) path
     host_query: np.ndarray | None = None
     host_subject2: np.ndarray | None = None
@@ -318,7 +321,7 @@ def _seeding_tpu_fused(
     ctx_offsets, x_dropoffs, subject_starts, subject_ends,
     subject_p, table64,
     *, scan_step, lut_word, word_size, cmax, n_scan, hit_cap, seed_cap,
-    mask_starts=None, mask_ends=None,
+    mask_starts=None, mask_ends=None, query_nib=None, subject_w=None,
 ):
     """TPU seeding stage: scan+mini (one jit), the Pallas ungapped
     kernel (its own dispatch -- nesting it inside one mega-jit makes
@@ -343,9 +346,10 @@ def _seeding_tpu_fused(
         subject2, subject_valid, lut_offsets, lut_positions, query,
         ctx_offsets, x_dropoffs, subject_starts, subject_ends,
         mask_starts=mask_starts, mask_ends=mask_ends,
+        query_nib=query_nib, subject_w=subject_w,
         scan_step=scan_step, lut_word=lut_word, word_size=word_size,
         cmax=cmax, n_scan=n_scan, hit_cap=hit_cap, seed_cap=seed_cap,
-        out_cap=seed_cap // 2,
+        out_cap=seed_cap // 2, pos_base_static=0,
     )
     if sync:
         with slog.time("device.seeding.scan_sync"):
@@ -449,6 +453,7 @@ def run_seeding(
                     word_size=word_size, cmax=cmax, n_scan=n_scan,
                     hit_cap=hit_cap, seed_cap=seed_cap,
                     mask_starts=mask_dev[0], mask_ends=mask_dev[1],
+                    query_nib=dev.query_nib, subject_w=dev.subject_w,
                 ))
                 qs, ss, fill, ctx = (
                     packed[0], packed[1], packed[2].astype(bool),

@@ -191,7 +191,7 @@ def _pack_stream(qs, ss, ok, ctx, f_q, f_s, f_len, f_score, bits,
     jax.jit,
     static_argnames=(
         "scan_step", "lut_word", "word_size", "cmax", "n_scan",
-        "hit_cap", "seed_cap", "out_cap",
+        "hit_cap", "seed_cap", "out_cap", "pos_base_static",
     ),
 )
 def _xla_block_packed(
@@ -199,7 +199,7 @@ def _xla_block_packed(
     query, matrix16, ctx_offsets, x_dropoffs, pos_base, pos_end,
     mask_starts=None, mask_ends=None,
     *, scan_step, lut_word, word_size, cmax, n_scan, hit_cap, seed_cap,
-    out_cap,
+    out_cap, pos_base_static=None,
 ):
     outs = seeding_pipeline_block(
         packed, local_starts, local_ends, lut_offsets, lut_positions,
@@ -207,7 +207,7 @@ def _xla_block_packed(
         mask_starts, mask_ends,
         scan_step=scan_step, lut_word=lut_word, word_size=word_size,
         cmax=cmax, n_scan=n_scan, hit_cap=hit_cap, seed_cap=seed_cap,
-        out_cap=out_cap,
+        out_cap=out_cap, pos_base_static=pos_base_static,
     )
     return _pack_stream(*outs)
 
@@ -218,7 +218,14 @@ class _BlockPlan:
 
     def __init__(self, db, *, block_bases: int, halo: int, lut_word: int,
                  scan_step: int, mask_intervals=None):
-        self.B = max(block_bases - block_bases % 1024, 1024)
+        import math
+
+        # B is a multiple of lcm(1024, scan_step) so every block's
+        # first scan position sits at local offset exactly `halo` --
+        # a STATIC value, which unlocks the strided-slice fast path in
+        # ops.seeding.scan_block (pos_base_static)
+        align = math.lcm(1024, scan_step)
+        self.B = max(block_bases - block_bases % align, align)
         self.halo = max(halo - halo % 4, 256)
         self.s_buf = self.B + 2 * self.halo
         s_pad = db.padded_length
@@ -336,13 +343,16 @@ def run_seeding_streamed(
     m16_dev = jnp.asarray(matrix16)
     table64_dev = None
     query_p = None
+    query_nib = None
     if use_pallas:
         from gblastn_tpu.ops.pallas_ungapped import (
             make_table64, prepare_query,
         )
+        from gblastn_tpu.ops.seeding import pack_query_nibbles
 
         table64_dev = jnp.asarray(make_table64(matrix16))
         query_p = jax.jit(prepare_query)(query_dev)
+        query_nib = pack_query_nibbles(query_dev)
 
     n_ctx = len(word_cutoffs)
     ctx_cap = 64
@@ -373,18 +383,24 @@ def run_seeding_streamed(
             from gblastn_tpu.ops.pallas_ungapped import (
                 ungapped_extend_pallas_prepared,
             )
-            from gblastn_tpu.ops.seeding import block_arrays_pallas
+            from gblastn_tpu.ops.seeding import (
+                block_arrays_pallas,
+                pack_subject_words,
+            )
 
             s2, sval, s_p = block_arrays_pallas(packed_d, ls_d, le_d)
+            subject_w = pack_subject_words(packed_d)
             qs, ss, ok, ctx, xd, max_l, max_r, n_overflow, n_raw = (
                 seeding_scan_mini(
                     s2, sval, lut_offsets_dev, lut_positions_dev,
                     query_dev, ctx_off_dev, xdrop_dev, ls_d, le_d,
                     pos_base, pos_end, ms_d, me_d,
+                    query_nib, subject_w,
                     scan_step=scan_step, lut_word=lut_word,
                     word_size=word_size, cmax=cmax, n_scan=plan.n_scan,
                     hit_cap=caps[0], seed_cap=caps[1],
                     out_cap=caps[1] // 2,
+                    pos_base_static=int(pos_base),
                 )
             )
             f_q, f_s, f_len, f_score, f_tr = (
@@ -404,6 +420,7 @@ def run_seeding_streamed(
             scan_step=scan_step, lut_word=lut_word, word_size=word_size,
             cmax=cmax, n_scan=plan.n_scan, hit_cap=caps[0],
             seed_cap=caps[1], out_cap=caps[1] // 2,
+            pos_base_static=int(pos_base),
         )
 
     per_block: list[dict | None] = [None] * plan.n_blocks

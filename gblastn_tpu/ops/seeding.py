@@ -46,7 +46,7 @@ def unpack_2na_device(packed: jnp.ndarray) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "scan_step", "lut_word", "word_size", "cmax", "n_scan",
-        "hit_cap",
+        "hit_cap", "pos_base_static",
     ),
 )
 def scan_block(
@@ -65,6 +65,7 @@ def scan_block(
     hit_cap: int = 0,             # 0 = no compaction (dense fan-out)
     mask_starts=None,             # int32[M] sorted soft-mask starts
     mask_ends=None,               # int32[M] sorted soft-mask ends
+    pos_base_static: int | None = None,  # static pos_base (fast path)
 ):
     """Scan subject at stride positions; resolve CSR seeds.
 
@@ -92,26 +93,59 @@ def scan_block(
     """
     del word_size
     S = subject2.shape[0]
-    # rolling word codes over the full subject: word_full[i] =
-    # sum_j base[i+j] * 4^(w-1-j), via static shifted slices
-    npos_full = S - lut_word + 1
-    word_full = jnp.zeros(npos_full, dtype=jnp.int32)
-    valid_all = subject_valid
-    valid_word_full = jnp.ones(npos_full, dtype=bool)
-    for j in range(lut_word):
-        word_full = word_full + (
-            subject2[j: j + npos_full].astype(jnp.int32)
-            << (2 * (lut_word - 1 - j))
-        )
-        valid_word_full = valid_word_full & valid_all[j: j + npos_full]
+    fast = (
+        pos_base_static is not None
+        and pos_base_static + (n_scan - 1) * scan_step + lut_word <= S
+    )
+    if fast:
+        # fast path (static start): compute word codes ONLY at the
+        # stride positions via strided slices -- the full-array rolling
+        # compute + subsample gathers cost ~4x more device time
+        pos = pos_base_static + jnp.arange(
+            n_scan, dtype=jnp.int32
+        ) * scan_step
+        lim0 = pos_base_static + (n_scan - 1) * scan_step + 1
+        words = jnp.zeros(n_scan, dtype=jnp.int32)
+        valid_word = jnp.ones(n_scan, dtype=bool)
+        for j in range(lut_word):
+            sl = jax.lax.slice(
+                subject2, (pos_base_static + j,), (lim0 + j,),
+                (scan_step,),
+            )
+            vl = jax.lax.slice(
+                subject_valid, (pos_base_static + j,), (lim0 + j,),
+                (scan_step,),
+            )
+            words = words + (
+                sl.astype(jnp.int32) << (2 * (lut_word - 1 - j))
+            )
+            valid_word = valid_word & vl
+        if pos_end is not None:
+            valid_word = valid_word & (pos < pos_end)
+        words = jnp.where(valid_word, words, 0)
+    else:
+        # rolling word codes over the full subject: word_full[i] =
+        # sum_j base[i+j] * 4^(w-1-j), via static shifted slices
+        npos_full = S - lut_word + 1
+        word_full = jnp.zeros(npos_full, dtype=jnp.int32)
+        valid_all = subject_valid
+        valid_word_full = jnp.ones(npos_full, dtype=bool)
+        for j in range(lut_word):
+            word_full = word_full + (
+                subject2[j: j + npos_full].astype(jnp.int32)
+                << (2 * (lut_word - 1 - j))
+            )
+            valid_word_full = (
+                valid_word_full & valid_all[j: j + npos_full]
+            )
 
-    pos = pos_base + jnp.arange(n_scan, dtype=jnp.int32) * scan_step
-    pos_c = jnp.minimum(pos, npos_full - 1)
-    words = word_full[pos_c]
-    valid_word = valid_word_full[pos_c] & (pos == pos_c)
-    if pos_end is not None:
-        valid_word = valid_word & (pos < pos_end)
-    words = jnp.where(valid_word, words, 0)
+        pos = pos_base + jnp.arange(n_scan, dtype=jnp.int32) * scan_step
+        pos_c = jnp.minimum(pos, npos_full - 1)
+        words = word_full[pos_c]
+        valid_word = valid_word_full[pos_c] & (pos == pos_c)
+        if pos_end is not None:
+            valid_word = valid_word & (pos < pos_end)
+        words = jnp.where(valid_word, words, 0)
 
     start = lut_offsets[words]
     count = lut_offsets[words + 1] - start
@@ -216,6 +250,120 @@ def mini_extend(
     )
     ext_right = jnp.cumprod(m_r.astype(jnp.int32), axis=1).sum(axis=1)
 
+    ok = valid & (ext_left + jnp.minimum(ext_right, need) >= ext_to)
+    q_adj = q_off - ext_left
+    s_adj = s_off - ext_left
+    return q_adj.astype(jnp.int32), s_adj.astype(jnp.int32), ok
+
+
+@jax.jit
+def pack_subject_words(packed: jnp.ndarray) -> jnp.ndarray:
+    """uint8[S/4] packed bytes -> uint32[S/16], 16 bases per word,
+    first base in the highest 2 bits (the gather unit of
+    mini_extend_packed)."""
+    p = packed.astype(jnp.uint32)
+    return (
+        (p[0::4] << 24) | (p[1::4] << 16) | (p[2::4] << 8) | p[3::4]
+    )
+
+
+@jax.jit
+def pack_query_nibbles(query: jnp.ndarray) -> jnp.ndarray:
+    """uint8[Q] BLASTNA codes -> uint32[Q/8], 8 codes per word, first
+    code in the highest 4 bits. Ambiguity codes (4..14) and sentinels
+    (15) survive packing and can never equal a 2-bit subject code."""
+    q = query.astype(jnp.uint32).reshape(-1, 8)
+    w = jnp.zeros(q.shape[0], jnp.uint32)
+    for k in range(8):
+        w = w | (q[:, k] << (4 * (7 - k)))
+    return w
+
+
+@functools.partial(jax.jit, static_argnames=("lut_word", "word_size"))
+def mini_extend_packed(
+    query_nib: jnp.ndarray,       # uint32[Q/8] (pack_query_nibbles)
+    subject_w: jnp.ndarray,       # uint32[S/16] (pack_subject_words)
+    q_off: jnp.ndarray,
+    s_off: jnp.ndarray,
+    valid: jnp.ndarray,
+    sub_lo: jnp.ndarray,          # int32[n] owning subject start
+    sub_hi: jnp.ndarray,          # int32[n] owning subject end
+    *,
+    lut_word: int,
+    word_size: int,
+):
+    """mini_extend on packed words: 4 + 7 aligned word gathers per seed
+    instead of ~6 * (word_size - lut_word) scattered byte gathers --
+    the dominant cost of the fused seeding program (random gathers pay
+    per ELEMENT on TPU, so fewer/wider wins ~10x device time).
+
+    Code extraction happens in registers via vector shifts; subject
+    validity is the owning-subject bound test (equivalent to the
+    valid-mask probes: inter-subject pad is >= 1 base, so the
+    leading-run cumprod stops at the same place). Semantics and
+    returns identical to mini_extend (asserted in tests)."""
+    ext_to = word_size - lut_word
+    if ext_to == 0:
+        return q_off, s_off, valid
+    n = q_off.shape[0]
+    Q8 = query_nib.shape[0]
+    S16 = subject_w.shape[0]
+    span = lut_word + 2 * ext_to        # [q_off - ext_to, q_off + W + ext_to)
+
+    # ---- query codes over the span: 4-bit nibbles, 8 per word
+    qbase = q_off - ext_to
+    jq = qbase >> 3                     # floor also for negatives
+    phase_q = (qbase - (jq << 3)).astype(jnp.int32)
+    nq = (7 + span + 7) // 8 + 1
+    qws = [
+        query_nib[jnp.clip(jq + k, 0, Q8 - 1)] for k in range(nq)
+    ]
+    d = jnp.arange(span, dtype=jnp.int32)
+    qpos = phase_q[:, None] + d[None, :]            # [n, span]
+    qk = qpos >> 3
+    qsh = ((7 - (qpos & 7)) << 2).astype(jnp.uint32)
+    qcodes = jnp.zeros((n, span), jnp.uint32)
+    for k in range(nq):
+        qcodes = qcodes | jnp.where(
+            qk == k, (qws[k][:, None] >> qsh) & 15, 0
+        )
+
+    # ---- subject codes over the span: 2-bit, 16 per word
+    sbase = s_off - ext_to
+    js = sbase >> 4
+    phase_s = (sbase - (js << 4)).astype(jnp.int32)
+    ns = (15 + span + 15) // 16 + 1
+    sws = [
+        subject_w[jnp.clip(js + k, 0, S16 - 1)] for k in range(ns)
+    ]
+    spos = phase_s[:, None] + d[None, :]
+    sk = spos >> 4
+    ssh = ((15 - (spos & 15)) << 1).astype(jnp.uint32)
+    scodes = jnp.zeros((n, span), jnp.uint32)
+    for k in range(ns):
+        scodes = scodes | jnp.where(
+            sk == k, (sws[k][:, None] >> ssh) & 3, 0
+        )
+
+    qi = q_off[:, None] + (d - ext_to)[None, :]
+    si = s_off[:, None] + (d - ext_to)[None, :]
+    inb = (
+        (qi >= 0) & (qi < Q8 * 8)
+        & (si >= jnp.maximum(sub_lo, 0)[:, None])
+        & (si < jnp.minimum(sub_hi, S16 * 16)[:, None])
+    )
+    match = inb & (qcodes == scodes)
+
+    # left: positions ext_to-1 .. 0 (i.e. q_off-1 .. q_off-ext_to)
+    m_l = match[:, :ext_to][:, ::-1]
+    ext_left = jnp.minimum(
+        jnp.cumprod(m_l.astype(jnp.int32), axis=1).sum(axis=1), ext_to
+    )
+    # right: positions ext_to+lut_word .. span-1
+    m_r = match[:, ext_to + lut_word:]
+    ext_right = jnp.cumprod(m_r.astype(jnp.int32), axis=1).sum(axis=1)
+
+    need = ext_to - ext_left
     ok = valid & (ext_left + jnp.minimum(ext_right, need) >= ext_to)
     q_adj = q_off - ext_left
     s_adj = s_off - ext_left
@@ -457,6 +605,7 @@ def seeding_pipeline(
         scan_step=scan_step, lut_word=lut_word, word_size=word_size,
         cmax=cmax, n_scan=n_scan, hit_cap=hit_cap,
         mask_starts=mask_starts, mask_ends=mask_ends,
+        pos_base_static=0,
     )
     # compact raw seeds before the gather-heavy mini-extension
     n_raw = take.sum()
@@ -495,7 +644,7 @@ def seeding_pipeline(
     jax.jit,
     static_argnames=(
         "scan_step", "lut_word", "word_size", "cmax", "n_scan", "hit_cap",
-        "seed_cap", "out_cap",
+        "seed_cap", "out_cap", "pos_base_static",
     ),
 )
 def seeding_scan_mini(
@@ -512,6 +661,8 @@ def seeding_scan_mini(
     pos_end=None,                  # exclusive scan bound (traced OK)
     mask_starts=None,              # int32[M] soft-mask starts (sorted)
     mask_ends=None,                # int32[M] soft-mask ends
+    query_nib=None,                # uint32[Q/8]: use mini_extend_packed
+    subject_w=None,                # uint32[S/16]
     *,
     scan_step: int,
     lut_word: int,
@@ -521,6 +672,7 @@ def seeding_scan_mini(
     hit_cap: int,
     seed_cap: int,
     out_cap: int = 0,
+    pos_base_static: int | None = None,
 ):
     """Device seeding WITHOUT the ungapped stage: scan -> compaction ->
     mini-extension -> per-seed context/X-drop/subject-bound lookup.
@@ -541,6 +693,7 @@ def seeding_scan_mini(
         cmax=cmax, n_scan=n_scan, hit_cap=hit_cap,
         pos_base=pos_base, pos_end=pos_end,
         mask_starts=mask_starts, mask_ends=mask_ends,
+        pos_base_static=pos_base_static,
     )
     n_raw = take.sum()
     ridx = jnp.nonzero(take, size=seed_cap, fill_value=0)[0]
@@ -551,10 +704,25 @@ def seeding_scan_mini(
     q_off = jnp.where(rfill, q_off[ridx], 0)
     s_off = jnp.where(rfill, s_off[ridx], 0)
 
-    qs, ss, ok = mini_extend(
-        query, subject2, subject_valid, q_off, s_off, rfill,
-        lut_word=lut_word, word_size=word_size,
-    )
+    if query_nib is not None:
+        # owning-subject bounds BEFORE the extension (mini-extension
+        # never crosses the inter-subject pad, so the oid is stable
+        # under the <= ext_to leftward shift)
+        oid = jnp.clip(
+            jnp.searchsorted(subject_starts, s_off, side="right") - 1,
+            0, subject_starts.shape[0] - 1,
+        )
+        lo = subject_starts[oid].astype(jnp.int32)
+        hi = subject_ends[oid].astype(jnp.int32)
+        qs, ss, ok = mini_extend_packed(
+            query_nib, subject_w, q_off, s_off, rfill, lo, hi,
+            lut_word=lut_word, word_size=word_size,
+        )
+    else:
+        qs, ss, ok = mini_extend(
+            query, subject2, subject_valid, q_off, s_off, rfill,
+            lut_word=lut_word, word_size=word_size,
+        )
     qs = jnp.where(ok, qs, 0)
     ss = jnp.where(ok, ss, 0)
 
@@ -646,7 +814,7 @@ def block_arrays_pallas(packed, local_starts, local_ends):
     jax.jit,
     static_argnames=(
         "scan_step", "lut_word", "word_size", "cmax", "n_scan", "hit_cap",
-        "seed_cap", "out_cap", "chunk",
+        "seed_cap", "out_cap", "chunk", "pos_base_static",
     ),
 )
 def seeding_pipeline_block(
@@ -673,6 +841,7 @@ def seeding_pipeline_block(
     seed_cap: int,
     out_cap: int = 0,
     chunk: int = 64,
+    pos_base_static: int | None = None,
 ):
     """One streamed block through the XLA seeding path: unpack -> scan
     (core positions only) -> mini-extension -> unclamped ungapped
@@ -691,7 +860,7 @@ def seeding_pipeline_block(
             pos_base, pos_end, mask_starts, mask_ends,
             scan_step=scan_step, lut_word=lut_word, word_size=word_size,
             cmax=cmax, n_scan=n_scan, hit_cap=hit_cap, seed_cap=seed_cap,
-            out_cap=out_cap,
+            out_cap=out_cap, pos_base_static=pos_base_static,
         )
     )
     uq, us, ulen, uscore, _t, bl, br = ungapped_extend(

@@ -321,3 +321,134 @@ class TestScatteredSurvivors:
         h = res.queries[0].hsplists[0].hsps[0]
         assert h.s_off <= true_start <= h.s_end
         assert h.num_ident >= 195
+
+
+class TestMiniExtendPacked:
+    """mini_extend_packed must be operation-identical to mini_extend
+    (packed-word gathers replacing byte gathers)."""
+
+    def _setup(self, seed=0, n_subj=3):
+        import numpy as np
+
+        from gblastn_tpu.io.fasta import FastaRecord
+        from gblastn_tpu.io.seqdb import SequenceDB
+
+        rng = np.random.default_rng(seed)
+        recs = []
+        for i in range(n_subj):
+            n = int(rng.integers(300, 2000))
+            s = "".join("ACGT"[c] for c in rng.integers(0, 4, n))
+            recs.append(FastaRecord(f"s{i}", "", s))
+        db = SequenceDB.from_records(recs, title="t")
+        # query with sentinels and an ambiguity code
+        qlen = 4096
+        q = rng.integers(0, 4, qlen).astype(np.uint8)
+        q[::311] = 15      # sentinels
+        q[100] = 14        # N
+        # plant exact copies of subject stretches so extensions succeed
+        sub2 = db.unpacked()
+        for k in range(40):
+            so = int(rng.integers(40, db.padded_length - 80))
+            qo = int(rng.integers(40, qlen - 80))
+            q[qo: qo + 60] = sub2[so: so + 60]
+        return db, q, rng
+
+    def test_equivalence_fuzz(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from gblastn_tpu.ops.seeding import (
+            mini_extend,
+            mini_extend_packed,
+            pack_query_nibbles,
+            pack_subject_words,
+        )
+
+        db, q, rng = self._setup()
+        sub2 = jnp.asarray(db.unpacked().astype(np.int8))
+        valid = jnp.asarray(db.valid_mask())
+        qd = jnp.asarray(q)
+        qnib = pack_query_nibbles(qd)
+        sw = pack_subject_words(jnp.asarray(db.packed))
+        starts = db.starts
+        ends = db.starts + db.lengths
+
+        n = 512
+        s_off = rng.integers(0, db.padded_length - 1, n)
+        q_off = rng.integers(0, len(q) - 1, n)
+        # bias half the seeds onto planted matches: scan for word hits
+        ok_in = np.ones(n, bool)
+        oid = np.clip(
+            np.searchsorted(starts, s_off, side="right") - 1, 0,
+            len(starts) - 1,
+        )
+        lo = jnp.asarray(starts[oid].astype(np.int32))
+        hi = jnp.asarray(ends[oid].astype(np.int32))
+
+        for lut_word, word_size in ((11, 28), (8, 11), (12, 28)):
+            a = mini_extend(
+                qd, sub2, valid, jnp.asarray(q_off.astype(np.int32)),
+                jnp.asarray(s_off.astype(np.int32)), jnp.asarray(ok_in),
+                lut_word=lut_word, word_size=word_size,
+            )
+            b = mini_extend_packed(
+                qnib, sw, jnp.asarray(q_off.astype(np.int32)),
+                jnp.asarray(s_off.astype(np.int32)), jnp.asarray(ok_in),
+                lo, hi, lut_word=lut_word, word_size=word_size,
+            )
+            for x, y in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_scan_mini_packed_path_equivalent(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from gblastn_tpu.io.query import build_query_block
+        from gblastn_tpu.lut.builder import (
+            build_lookup_table,
+            unmasked_locations,
+        )
+        from gblastn_tpu.io.fasta import FastaRecord
+        from gblastn_tpu.ops.seeding import (
+            pack_query_nibbles,
+            pack_subject_words,
+            seeding_scan_mini,
+        )
+
+        db, q, rng = self._setup(seed=3)
+        sub2_np = db.unpacked()
+        genome = "".join("ACGT"[c] for c in sub2_np[:2000])
+        reads = [FastaRecord("r0", "", genome[100:400]),
+                 FastaRecord("r1", "", genome[900:1200])]
+        qb = build_query_block(reads, "both")
+        locs = unmasked_locations(qb.buffer, qb.context_offsets())
+        lut = build_lookup_table(qb.buffer, locs, 28, 11)
+        qbuf = np.full(32768, 15, np.uint8)
+        qbuf[: len(qb.buffer)] = qb.buffer
+        qd = jnp.asarray(qbuf)
+        co = qb.context_offsets()
+        ctx_off = np.full(65, np.iinfo(np.int32).max, np.int32)
+        ctx_off[: len(co)] = co
+        xd = np.full(64, 22, np.int32)
+        n_scan = (db.padded_length - 11) // lut.scan_step + 1
+        args = (
+            jnp.asarray(sub2_np.astype(np.int8)),
+            jnp.asarray(db.valid_mask()),
+            jnp.asarray(lut.counts_offsets), jnp.asarray(lut.positions),
+            qd, jnp.asarray(ctx_off), jnp.asarray(xd),
+            jnp.asarray(db.starts), jnp.asarray(db.starts + db.lengths),
+        )
+        kw = dict(
+            scan_step=lut.scan_step, lut_word=lut.lut_word_size,
+            word_size=28, cmax=8, n_scan=n_scan, hit_cap=4096,
+            seed_cap=4096, out_cap=2048, pos_base_static=0,
+        )
+        legacy = seeding_scan_mini(*args, **kw)
+        packed = seeding_scan_mini(
+            *args,
+            query_nib=pack_query_nibbles(qd),
+            subject_w=pack_subject_words(jnp.asarray(db.packed)),
+            **kw,
+        )
+        for x, y in zip(legacy, packed):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
