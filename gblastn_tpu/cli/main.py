@@ -174,11 +174,11 @@ def _parse_outfmt(outfmt: str):
     parts = outfmt.split()
     kind = int(parts[0])
     fields = parts[1:] or None
-    if kind not in (0, 5, 6, 7, 8, 9, 10, 11, 17):
+    if kind not in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 17):
         raise SystemExit(
-            f"-outfmt {kind} not supported yet "
-            "(0 pairwise, 5 XML, 6/7 tabular, 8/9 ASN.1, 10 CSV, "
-            "11 archive, 17 SAM)"
+            f"-outfmt {kind} not supported "
+            "(0 pairwise, 1-4 query-anchored, 5 XML, 6/7 tabular, "
+            "8/9 ASN.1, 10 CSV, 11 archive, 17 SAM)"
         )
     return kind, fields
 
@@ -286,7 +286,7 @@ def run_blastn(argv) -> int:
     else:
         out = sys.stdout if args.out == "-" else open(args.out, "w")
     try:
-        pairwise = sam = xmlw = asnw = archw = None
+        pairwise = sam = xmlw = asnw = archw = anchored = None
         writer = None
         if kind == 5:
             from gblastn_tpu.format.xmlout import XmlWriter
@@ -336,6 +336,17 @@ def run_blastn(argv) -> int:
                 db_num_seqs=db.num_seqs, db_length=db.total_length,
             )
             pairwise.write_header()
+        elif kind in (1, 2, 3, 4):
+            from gblastn_tpu.format.anchored import AnchoredWriter
+
+            anchored = AnchoredWriter(
+                out=out,
+                show_identities=kind in (1, 3),
+                flat=kind in (3, 4),
+                dbname=db.title or args.db,
+                db_num_seqs=db.num_seqs, db_length=db.total_length,
+            )
+            anchored.write_header()
         else:
             from gblastn_tpu.format.sam import SamWriter
 
@@ -373,7 +384,7 @@ def run_blastn(argv) -> int:
                                 hsp_to_tabular(h, qid, sid, qlen, slen)
                             )
                     writer.write_query_results(qid, qtitle, hits)
-                elif pairwise is not None:
+                elif pairwise is not None or anchored is not None:
                     def get_query(ctx):
                         q0 = int(ctx_off[ctx])
                         return qb.buffer[
@@ -391,11 +402,18 @@ def run_blastn(argv) -> int:
                     ctx0 = qi * (
                         2 if options.strand == "both" else 1
                     )
-                    pairwise.write_query_results(
-                        qtitle, qlen, phits, get_query,
-                        None, params.kbp_gap, params.kbp_ungap,
-                        params.contexts[ctx0].eff_searchsp,
-                    )
+                    if pairwise is not None:
+                        pairwise.write_query_results(
+                            qtitle, qlen, phits, get_query,
+                            None, params.kbp_gap, params.kbp_ungap,
+                            params.contexts[ctx0].eff_searchsp,
+                        )
+                    else:
+                        anchored.write_query_results(
+                            qid, qtitle, qlen, phits, get_query,
+                            params.kbp_gap, params.kbp_ungap,
+                            params.contexts[ctx0].eff_searchsp,
+                        )
                 elif xmlw is not None:
                     def get_query(ctx):
                         q0 = int(ctx_off[ctx])
@@ -539,6 +557,8 @@ def run_blastn(argv) -> int:
             xmlw.finalize()
         elif archw is not None:
             archw.finalize(num_queries)
+        elif anchored is not None:
+            anchored.finalize()
         print(
             f"# {num_queries} queries in {time.time() - t0:.2f}s",
             file=sys.stderr,
