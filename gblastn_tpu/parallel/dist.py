@@ -52,7 +52,56 @@ CTX = 1024  # flanking context bases per shard edge (extensions running
             # past it escalate to the exact host extension)
 
 
+def init_distributed() -> None:
+    """Initialize ``jax.distributed`` for multi-host (DCN) meshes.
+
+    Env contract (idempotent; a no-op when unset or already live):
+      GBLASTN_TPU_COORDINATOR=host:port   coordinator address
+      GBLASTN_TPU_NUM_PROCESSES=N         world size
+      GBLASTN_TPU_PROCESS_ID=i            this host's rank
+    On TPU pods with standard launchers, plain
+    ``jax.distributed.initialize()`` autodetects instead (pass
+    GBLASTN_TPU_COORDINATOR=auto). After init, ``jax.devices()``
+    is the GLOBAL device list and make_mesh spans hosts; the
+    per-shard seed gather rides DCN via process_allgather
+    (run_sharded_seeding).
+    """
+    import os
+
+    coord = os.environ.get("GBLASTN_TPU_COORDINATOR")
+    if not coord:
+        return
+    if getattr(init_distributed, "_done", False):
+        return
+    if coord == "auto":
+        jax.distributed.initialize()
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["GBLASTN_TPU_NUM_PROCESSES"]),
+            process_id=int(os.environ["GBLASTN_TPU_PROCESS_ID"]),
+        )
+    init_distributed._done = True
+
+
+def _put(arr, mesh: Mesh, spec: P):
+    """Device-put a host array with an explicit mesh sharding.
+
+    Single-process: plain upload (jit shards it). Multi-host: every
+    process holds the full host array (shards are cheap relative to
+    the packed DB), so the global array is assembled per-shard via
+    make_array_from_callback."""
+    if jax.process_count() == 1:
+        return jnp.asarray(arr)
+    sharding = jax.sharding.NamedSharding(mesh, spec)
+    a = np.asarray(arr)
+    return jax.make_array_from_callback(
+        a.shape, sharding, lambda idx: a[idx]
+    )
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "db") -> Mesh:
+    init_distributed()
     devs = jax.devices()
     n = n_devices or len(devs)
     if len(devs) < n:
@@ -259,12 +308,19 @@ def run_sharded_seeding(
     else:
         score_data = (jnp.asarray(matrix16),)
 
+    axis = mesh.axis_names[0]
+    if jax.process_count() > 1:  # pragma: no cover - multi-host only
+        score_data = tuple(
+            _put(np.asarray(s), mesh, P()) for s in score_data
+        )
     args = (
-        jnp.asarray(sub), jnp.asarray(val), jnp.asarray(ls),
-        jnp.asarray(le), jnp.asarray(pos_base), jnp.asarray(pos_end),
-        jnp.asarray(query), jnp.asarray(lut_offsets),
-        jnp.asarray(lut_positions), jnp.asarray(ctx_offsets),
-        jnp.asarray(x_dropoffs), score_data,
+        _put(sub, mesh, P(axis, None)), _put(val, mesh, P(axis, None)),
+        _put(ls, mesh, P(axis, None)), _put(le, mesh, P(axis, None)),
+        _put(pos_base, mesh, P(axis)), _put(pos_end, mesh, P(axis)),
+        _put(query, mesh, P()), _put(lut_offsets, mesh, P()),
+        _put(lut_positions, mesh, P()),
+        _put(ctx_offsets, mesh, P()),
+        _put(x_dropoffs, mesh, P()), score_data,
     )
 
     while True:
