@@ -108,6 +108,41 @@ def bench_config1(db, genome, rng):
     return NUM_QUERIES / dt
 
 
+def bench_config1_pipelined(db, genome, rng):
+    """Production pipeline shape: 4 x 500-read batches through
+    run_pipelined_search (prelim overlaps traceback across batches,
+    the CLI -mode 0/2 path)."""
+    from gblastn_tpu.engine.pipeline import run_pipelined_search
+    from gblastn_tpu.params.options import megablast_options
+
+    batches = [
+        _sample_reads(rng, genome, NUM_QUERIES, QUERY_LEN, f"p{k}_")
+        for k in range(4)
+    ]
+    options = megablast_options(evalue=1e-5, max_target_seqs=10)
+    n_hits = [0]
+
+    def on_results(res):
+        n_hits[0] += _count_hits(res)
+
+    run_pipelined_search(iter(batches[:1]), db, options, on_results)
+    t0 = time.time()
+    done = run_pipelined_search(
+        iter(batches), db, options, on_results, trace_threads=2,
+    )
+    dt = time.time() - t0
+    total = done * NUM_QUERIES
+    qps = total / dt
+    print(
+        f"# config1p megablast pipelined: {total} queries in {done} "
+        f"batches, {dt:.2f}s = {qps:.1f} q/s", file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "queries_per_sec_megablast_ecoli_pipelined",
+        "value": round(qps, 3), "unit": "queries/sec",
+    }), file=sys.stderr)
+
+
 def bench_config2(db, genome, rng):
     """blastn task (word 11, reward/penalty 2/-3 scaled): 200 x 1.5kb."""
     from gblastn_tpu.engine.search import search
@@ -395,6 +430,11 @@ def main() -> int:
     bench_kernels(db, genome, rng)
 
     budget = float(os.environ.get("GBLASTN_BENCH_BUDGET_S", "540"))
+    if time.time() - t_all < budget:
+        try:
+            bench_config1_pipelined(db, genome, rng)
+        except Exception as e:
+            print(f"# config1p failed: {e}", file=sys.stderr)
     if time.time() - t_all < budget:
         try:
             bench_config2(db, genome, rng)

@@ -313,11 +313,6 @@ def prelim_search(
         db_mask_ivs = db.mask_intervals(int(mask_algo))
         if options.db_hard_mask is not None:
             db.apply_hard_mask(int(mask_algo))
-        if n_shards > 1:
-            raise NotImplementedError(
-                "-db_soft_mask/-db_hard_mask is not supported on the "
-                "sharded seeding path yet (unset GBLASTN_TPU_SHARDS)"
-            )
 
     mask_starts = mask_ends = None
     if db_mask_ivs is not None and len(db_mask_ivs):
@@ -355,6 +350,7 @@ def prelim_search(
                 x_dropoffs=x_dropoffs,
                 cmax=cmax,
                 window_size=options.window_size,
+                mask_intervals=db_mask_ivs,
             )
     elif use_stream:
         from gblastn_tpu.engine.stream import run_seeding_streamed

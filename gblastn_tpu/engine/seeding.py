@@ -623,6 +623,7 @@ def run_seeding_sharded(
     x_dropoffs: np.ndarray,
     cmax: int = 8,
     window_size: int = 0,
+    mask_intervals: np.ndarray | None = None,
 ) -> InitHits:
     """Multi-chip seeding over a DB-sharded device mesh
     (gblastn_tpu.parallel.dist), then the same host finishing as the
@@ -653,6 +654,7 @@ def run_seeding_sharded(
                 ctx_offsets=ctx_off, x_dropoffs=xdrops,
                 scan_step=lut.scan_step, lut_word=lut.lut_word_size,
                 word_size=word_size, cmax=cmax,
+                mask_intervals=mask_intervals,
             )
         )
     slog.diagnostics.init_extends += len(q_off)

@@ -174,6 +174,41 @@ def _shard_bounds(
     return ls, le
 
 
+def _shard_masks(
+    mask_intervals: np.ndarray | None,
+    bases: np.ndarray,
+    L: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-shard buffer-local soft-mask interval arrays [D, M] (sorted,
+    padded with a large sentinel); trivial all-sentinel arrays when no
+    masking is requested, so the compiled step has ONE code path."""
+    D = len(bases)
+    clip = 1 << 30
+    if mask_intervals is None or len(mask_intervals) == 0:
+        ms = np.full((D, 16), clip, np.int32)
+        return ms, ms.copy()
+    mi = np.asarray(mask_intervals, np.int64)
+    slices = []
+    mmax = 1
+    for g0 in bases:
+        lo = int(np.searchsorted(mi[:, 1], max(int(g0), 0), "right"))
+        hi = int(np.searchsorted(mi[:, 0], int(g0) + L, "left"))
+        slices.append((lo, hi))
+        mmax = max(mmax, hi - lo)
+    m = 16
+    while m < mmax:
+        m *= 2
+    ms = np.full((D, m), clip, np.int32)
+    me = np.full((D, m), clip, np.int32)
+    for d, (lo, hi) in enumerate(slices):
+        if hi > lo:
+            ms[d, : hi - lo] = np.clip(mi[lo:hi, 0] - bases[d],
+                                       -clip, clip)
+            me[d, : hi - lo] = np.clip(mi[lo:hi, 1] - bases[d],
+                                       -clip, clip)
+    return ms, me
+
+
 def make_sharded_seeding(
     mesh: Mesh,
     *,
@@ -198,11 +233,11 @@ def make_sharded_seeding(
     """
     axis = mesh.axis_names[0]
 
-    def one_shard(subject2, valid, ls, le, pos_base, pos_end,
+    def one_shard(subject2, valid, ls, le, pos_base, pos_end, ms, me,
                   query, lut_off, lut_pos, ctx_off, xdrops, score_data):
         qs, ss, ok, ctx, xd, max_l, max_r, n_ov, n_raw = seeding_scan_mini(
             subject2, valid, lut_off, lut_pos, query, ctx_off, xdrops,
-            ls, le, pos_base, pos_end,
+            ls, le, pos_base, pos_end, ms, me,
             scan_step=scan_step, lut_word=lut_word, word_size=word_size,
             cmax=cmax, n_scan=n_scan, hit_cap=hit_cap, seed_cap=seed_cap,
             out_cap=out_cap,
@@ -236,15 +271,18 @@ def make_sharded_seeding(
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(axis, None), P(axis, None), P(axis, None),
-                  P(axis, None), P(axis), P(axis), P(None), P(None),
+                  P(axis, None), P(axis), P(axis), P(axis, None),
+                  P(axis, None), P(None), P(None),
                   P(None), P(None), P(None), score_spec),
         out_specs=(P(axis, None),) * 11 + (P(axis), P(axis)),
     )
-    def step(sub_sh, val_sh, ls_sh, le_sh, pos_base, pos_end, query,
-             lut_off, lut_pos, ctx_off, xdrops, score_data):
+    def step(sub_sh, val_sh, ls_sh, le_sh, pos_base, pos_end,
+             ms_sh, me_sh, query, lut_off, lut_pos, ctx_off, xdrops,
+             score_data):
         out = one_shard(
             sub_sh[0], val_sh[0], ls_sh[0], le_sh[0],
-            pos_base[0], pos_end[0], query, lut_off, lut_pos,
+            pos_base[0], pos_end[0], ms_sh[0], me_sh[0],
+            query, lut_off, lut_pos,
             ctx_off, xdrops, score_data,
         )
         return tuple(o[None] for o in out)
@@ -272,6 +310,7 @@ def run_sharded_seeding(
     hit_cap: int = 16384,
     seed_cap: int = 16384,
     use_pallas: bool | None = None,
+    mask_intervals: np.ndarray | None = None,  # int64[n, 2] absolute
 ):
     """Shard, run, retry on overflow, escalate edge truncations, and
     return exact host seed arrays (q_off, s_off int64 global, ctx,
@@ -313,10 +352,12 @@ def run_sharded_seeding(
         score_data = tuple(
             _put(np.asarray(s), mesh, P()) for s in score_data
         )
+    ms, me = _shard_masks(mask_intervals, bases, L)
     args = (
         _put(sub, mesh, P(axis, None)), _put(val, mesh, P(axis, None)),
         _put(ls, mesh, P(axis, None)), _put(le, mesh, P(axis, None)),
         _put(pos_base, mesh, P(axis)), _put(pos_end, mesh, P(axis)),
+        _put(ms, mesh, P(axis, None)), _put(me, mesh, P(axis, None)),
         _put(query, mesh, P()), _put(lut_offsets, mesh, P()),
         _put(lut_positions, mesh, P()),
         _put(ctx_offsets, mesh, P()),

@@ -160,3 +160,17 @@ def test_convert2blastmask(tmp_path, capsys):
     ]) == 0
     masks = read_interval_masks(outf)
     assert masks == {"s1": [(4, 8), (12, 20)]}
+
+
+def test_sharded_soft_mask_equivalent(masked_db, monkeypatch):
+    db, g = masked_db
+    monkeypatch.setenv("GBLASTN_TPU_SHARDS", "4")
+    recs = [
+        FastaRecord("q_in", "", g[8200:8500]),
+        FastaRecord("q_out", "", g[2000:2300]),
+    ]
+    opts = megablast_options(evalue=1e-3, dust=False, db_soft_mask=55)
+    res = search(recs, db, opts)
+    hits = {r.query_index: sum(len(l.hsps) for l in r.hsplists)
+            for r in res.queries}
+    assert hits[0] == 0 and hits[1] >= 1
