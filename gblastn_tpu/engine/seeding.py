@@ -316,12 +316,55 @@ def _pack11(qs, ss, ok, ctx, f_q, f_s, f_len, f_score, f_tr,
     ])
 
 
+def _pallas_alive_only(
+    query_p, subject_p, table64, query_nib, subject_w,
+    qs, ss, ok, xd, maxl, maxr,
+    *, word_size, alive_cap,
+):
+    """Phase-0 clamped X-drop for ALL seeds; the window kernel only for
+    the (few) seeds still alive at the clamp, scattered back in place.
+
+    Returns (uq, us, ulen, uscore, tr, n_alive_overflow) matching the
+    full-kernel outputs bit-for-bit (phase-0 exactness is asserted in
+    tests/test_seeding.py::TestPhase0)."""
+    from gblastn_tpu.ops.pallas_ungapped import (
+        ungapped_extend_pallas_prepared,
+    )
+    from gblastn_tpu.ops.seeding import ungapped_phase0_packed
+
+    uq0, us0, ulen0, usc0, exact0 = ungapped_phase0_packed(
+        query_nib, subject_w, table64, qs, ss, ok, xd, maxl, maxr,
+        word_size=word_size,
+    )
+    alive = ok & ~exact0
+    n_alive = alive.sum()
+    aidx = jnp.nonzero(alive, size=alive_cap, fill_value=0)[0]
+    afill = (
+        jax.lax.broadcasted_iota(jnp.int32, (alive_cap,), 0)
+        < jnp.minimum(n_alive, alive_cap)
+    )
+    f_q, f_s, f_len, f_score, f_tr = ungapped_extend_pallas_prepared(
+        (query_p, subject_p), table64,
+        qs[aidx], ss[aidx], afill, xd[aidx], maxl[aidx], maxr[aidx],
+    )
+    widx = jnp.where(afill, aidx, qs.shape[0])   # OOB pads: dropped
+    uq = uq0.at[widx].set(f_q, mode="drop")
+    us = us0.at[widx].set(f_s, mode="drop")
+    ulen = ulen0.at[widx].set(f_len, mode="drop")
+    uscore = usc0.at[widx].set(f_score, mode="drop")
+    tr = jnp.zeros(qs.shape[0], jnp.int32).at[widx].set(
+        f_tr.astype(jnp.int32), mode="drop"
+    )
+    return uq, us, ulen, uscore, tr, jnp.maximum(n_alive - alive_cap, 0)
+
+
 def _seeding_tpu_fused(
     subject2, subject_valid, lut_offsets, lut_positions, query,
     ctx_offsets, x_dropoffs, subject_starts, subject_ends,
     subject_p, table64,
     *, scan_step, lut_word, word_size, cmax, n_scan, hit_cap, seed_cap,
     mask_starts=None, mask_ends=None, query_nib=None, subject_w=None,
+    alive_cap=0,
 ):
     """TPU seeding stage: scan+mini (one jit), the Pallas ungapped
     kernel (its own dispatch -- nesting it inside one mega-jit makes
@@ -354,10 +397,18 @@ def _seeding_tpu_fused(
     if sync:
         with slog.time("device.seeding.scan_sync"):
             jax.block_until_ready((qs, ss, ok, ctx, xd, maxl, maxr))
-    f_q, f_s, f_len, f_score, f_tr = ungapped_extend_pallas_prepared(
-        (query_p, subject_p), table64,
-        qs, ss, ok, xd, maxl, maxr,
-    )
+    if alive_cap and query_nib is not None:
+        (f_q, f_s, f_len, f_score, f_tr, n_alive_ov) = _pallas_alive_only(
+            query_p, subject_p, table64, query_nib, subject_w,
+            qs, ss, ok, xd, maxl, maxr,
+            word_size=word_size, alive_cap=alive_cap,
+        )
+        n_overflow = n_overflow + n_alive_ov
+    else:
+        f_q, f_s, f_len, f_score, f_tr = ungapped_extend_pallas_prepared(
+            (query_p, subject_p), table64,
+            qs, ss, ok, xd, maxl, maxr,
+        )
     if sync:
         with slog.time("device.seeding.pallas_sync"):
             jax.block_until_ready((f_q, f_s, f_len, f_score, f_tr))
@@ -404,11 +455,17 @@ def run_seeding(
     # start from the last capacities that worked for this problem
     # shape: capacity overflows would otherwise re-run the doubling
     # retries on EVERY search (2-3 wasted device passes per batch)
+    import os as _os
+
+    phase0 = _os.environ.get("GBLASTN_TPU_PHASE0", "1") != "0"
+    alive_cap = max(seed_cap // 8, 4096)
     cap_key = (s_pad, int(dev.query.shape[0]), word_size)
     cached = _CAP_CACHE.get(cap_key)
     if cached:
         hit_cap = max(hit_cap, cached[0])
         seed_cap = max(seed_cap, cached[1])
+        if len(cached) > 2:
+            alive_cap = max(alive_cap, cached[2])
 
     # pad per-context arrays to a bucketed size for shape stability
     n_ctx = len(word_cutoffs)
@@ -454,6 +511,7 @@ def run_seeding(
                     hit_cap=hit_cap, seed_cap=seed_cap,
                     mask_starts=mask_dev[0], mask_ends=mask_dev[1],
                     query_nib=dev.query_nib, subject_w=dev.subject_w,
+                    alive_cap=alive_cap if phase0 else 0,
                 ))
                 qs, ss, fill, ctx = (
                     packed[0], packed[1], packed[2].astype(bool),
@@ -487,9 +545,10 @@ def run_seeding(
         # the number of compiled variants logarithmic
         hit_cap *= 2
         seed_cap *= 2
+        alive_cap *= 2
         if hit_cap > max(n_scan * 4, 1 << 23):
             raise RuntimeError("seeding capacity overflow did not clear")
-    _CAP_CACHE[cap_key] = (hit_cap, seed_cap)
+    _CAP_CACHE[cap_key] = (hit_cap, seed_cap, alive_cap)
     slog.diagnostics.lookup_hits += int(n_raw)
 
     # phase 2: re-run clamp-truncated extensions unclamped on a host-

@@ -365,12 +365,18 @@ def run_seeding_streamed(
     ctx_off_dev = jnp.asarray(ctx_off_np)
     xdrop_dev = jnp.asarray(xdrop_np)
 
+    import os as _os
+
+    phase0 = _os.environ.get("GBLASTN_TPU_PHASE0", "1") != "0"
+    alive_cap = max(seed_cap // 8, 4096)
     cap_key = ("stream", plan.s_buf, int(query_host.shape[0]), word_size)
     cached = _CAP_CACHE.get(cap_key)
     if cached:
         hit_cap = max(hit_cap, cached[0])
         seed_cap = max(seed_cap, cached[1])
-    caps = [hit_cap, seed_cap]
+        if len(cached) > 2:
+            alive_cap = max(alive_cap, cached[2])
+    caps = [hit_cap, seed_cap, alive_cap]
 
     def dispatch(inputs):
         buf, ls, le, pos_base, pos_end, (mstarts, mends) = inputs
@@ -403,12 +409,24 @@ def run_seeding_streamed(
                     pos_base_static=int(pos_base),
                 )
             )
-            f_q, f_s, f_len, f_score, f_tr = (
-                ungapped_extend_pallas_prepared(
-                    (query_p, s_p), table64_dev,
-                    qs, ss, ok, xd, max_l, max_r,
+            if phase0 and query_nib is not None:
+                from gblastn_tpu.engine.seeding import _pallas_alive_only
+
+                (f_q, f_s, f_len, f_score, f_tr, n_alive_ov) = (
+                    _pallas_alive_only(
+                        query_p, s_p, table64_dev, query_nib, subject_w,
+                        qs, ss, ok, xd, max_l, max_r,
+                        word_size=word_size, alive_cap=caps[2],
+                    )
                 )
-            )
+                n_overflow = n_overflow + n_alive_ov
+            else:
+                f_q, f_s, f_len, f_score, f_tr = (
+                    ungapped_extend_pallas_prepared(
+                        (query_p, s_p), table64_dev,
+                        qs, ss, ok, xd, max_l, max_r,
+                    )
+                )
             return _pack_stream(
                 qs, ss, ok, ctx, f_q, f_s, f_len, f_score, f_tr,
                 max_l, max_r, n_overflow, n_raw,
@@ -435,6 +453,7 @@ def run_seeding_streamed(
                 break
             caps[0] *= 2
             caps[1] *= 2
+            caps[2] *= 2
             if caps[0] > 1 << 23:
                 raise RuntimeError(
                     "streamed seeding capacity overflow did not clear"
@@ -473,7 +492,7 @@ def run_seeding_streamed(
             collect(*item)
 
     slog.diagnostics.lookup_hits += total_raw
-    _CAP_CACHE[cap_key] = (caps[0], caps[1])
+    _CAP_CACHE[cap_key] = (caps[0], caps[1], caps[2])
 
     blocks = [b for b in per_block if b is not None]
     if not blocks:

@@ -29,6 +29,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NEG_BIG = -(1 << 24)  # sentinel score; large but safe against int32 overflow
 
@@ -269,10 +270,18 @@ def pack_subject_words(packed: jnp.ndarray) -> jnp.ndarray:
 
 @jax.jit
 def pack_query_nibbles(query: jnp.ndarray) -> jnp.ndarray:
-    """uint8[Q] BLASTNA codes -> uint32[Q/8], 8 codes per word, first
-    code in the highest 4 bits. Ambiguity codes (4..14) and sentinels
-    (15) survive packing and can never equal a 2-bit subject code."""
-    q = query.astype(jnp.uint32).reshape(-1, 8)
+    """uint8[Q] BLASTNA codes -> uint32[Q/8] of NCBI4na MASK nibbles
+    (A=1 C=2 G=4 T=8, ambiguity = member bitmask, sentinel/gap = 0),
+    8 codes per word, first code in the highest 4 bits.
+
+    The mask form serves two consumers gather-free: exact-match tests
+    (mask == 1 << scode) for the mini-extension, and the closed-form
+    matrix scoring (exact/member/degeneracy, pallas_ungapped.
+    _scores_closed_form) for the clamped phase-0 X-drop."""
+    from gblastn_tpu.io.encoding import BLASTNA_TO_NCBI4NA
+
+    mask4 = jnp.asarray(BLASTNA_TO_NCBI4NA.astype(np.uint32))
+    q = mask4[query.astype(jnp.int32)].reshape(-1, 8)
     w = jnp.zeros(q.shape[0], jnp.uint32)
     for k in range(8):
         w = w | (q[:, k] << (4 * (7 - k)))
@@ -352,7 +361,10 @@ def mini_extend_packed(
         & (si >= jnp.maximum(sub_lo, 0)[:, None])
         & (si < jnp.minimum(sub_hi, S16 * 16)[:, None])
     )
-    match = inb & (qcodes == scodes)
+    # query nibbles are 4na masks: exact base match iff mask == 1<<code
+    match = inb & (qcodes == jnp.left_shift(
+        jnp.uint32(1), scodes
+    ))
 
     # left: positions ext_to-1 .. 0 (i.e. q_off-1 .. q_off-ext_to)
     m_l = match[:, :ext_to][:, ::-1]
@@ -368,6 +380,164 @@ def mini_extend_packed(
     q_adj = q_off - ext_left
     s_adj = s_off - ext_left
     return q_adj.astype(jnp.int32), s_adj.astype(jnp.int32), ok
+
+
+@functools.partial(
+    jax.jit, static_argnames=("word_size", "clamp", "chunk_rows")
+)
+def ungapped_phase0_packed(
+    query_nib: jnp.ndarray,       # uint32[Q/8] 4na-mask nibbles
+    subject_w: jnp.ndarray,       # uint32[S/16] 2-bit words
+    table64: jnp.ndarray,         # int32[72] (pallas_ungapped.make_table64)
+    q_off: jnp.ndarray,           # int32[n] seed starts
+    s_off: jnp.ndarray,
+    valid: jnp.ndarray,           # bool[n]
+    x_drop: jnp.ndarray,          # int32[n]
+    max_l: jnp.ndarray,           # int32[n] true max steps left
+    max_r: jnp.ndarray,           # int32[n] true max steps right
+    *,
+    word_size: int,
+    clamp: int = 48,
+    chunk_rows: int = 32768,
+):
+    """Exact CLAMPED bidirectional X-drop on packed words: the phase-0
+    filter in front of the Pallas window kernel.
+
+    Random seeds die to the X-drop within a few bases (the reference's
+    per-hit scalar extension exploits exactly this,
+    s_NuclUngappedExtendExact na_ungapped.c:152); paying the full
+    window kernel for every raw seed is the dominant cost of dense
+    one-hit workloads (blastn word 11). This op walks at most ``clamp``
+    steps left and ``word_size + clamp`` steps right with the
+    closed-form matrix scoring (no gathers beyond ~10 packed words per
+    seed) and reports ``exact`` for seeds whose BOTH directions
+    resolved within the clamp (a genuine X-drop stop, or the true
+    sequence bound) -- for those the returned extension is bit-exact
+    and the window kernel is skipped.
+
+    Returns (uq, us, ulen, uscore, exact), all [n].
+    """
+    n = q_off.shape[0]
+    Q8 = query_nib.shape[0]
+    S16 = subject_w.shape[0]
+    C_L = clamp
+    C_R = word_size + clamp
+    T = C_L + C_R                # window [off - C_L, off + C_R)
+    nq_words = (7 + T + 7) // 8 + 1
+    ns_words = (15 + T + 15) // 16 + 1
+    reward = table64[64]
+    penalty = table64[65]
+    amb2 = table64[66]
+    amb3 = table64[67]
+    amb4 = table64[68]
+    sent = table64[69]
+
+    def extract_codes(words, base, per_word, bits, mask):
+        """[rows, T] code extraction from gathered packed words."""
+        shift_unit = 32 // per_word
+        # floor division (correct for negative base near position 0)
+        j0 = jnp.floor_divide(base, per_word)
+        phase = (base - j0 * per_word).astype(jnp.int32)
+        nw = (per_word - 1 + T + per_word - 1) // per_word + 1
+        ws = [
+            words[jnp.clip(j0 + k, 0, words.shape[0] - 1)]
+            for k in range(nw)
+        ]
+        d = jnp.arange(T, dtype=jnp.int32)
+        pos = phase[:, None] + d[None, :]
+        k = pos // per_word
+        sh = (((per_word - 1) - (pos % per_word))
+              * shift_unit).astype(jnp.uint32)
+        codes = jnp.zeros(pos.shape, jnp.uint32)
+        for kk in range(nw):
+            codes = codes | jnp.where(
+                k == kk, (ws[kk][:, None] >> sh) & mask, 0
+            )
+        return codes
+
+    def direction(scores, max_steps, x, clamp_steps):
+        """(best, best_pos, exact) of the reset-at-best X-drop walk
+        over ``scores`` [rows, C] (step j = column j-1), exactly
+        _xdrop_direction semantics within the clamp."""
+        C = scores.shape[1]
+        d = jnp.arange(C, dtype=jnp.int32)
+        # beyond the true bound the walk cannot go: NEG_BIG stops it
+        # with best/best_pos unchanged (equivalent to the bound stop)
+        s = jnp.where(d[None, :] < max_steps[:, None], scores, NEG_BIG)
+        cs = jnp.cumsum(s, axis=1)
+        run = jax.lax.cummax(cs, axis=1)
+        prev = jnp.maximum(
+            jnp.concatenate(
+                [jnp.zeros((cs.shape[0], 1), cs.dtype), run[:, :-1]],
+                axis=1,
+            ),
+            0,
+        )
+        dropped = (cs - prev) < -x[:, None]
+        any_drop = dropped.any(axis=1)
+        first = jnp.argmax(dropped, axis=1)          # column index
+        stop = jnp.where(any_drop, first, C - 1)     # last live column
+        live = d[None, :] <= stop[:, None]
+        cs_live = jnp.where(live, cs, NEG_BIG)
+        best = cs_live.max(axis=1)
+        pos = jnp.argmax(cs_live == best[:, None], axis=1) + 1
+        best = jnp.maximum(best, 0)
+        pos = jnp.where(best > 0, pos, 0)
+        # exact: full walk fit the clamp, or a genuine drop fired
+        # strictly inside the true range
+        genuine = dropped & (d[None, :] < max_steps[:, None])
+        exact = (max_steps <= clamp_steps) | genuine.any(axis=1)
+        return best, pos, exact
+
+    def score_codes(qmask, scode):
+        deg = ((qmask & 1) + ((qmask >> 1) & 1)
+               + ((qmask >> 2) & 1) + ((qmask >> 3) & 1))
+        sbit = jnp.left_shift(jnp.uint32(1), scode)
+        member = (qmask & sbit) != 0
+        exact_m = qmask == sbit
+        amb = jnp.where(deg == 2, amb2,
+                        jnp.where(deg == 3, amb3, amb4))
+        return jnp.where(
+            qmask == 0, sent,
+            jnp.where(exact_m, reward,
+                      jnp.where(member, amb, penalty)),
+        ).astype(jnp.int32)
+
+    def one_chunk(args):
+        qo, so, xv, ml, mr = args
+        qmask = extract_codes(query_nib, qo - C_L, 8, 4, jnp.uint32(15))
+        scode = extract_codes(subject_w, so - C_L, 16, 2, jnp.uint32(3))
+        sc = score_codes(qmask, scode)
+        # left: step j reads window column C_L - j  (j = 1..C_L)
+        sc_l = sc[:, :C_L][:, ::-1]
+        l_best, l_pos, l_exact = direction(sc_l, ml, xv, C_L)
+        # right: step j reads window column C_L + j - 1
+        sc_r = sc[:, C_L:]
+        r_best, r_pos, r_exact = direction(sc_r, mr, xv, C_R)
+        return (
+            qo - l_pos, so - l_pos, l_pos + r_pos,
+            l_best + r_best, l_exact & r_exact,
+        )
+
+    rows = min(chunk_rows, n)
+    if n % rows:
+        rows = n          # odd sizes: single chunk
+    shaped = tuple(
+        a.reshape(n // rows, rows)
+        for a in (q_off, s_off, x_drop,
+                  jnp.minimum(max_l, 1 << 24),
+                  jnp.minimum(max_r, 1 << 24))
+    )
+    uq, us, ulen, uscore, exact = jax.lax.map(one_chunk, shaped)
+    uq = uq.reshape(n).astype(jnp.int32)
+    us = us.reshape(n).astype(jnp.int32)
+    ulen = ulen.reshape(n).astype(jnp.int32)
+    uscore = jnp.where(valid, uscore.reshape(n), 0).astype(jnp.int32)
+    exact = exact.reshape(n) & valid
+    uq = jnp.where(valid, uq, 0)
+    us = jnp.where(valid, us, 0)
+    ulen = jnp.where(valid, ulen, 0)
+    return uq, us, ulen, uscore, exact
 
 
 def _xdrop_direction(

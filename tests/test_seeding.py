@@ -452,3 +452,107 @@ class TestMiniExtendPacked:
         )
         for x, y in zip(legacy, packed):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestPhase0:
+    """ungapped_phase0_packed: seeds it marks exact must carry the
+    bit-identical full-extension result of ungapped_extend."""
+
+    def test_exactness_fuzz(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from gblastn_tpu.engine.search import device_matrix16
+        from gblastn_tpu.io.fasta import FastaRecord
+        from gblastn_tpu.io.seqdb import SequenceDB
+        from gblastn_tpu.ops.pallas_ungapped import make_table64
+        from gblastn_tpu.ops.seeding import (
+            pack_query_nibbles,
+            pack_subject_words,
+            ungapped_extend,
+            ungapped_phase0_packed,
+        )
+
+        rng = np.random.default_rng(17)
+        n_sub = 4
+        recs = []
+        for i in range(n_sub):
+            ns = int(rng.integers(500, 3000))
+            recs.append(FastaRecord(
+                f"s{i}", "",
+                "".join("ACGT"[c] for c in rng.integers(0, 4, ns)),
+            ))
+        db = SequenceDB.from_records(recs, title="t")
+        sub2_np = db.unpacked()
+        qlen = 8192
+        q = rng.integers(0, 4, qlen).astype(np.uint8)
+        q[::511] = 15
+        q[50] = 6          # ambiguity code in the query
+        # plant long exact matches so some seeds survive the clamp
+        plants = []
+        for _ in range(30):
+            so = int(rng.integers(100, db.padded_length - 400))
+            qo = int(rng.integers(100, qlen - 400))
+            q[qo: qo + 300] = sub2_np[so: so + 300]
+            plants.append((qo, so))
+
+        for reward, penalty, word in ((1, -2, 28), (2, -3, 11)):
+            m16 = device_matrix16(reward, penalty)
+            t64 = jnp.asarray(make_table64(m16))
+            qd = jnp.asarray(q)
+            sub2 = jnp.asarray(sub2_np.astype(np.int8))
+            valid = jnp.asarray(db.valid_mask())
+            qnib = pack_query_nibbles(qd)
+            sw = pack_subject_words(jnp.asarray(db.packed))
+
+            n = 1024
+            qs = rng.integers(0, qlen - 1, n).astype(np.int32)
+            # subject positions on REAL bases (production seeds come
+            # from the scan, which never yields pad positions)
+            soid = rng.integers(0, db.num_seqs, n)
+            ss = (
+                db.starts[soid]
+                + (rng.random(n) * db.lengths[soid]).astype(np.int64)
+            ).astype(np.int32)
+            # last 30 seeds sit ON planted correspondences (alive at
+            # the clamp -> must be reported inexact)
+            for k, (qo, so) in enumerate(plants):
+                qs[n - 1 - k] = qo + 120
+                ss[n - 1 - k] = so + 120
+            ok = np.ones(n, bool)
+            starts = db.starts
+            ends = db.starts + db.lengths
+            oid = np.clip(np.searchsorted(starts, ss, "right") - 1,
+                          0, len(starts) - 1)
+            max_l = np.minimum(np.minimum(qs, ss),
+                               ss - starts[oid]).astype(np.int32)
+            max_r = np.minimum(
+                np.minimum(qlen - qs, db.padded_length - ss),
+                ends[oid] - ss,
+            ).astype(np.int32)
+            max_l = np.maximum(max_l, 0)
+            max_r = np.maximum(max_r, 0)
+            xd = np.full(n, 22, np.int32)
+
+            full = ungapped_extend(
+                qd, sub2, valid, jnp.asarray(m16),
+                jnp.asarray(qs), jnp.asarray(ss), jnp.asarray(ok),
+                jnp.asarray(xd),
+            )
+            p0 = ungapped_phase0_packed(
+                qnib, sw, t64, jnp.asarray(qs), jnp.asarray(ss),
+                jnp.asarray(ok), jnp.asarray(xd),
+                jnp.asarray(max_l), jnp.asarray(max_r),
+                word_size=word,
+            )
+            fq, fs, flen, fscore = (np.asarray(x) for x in full[:4])
+            pq, ps, plen, pscore, exact = (np.asarray(x) for x in p0)
+            sel = exact
+            assert sel.sum() > (n * 9) // 10, (
+                "most random seeds must resolve within the clamp"
+            )
+            assert (~sel).sum() > 0, "planted seeds must stay alive"
+            np.testing.assert_array_equal(pq[sel], fq[sel])
+            np.testing.assert_array_equal(ps[sel], fs[sel])
+            np.testing.assert_array_equal(plen[sel], flen[sel])
+            np.testing.assert_array_equal(pscore[sel], fscore[sel])
