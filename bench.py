@@ -80,18 +80,29 @@ def _count_hits(results):
 
 
 def bench_config1(db, genome, rng):
-    """Headline: megablast 500 x 1kb, best of 3."""
+    """Headline: megablast 500 x 1kb, best of 3 -- each timed run on a
+    FRESH query set.
+
+    Re-running identical buffers is meaningless through the axon
+    tunnel (it returns cached results for identical inputs in <1ms;
+    round-1 measured this way and over-reported ~4x), so the honest
+    steady-state number is fresh-content batches: what a production
+    stream of new reads would see. The identical-buffer rerun is still
+    printed as `..._repeat` for tunnel-overhead diagnosis."""
     from gblastn_tpu.engine.search import search
     from gblastn_tpu.params.options import megablast_options
     from gblastn_tpu.utils.profiling import slog
 
-    queries = _sample_reads(rng, genome, NUM_QUERIES, QUERY_LEN)
+    sets = [
+        _sample_reads(rng, genome, NUM_QUERIES, QUERY_LEN, f"w{k}_")
+        for k in range(4)
+    ]
     options = megablast_options(evalue=1e-5, max_target_seqs=10)
-    search(queries, db, options)  # warm-up compile, untimed
+    search(sets[0], db, options)  # warm-up compile + cap escalation
 
     dt = float("inf")
     report = ""
-    for _ in range(3):
+    for queries in sets[1:]:
         slog.reset()  # stage report below covers only the fastest run
         t0 = time.time()
         results = search(queries, db, options)
@@ -100,11 +111,21 @@ def bench_config1(db, genome, rng):
             dt = dt_i
             report = slog.report()
     print(
-        f"# config1 megablast: {NUM_QUERIES} queries, "
+        f"# config1 megablast (fresh batches): {NUM_QUERIES} queries, "
         f"{_count_hits(results)} HSPs, {dt:.2f}s = "
         f"{NUM_QUERIES / dt:.1f} q/s", file=sys.stderr,
     )
     print(report, file=sys.stderr)
+
+    t0 = time.time()
+    search(sets[1], db, options)
+    dt_rep = time.time() - t0
+    print(json.dumps({
+        "metric": "queries_per_sec_megablast_ecoli_repeat",
+        "value": round(NUM_QUERIES / dt_rep, 3), "unit": "queries/sec",
+        "note": "identical-buffer rerun (tunnel result cache; the "
+                "round-1 headline was measured like this)",
+    }), file=sys.stderr)
     return NUM_QUERIES / dt
 
 

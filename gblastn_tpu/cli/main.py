@@ -20,7 +20,8 @@ Usage:
                       [-penalty N] [-gapopen N] [-gapextend N]
                       [-query_list list.txt] [-db_soft_mask ID]
   gblastn-tpu blastdbcmd | dustmasker | windowmasker |
-              convert2blastmask | blastdb_aliastool | blastdbcheck
+              convert2blastmask | blastdb_aliastool | blastdbcheck |
+              makembindex
 """
 from __future__ import annotations
 
@@ -62,11 +63,11 @@ def _add_blastn_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-ungapped", action="store_true",
                    help="ungapped search (sum-statistics e-values)")
     p.add_argument("-use_index", default=None,
-                   help="accepted for compatibility; the device-"
-                        "resident lookup table subsumes the on-disk "
-                        "megablast index")
+                   help="true = resolve seeds against a prebuilt "
+                        "database word index (makembindex) instead of "
+                        "scanning the database")
     p.add_argument("-index_name", default=None,
-                   help="accepted for compatibility (see -use_index)")
+                   help="database index path (default: <db>.tix.npz)")
     p.add_argument("-version", action="version",
                    version="blastn: 2.2.28+ (gblastn-tpu 0.1.0)")
     p.add_argument("-reward", type=int, default=0)
@@ -167,6 +168,10 @@ def _build_options(args):
         overrides["gapped"] = False
     if args.lcase_masking:
         overrides["lcase_masking"] = True
+    if str(args.use_index).lower() in ("true", "t", "yes", "1"):
+        overrides["use_index"] = True
+        if args.index_name:
+            overrides["index_name"] = args.index_name
     return options_for_task(args.task, **overrides)
 
 
@@ -636,6 +641,40 @@ def run_makedb(argv) -> int:
     return 0
 
 
+def run_makembindex(argv) -> int:
+    """makembindex analog (reference: src/app/blastdb/makembindex.cpp,
+    algo/blast/dbindex/): build the on-disk database word index that
+    `-use_index true` resolves seeds against (lut/dbindex.py)."""
+    p = argparse.ArgumentParser(prog="gblastn-tpu makembindex")
+    p.add_argument("-input", "-db", dest="db", required=True,
+                   help="database directory (makedb output)")
+    p.add_argument("-output", dest="output", default=None,
+                   help="index path (default: <db>.tix.npz)")
+    p.add_argument("-word_size", type=int, default=28,
+                   help="full word size the index serves (default 28, "
+                        "traditional megablast)")
+    p.add_argument("-lut_word", type=int, default=0,
+                   help="indexed width (default: 12, or word_size if "
+                        "smaller); searches force their LUT width to "
+                        "this so indexed results are bit-identical to "
+                        "a scan at the same width")
+    args = p.parse_args(argv)
+    from gblastn_tpu.lut.dbindex import build_db_index, save_db_index
+
+    db = SequenceDB.load(args.db)
+    t0 = time.time()
+    index = build_db_index(db, args.word_size, args.lut_word)
+    path = save_db_index(index, args.output or args.db)
+    print(
+        f"Built index {path}: word_size {index.word_size}, lut_word "
+        f"{index.lut_word}, stride {index.stride}, "
+        f"{len(index.positions)} positions, max chain "
+        f"{index.max_chain}, {time.time() - t0:.1f}s",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def run_dustmasker(argv) -> int:
     """dustmasker app analog (reference: src/app/dustmasker)."""
     p = argparse.ArgumentParser(prog="gblastn-tpu dustmasker")
@@ -979,6 +1018,8 @@ def main(argv=None) -> int:
         return run_aliastool(rest)
     if cmd == "blastdbcheck":
         return run_blastdbcheck(rest)
+    if cmd == "makembindex":
+        return run_makembindex(rest)
     # default: treat as blastn args directly
     return run_blastn(argv)
 

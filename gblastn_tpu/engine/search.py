@@ -103,6 +103,64 @@ def _build_gapped_filter(qblock, params, db, device_arrays=None):
     )
 
 
+def _warn_once(db, key: str, msg: str) -> None:
+    import sys
+
+    seen = getattr(db, "_warned", None)
+    if seen is None:
+        seen = set()
+        db._warned = seen
+    if key not in seen:
+        seen.add(key)
+        print(f"gblastn_tpu: {msg}", file=sys.stderr)
+
+
+def _resolve_db_index(db, options):
+    """Load + validate the -use_index database index, or None.
+
+    The loaded index is cached on the db object; every reason to fall
+    back to the scan path is warned once per database (the reference
+    treats a missing index the same way, CIndexedDbException handling
+    in mb_indexed_lookup.c)."""
+    if not options.use_index:
+        return None
+    from gblastn_tpu.lut.dbindex import (
+        INDEX_SUFFIX,
+        index_compatible,
+        load_db_index,
+    )
+
+    cached = getattr(db, "_db_index_cache", None)
+    if cached is None:
+        name = options.index_name or getattr(db, "_source_path", None)
+        if name is None:
+            _warn_once(db, "idx", "-use_index: no -index_name and the "
+                       "database has no on-disk path; scanning instead")
+            db._db_index_cache = False
+            return None
+        try:
+            cached = load_db_index(str(name))
+        except FileNotFoundError:
+            _warn_once(
+                db, "idx",
+                f"-use_index: index {name}{INDEX_SUFFIX} not found "
+                "(build one with makembindex); scanning instead",
+            )
+            cached = False
+        except Exception as e:  # malformed file
+            _warn_once(db, "idx", f"-use_index: cannot load index: {e}; "
+                       "scanning instead")
+            cached = False
+        db._db_index_cache = cached
+    if cached is False:
+        return None
+    reason = index_compatible(cached, db, options.word_size)
+    if reason is not None:
+        _warn_once(db, "idx", f"-use_index: {reason}; scanning instead")
+        return None
+    return cached
+
+
 @dataclass
 class QueryResult:
     """Finished results for one query: HSP lists by subject, ranked."""
@@ -210,10 +268,18 @@ def prelim_search(
                 sorted(a + b) for a, b in zip(masks, rep_masks)
             ]
     locations = unmasked_locations(qblock.buffer, ctx_offsets, masks)
+
+    # indexed megablast (-use_index): resolve the database index before
+    # the lookup table so the LUT width can be forced to the index's
+    # (the seed set is bit-identical to a scan at that width; see
+    # lut/dbindex.py). Unusable index -> warn once and scan normally.
+    db_index = _resolve_db_index(db, options)
+
     with slog.time("setup.lookup_table"):
         lut = build_lookup_table(
             qblock.buffer, locations, options.word_size,
-            options.lut_word_size
+            db_index.lut_word if db_index is not None
+            else options.lut_word_size
         )
 
     n_ctx = len(qblock.contexts)
@@ -328,6 +394,13 @@ def prelim_search(
         mask_ends[: len(db_mask_ivs)] = db_mask_ivs[:, 1]
 
     device_gapped = None   # banded-DP rejection filter (device path only)
+    if db_index is not None and (n_shards > 1 or use_stream):
+        _warn_once(
+            db, "idx-path",
+            "-use_index applies to the device-resident path only; "
+            "the sharded/streamed scan is used instead",
+        )
+        db_index = None
     if n_shards > 1:
         # multi-chip: DB-sharded seeding over the device mesh
         from gblastn_tpu.engine.seeding import run_seeding_sharded
@@ -400,17 +473,50 @@ def prelim_search(
         from gblastn_tpu.ops.pallas_ungapped import make_table64
         from gblastn_tpu.ops.seeding import pack_query_nibbles
 
+        q_allowed_dev = None
+        if db_index is not None:
+            # database-index device arrays are per-DB immutable: upload
+            # once and cache (offsets rebuilt on device from the sorted
+            # word codes, as for the query LUT)
+            from gblastn_tpu.engine.seeding import offsets_on_device
+
+            idx_dev = getattr(db, "_index_device_cache", None)
+            if idx_dev is None:
+                with slog.time("setup.index_upload"):
+                    if jax.default_backend() != "cpu":
+                        idx_offsets_dev = offsets_on_device(
+                            jnp.asarray(db_index.words),
+                            db_index.table_size,
+                        )
+                    else:
+                        idx_offsets_dev = jnp.asarray(db_index.offsets())
+                    idx_dev = (
+                        idx_offsets_dev,
+                        jnp.asarray(db_index.positions),
+                    )
+                    jax.block_until_ready(idx_dev)
+                db._index_device_cache = idx_dev
+            q_allowed_np = np.zeros(qcap, dtype=bool)
+            q_allowed_np[lut.positions] = True
+            q_allowed_dev = jnp.asarray(q_allowed_np)
+            cmax = 4
+            while cmax < max(db_index.max_chain, 1):
+                cmax *= 2
+
         dev = SeedingDeviceData(
             query=qdev,
             subject2=dev_subject[0],
             subject_valid=dev_subject[1],
-            lut_offsets=lut_offsets_dev,
-            lut_positions=jnp.asarray(pos_padded),
+            lut_offsets=(idx_dev[0] if db_index is not None
+                         else lut_offsets_dev),
+            lut_positions=(idx_dev[1] if db_index is not None
+                           else jnp.asarray(pos_padded)),
             matrix16=jnp.asarray(m16),
             pallas_subject=dev_subject[2],
             table64=jnp.asarray(make_table64(m16)),
             query_nib=pack_query_nibbles(qdev),
             subject_w=dev_subject[3],
+            q_allowed=q_allowed_dev,
         )
         if options.window_size > 0:
             host_sub = getattr(db, "_host_cache", None)
@@ -482,37 +588,38 @@ def prelim_search(
             len(qblock.contexts), options.culling_limit
         )
 
-    if besthit is not None or culling is not None:
-        writer = besthit if besthit is not None else culling
-        for lst in prelim_lists:
-            by_query: dict[int, HSPList] = {}
-            for h in lst.hsps:
-                qi = qblock.contexts[h.context].query_index
-                by_query.setdefault(
-                    qi, HSPList(oid=lst.oid)
-                ).hsps.append(h)
-            for sub in by_query.values():
-                writer.add_hsplist(sub, qblock)
-        for qi in range(qblock.num_queries):
-            if besthit is not None:
-                kept = besthit.export(qi)
-            else:
-                kept = culling.export_query(qblock, qi)
-            for sub in kept:
-                from gblastn_tpu.hits import sort_by_score
+    with slog.time("host.collect"):
+        if besthit is not None or culling is not None:
+            writer = besthit if besthit is not None else culling
+            for lst in prelim_lists:
+                by_query: dict[int, HSPList] = {}
+                for h in lst.hsps:
+                    qi = qblock.contexts[h.context].query_index
+                    by_query.setdefault(
+                        qi, HSPList(oid=lst.oid)
+                    ).hsps.append(h)
+                for sub in by_query.values():
+                    writer.add_hsplist(sub, qblock)
+            for qi in range(qblock.num_queries):
+                if besthit is not None:
+                    kept = besthit.export(qi)
+                else:
+                    kept = culling.export_query(qblock, qi)
+                for sub in kept:
+                    from gblastn_tpu.hits import sort_by_score
 
-                sort_by_score(sub.hsps)
-                hitlist_update(hitlists[qi], sub)
-    else:
-        for lst in prelim_lists:
-            by_query: dict[int, HSPList] = {}
-            for h in lst.hsps:
-                qi = qblock.contexts[h.context].query_index
-                by_query.setdefault(
-                    qi, HSPList(oid=lst.oid)
-                ).hsps.append(h)
-            for qi, sub in by_query.items():
-                hitlist_update(hitlists[qi], sub)
+                    sort_by_score(sub.hsps)
+                    hitlist_update(hitlists[qi], sub)
+        else:
+            for lst in prelim_lists:
+                by_query: dict[int, HSPList] = {}
+                for h in lst.hsps:
+                    qi = qblock.contexts[h.context].query_index
+                    by_query.setdefault(
+                        qi, HSPList(oid=lst.oid)
+                    ).hsps.append(h)
+                for qi, sub in by_query.items():
+                    hitlist_update(hitlists[qi], sub)
 
     return PrelimResult(qblock=qblock, params=params, hitlists=hitlists,
                         masks=masks)

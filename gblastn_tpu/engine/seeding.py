@@ -75,6 +75,9 @@ class SeedingDeviceData:
     host_query: np.ndarray | None = None
     host_subject2: np.ndarray | None = None
     host_valid: np.ndarray | None = None
+    # indexed-megablast mode (-use_index): lut_offsets/lut_positions
+    # hold the DATABASE index and the scan walks allowed query starts
+    q_allowed: jnp.ndarray | None = None        # bool[Q]
 
 
 # (subject_pad, query_cap, word_size) -> last working (hit_cap, seed_cap)
@@ -364,7 +367,7 @@ def _seeding_tpu_fused(
     subject_p, table64,
     *, scan_step, lut_word, word_size, cmax, n_scan, hit_cap, seed_cap,
     mask_starts=None, mask_ends=None, query_nib=None, subject_w=None,
-    alive_cap=0,
+    alive_cap=0, q_allowed=None,
 ):
     """TPU seeding stage: scan+mini (one jit), the Pallas ungapped
     kernel (its own dispatch -- nesting it inside one mega-jit makes
@@ -389,7 +392,7 @@ def _seeding_tpu_fused(
         subject2, subject_valid, lut_offsets, lut_positions, query,
         ctx_offsets, x_dropoffs, subject_starts, subject_ends,
         mask_starts=mask_starts, mask_ends=mask_ends,
-        query_nib=query_nib, subject_w=subject_w,
+        query_nib=query_nib, subject_w=subject_w, q_allowed=q_allowed,
         scan_step=scan_step, lut_word=lut_word, word_size=word_size,
         cmax=cmax, n_scan=n_scan, hit_cap=hit_cap, seed_cap=seed_cap,
         out_cap=seed_cap // 2, pos_base_static=0,
@@ -450,7 +453,12 @@ def run_seeding(
     retries; compiled variants are bounded by the power-of-two buckets.
     """
     s_pad = int(dev.subject2.shape[0])
-    n_scan = max((s_pad - lut_word) // scan_step + 1, 1)
+    indexed = dev.q_allowed is not None
+    if indexed:
+        # indexed megablast: the scan walks the query, not the subject
+        n_scan = max(int(dev.query.shape[0]) - lut_word + 1, 1)
+    else:
+        n_scan = max((s_pad - lut_word) // scan_step + 1, 1)
 
     # start from the last capacities that worked for this problem
     # shape: capacity overflows would otherwise re-run the doubling
@@ -459,7 +467,7 @@ def run_seeding(
 
     phase0 = _os.environ.get("GBLASTN_TPU_PHASE0", "1") != "0"
     alive_cap = max(seed_cap // 8, 4096)
-    cap_key = (s_pad, int(dev.query.shape[0]), word_size)
+    cap_key = (s_pad, int(dev.query.shape[0]), word_size, indexed)
     cached = _CAP_CACHE.get(cap_key)
     if cached:
         hit_cap = max(hit_cap, cached[0])
@@ -512,6 +520,7 @@ def run_seeding(
                     mask_starts=mask_dev[0], mask_ends=mask_dev[1],
                     query_nib=dev.query_nib, subject_w=dev.subject_w,
                     alive_cap=alive_cap if phase0 else 0,
+                    q_allowed=dev.q_allowed,
                 ))
                 qs, ss, fill, ctx = (
                     packed[0], packed[1], packed[2].astype(bool),
@@ -536,6 +545,7 @@ def run_seeding(
                     word_size=word_size, cmax=cmax, n_scan=n_scan,
                     hit_cap=hit_cap, seed_cap=seed_cap,
                     mask_starts=mask_dev[0], mask_ends=mask_dev[1],
+                    q_allowed=dev.q_allowed,
                 )
                 (qs, ss, fill, ctx, ug_q, ug_s, ug_len, ug_score, trunc,
                  n_overflow, n_raw) = (np.asarray(o) for o in out)

@@ -479,4 +479,6 @@ class SequenceDB:
                 intervals=np.asarray(arrays[f"mask_{algo}"], np.int64)
                 .reshape(-1, 2),
             )
+        # remembered so -use_index can find the default <db>.tix.npz
+        db._source_path = str(path)
         return db

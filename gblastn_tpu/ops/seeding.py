@@ -196,6 +196,102 @@ def scan_block(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("lut_word", "cmax", "n_scan", "hit_cap"),
+)
+def indexed_scan_block(
+    query: jnp.ndarray,           # uint8[Q_pad] BLASTNA codes
+    q_allowed: jnp.ndarray,       # bool[Q_pad] allowed seed starts
+    idx_offsets: jnp.ndarray,     # int32[4^w + 1] DB-index CSR offsets
+    idx_positions: jnp.ndarray,   # int32[P] subject grid positions
+    *,
+    lut_word: int,
+    cmax: int,
+    n_scan: int,                  # Q_pad - lut_word + 1
+    hit_cap: int,
+    mask_starts=None,             # int32[M] sorted subject soft-mask
+    mask_ends=None,
+):
+    """Indexed megablast scan: the role-swapped twin of ``scan_block``.
+
+    Instead of scanning the subject against a query-side lookup table,
+    walk every allowed QUERY position against a prebuilt DATABASE index
+    (reference: /root/reference/c++/src/algo/blast/core/
+    mb_indexed_lookup.c s_MBIdxScanSubject + algo/blast/dbindex/ — there
+    the index replaces the subject scan so repeated searches of the same
+    DB skip it; same trade here, with device work proportional to the
+    query, not the database).
+
+    ``q_allowed`` marks exactly the query offsets the search's lookup
+    table would have indexed (``LookupTable.positions``), so the raw
+    seed set equals the scan path's set for a DB index built at the
+    search's (lut_word, scan_step) — equivalence by construction.
+
+    Subject soft-mask intervals are applied per gathered subject
+    position (the scan path drops masked scan words before lookup; here
+    the subject position arrives from the gather instead).
+
+    Returns (q_off, s_off, valid, n_dropped) with the same contract as
+    ``scan_block``.
+    """
+    # rolling word codes over the query buffer; BLASTNA codes >= 4
+    # (ambiguity/sentinel) cannot occur inside an allowed word, so the
+    # &3 clamp only affects positions q_allowed already excludes
+    words = jnp.zeros(n_scan, dtype=jnp.int32)
+    for j in range(lut_word):
+        words = words + (
+            (query[j: j + n_scan].astype(jnp.int32) & 3)
+            << (2 * (lut_word - 1 - j))
+        )
+    pos = jnp.arange(n_scan, dtype=jnp.int32)
+    valid_word = q_allowed[:n_scan]
+    words = jnp.where(valid_word, words, 0)
+
+    start = idx_offsets[words]
+    count = jnp.where(valid_word, idx_offsets[words + 1] - start, 0)
+
+    if hit_cap:
+        n_hit = (count > 0).sum()
+        hit_idx = jnp.nonzero(
+            count > 0, size=hit_cap, fill_value=n_scan - 1
+        )[0]
+        fill = jax.lax.broadcasted_iota(
+            jnp.int32, (hit_cap,), 0
+        ) < jnp.minimum(n_hit, hit_cap)
+        pos = jnp.where(fill, pos[hit_idx], 0)
+        start = jnp.where(fill, start[hit_idx], 0)
+        count = jnp.where(fill, count[hit_idx], 0)
+        overflow_hits = jnp.maximum(n_hit - hit_cap, 0)
+    else:
+        overflow_hits = jnp.zeros((), jnp.int32)
+
+    slot = jnp.arange(cmax, dtype=jnp.int32)
+    take = slot[None, :] < count[:, None]                  # [N, cmax]
+    pidx = jnp.minimum(start[:, None] + slot[None, :],
+                       idx_positions.shape[0] - 1)
+    s_off = idx_positions[pidx]
+    q_off = jnp.broadcast_to(pos[:, None], take.shape)
+
+    if mask_starts is not None:
+        j = jnp.clip(
+            jnp.searchsorted(mask_ends, s_off, side="right"),
+            0, mask_starts.shape[0] - 1,
+        )
+        soft_masked = (
+            (mask_starts[j] < s_off + lut_word) & (mask_ends[j] > s_off)
+        )
+        take = take & ~soft_masked
+
+    n_dropped = jnp.maximum(count - cmax, 0).sum() + overflow_hits
+    return (
+        q_off.reshape(-1).astype(jnp.int32),
+        s_off.reshape(-1).astype(jnp.int32),
+        take.reshape(-1),
+        n_dropped.astype(jnp.int32),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("lut_word", "word_size"))
 def mini_extend(
     query: jnp.ndarray,           # uint8[Q] BLASTNA codes (sentinels = 15)
@@ -754,10 +850,16 @@ def seeding_pipeline(
     phase1_extend: int = 96,
     mask_starts=None,
     mask_ends=None,
+    q_allowed=None,               # bool[Q_pad]: indexed-megablast mode
 ):
     """Fused device seeding: scan -> seed compaction -> mini-extension
     -> survivor compaction -> clamped X-drop ungapped extension, one
     XLA program, one D2H transfer.
+
+    With ``q_allowed`` set, the scan runs in indexed-megablast mode:
+    ``lut_offsets``/``lut_positions`` hold the DATABASE index and the
+    query is walked instead of the subject (``indexed_scan_block``;
+    ``n_scan`` is then the query scan extent and ``scan_step`` unused).
 
     The ungapped stage is clamped to ``phase1_extend`` steps per
     direction (random seeds die to the X-drop within a few bases); the
@@ -770,13 +872,21 @@ def seeding_pipeline(
     trunc, n_overflow): seed arrays [seed_cap]; n_overflow > 0 => a
     capacity (hit_cap / cmax / seed_cap) overflowed, retry larger.
     """
-    q_off, s_off, take, n_dropped = scan_block(
-        subject2, subject_valid, lut_offsets, lut_positions,
-        scan_step=scan_step, lut_word=lut_word, word_size=word_size,
-        cmax=cmax, n_scan=n_scan, hit_cap=hit_cap,
-        mask_starts=mask_starts, mask_ends=mask_ends,
-        pos_base_static=0,
-    )
+    if q_allowed is not None:
+        q_off, s_off, take, n_dropped = indexed_scan_block(
+            query, q_allowed, lut_offsets, lut_positions,
+            lut_word=lut_word, cmax=cmax, n_scan=n_scan,
+            hit_cap=hit_cap,
+            mask_starts=mask_starts, mask_ends=mask_ends,
+        )
+    else:
+        q_off, s_off, take, n_dropped = scan_block(
+            subject2, subject_valid, lut_offsets, lut_positions,
+            scan_step=scan_step, lut_word=lut_word, word_size=word_size,
+            cmax=cmax, n_scan=n_scan, hit_cap=hit_cap,
+            mask_starts=mask_starts, mask_ends=mask_ends,
+            pos_base_static=0,
+        )
     # compact raw seeds before the gather-heavy mini-extension
     n_raw = take.sum()
     ridx = jnp.nonzero(take, size=seed_cap, fill_value=0)[0]
@@ -833,6 +943,7 @@ def seeding_scan_mini(
     mask_ends=None,                # int32[M] soft-mask ends
     query_nib=None,                # uint32[Q/8]: use mini_extend_packed
     subject_w=None,                # uint32[S/16]
+    q_allowed=None,                # bool[Q_pad]: indexed-megablast mode
     *,
     scan_step: int,
     lut_word: int,
@@ -857,14 +968,22 @@ def seeding_scan_mini(
     round trip. Returns (q_off, s_off, valid, ctx, x_drop, max_l,
     max_r, n_overflow), all [seed_cap].
     """
-    q_off, s_off, take, n_dropped = scan_block(
-        subject2, subject_valid, lut_offsets, lut_positions,
-        scan_step=scan_step, lut_word=lut_word, word_size=word_size,
-        cmax=cmax, n_scan=n_scan, hit_cap=hit_cap,
-        pos_base=pos_base, pos_end=pos_end,
-        mask_starts=mask_starts, mask_ends=mask_ends,
-        pos_base_static=pos_base_static,
-    )
+    if q_allowed is not None:
+        q_off, s_off, take, n_dropped = indexed_scan_block(
+            query, q_allowed, lut_offsets, lut_positions,
+            lut_word=lut_word, cmax=cmax, n_scan=n_scan,
+            hit_cap=hit_cap,
+            mask_starts=mask_starts, mask_ends=mask_ends,
+        )
+    else:
+        q_off, s_off, take, n_dropped = scan_block(
+            subject2, subject_valid, lut_offsets, lut_positions,
+            scan_step=scan_step, lut_word=lut_word, word_size=word_size,
+            cmax=cmax, n_scan=n_scan, hit_cap=hit_cap,
+            pos_base=pos_base, pos_end=pos_end,
+            mask_starts=mask_starts, mask_ends=mask_ends,
+            pos_base_static=pos_base_static,
+        )
     n_raw = take.sum()
     ridx = jnp.nonzero(take, size=seed_cap, fill_value=0)[0]
     rfill = (

@@ -74,6 +74,12 @@ class SearchOptions:
     db_soft_mask: int | None = None
     db_hard_mask: int | None = None
 
+    # Indexed megablast (-use_index/-index_name): resolve seeds against
+    # a prebuilt database word index (makembindex) instead of scanning
+    # the database (lut/dbindex.py)
+    use_index: bool = False
+    index_name: str | None = None       # default: <db path>.tix.npz
+
     # Effective length overrides
     db_length_override: int = 0
     db_num_seqs_override: int = 0
