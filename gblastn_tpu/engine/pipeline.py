@@ -5,12 +5,19 @@ The TPU counterpart of G-BLASTN's pipeline mode (reference:
 Method3 :991-1261; stage threads work_thread.cpp:16-156 with blocking
 work queues thread_work_queue.hpp:110-162):
 
-* a prelim thread runs ``prelim_search`` (device seeding + host greedy
-  score-only) for batch i+1 while trace workers run ``finish_search``
-  (native traceback + filtering) for batch i -- the device dispatch and
-  the ctypes aligner release the GIL, so the stages genuinely overlap;
-* results are re-ordered by batch index before the print callback, so
-  output order is identical to sequential mode;
+* the CALLING thread runs ``prelim_search`` (device seeding + host
+  gapped score-only) for batch i+1 while trace workers run
+  ``finish_search`` (native traceback + filtering) for batch i -- the
+  device dispatch and the ctypes aligner release the GIL, so the stages
+  genuinely overlap;
+* device work deliberately stays on the caller's thread: the TPU
+  tunnel transport stalls device dispatches issued from secondary
+  threads (measured 20x seeding inflation when prelim ran on a worker
+  thread; the CPU backend shows no such effect), and keeping a single
+  dispatching thread is the safe contract for PJRT clients generally;
+* a printer thread re-orders results by batch index before the
+  ``on_results`` callback, so output order is identical to sequential
+  mode;
 * queue capacities bound memory exactly like the reference's blocking
   work_queue<T>.
 """
@@ -49,17 +56,7 @@ def run_pipelined_search(
     prelim_q: queue.Queue = queue.Queue(maxsize=queue_depth)
     result_q: queue.Queue = queue.Queue()
     errors: list[BaseException] = []
-
-    def prelim_worker():
-        try:
-            for idx, batch in enumerate(batches):
-                prelim = prelim_search(batch, db, options, interrupt_fn)
-                prelim_q.put((idx, prelim))
-        except BaseException as e:  # noqa: BLE001 - propagated below
-            errors.append(e)
-        finally:
-            for _ in range(trace_threads):
-                prelim_q.put(_STOP)
+    done = [0]
 
     def trace_worker():
         while True:
@@ -70,44 +67,60 @@ def run_pipelined_search(
             idx, prelim = item
             try:
                 results = finish_search(prelim, db, options, interrupt_fn)
-            except BaseException as e:  # noqa: BLE001
+            except BaseException as e:  # noqa: BLE001 - propagated below
                 errors.append(e)
                 result_q.put(_STOP)
                 return
             result_q.put((idx, results))
 
-    threads = [threading.Thread(target=prelim_worker, daemon=True)]
-    threads += [
+    def print_worker():
+        # reorder by batch index (PrintThread's process_num accounting
+        # keeps output ordered in the reference)
+        pending: dict[int, BlastResults] = {}
+        next_idx = 0
+        stops = 0
+        while stops < trace_threads:
+            item = result_q.get()
+            if item is _STOP:
+                stops += 1
+                continue
+            idx, results = item
+            pending[idx] = results
+            while next_idx in pending:
+                try:
+                    on_results(pending.pop(next_idx))
+                except BaseException as e:  # noqa: BLE001
+                    errors.append(e)
+                    return
+                next_idx += 1
+                done[0] += 1
+        while next_idx in pending:   # stragglers after a worker error
+            on_results(pending.pop(next_idx))
+            next_idx += 1
+            done[0] += 1
+
+    threads = [
         threading.Thread(target=trace_worker, daemon=True)
         for _ in range(trace_threads)
     ]
+    threads.append(threading.Thread(target=print_worker, daemon=True))
     for t in threads:
         t.start()
 
-    # print stage: reorder by batch index (PrintThread's process_num
-    # accounting keeps output ordered in the reference)
-    pending: dict[int, BlastResults] = {}
-    next_idx = 0
-    stops = 0
-    done = 0
-    while stops < trace_threads:
-        item = result_q.get()
-        if item is _STOP:
-            stops += 1
-            continue
-        idx, results = item
-        pending[idx] = results
-        while next_idx in pending:
-            on_results(pending.pop(next_idx))
-            next_idx += 1
-            done += 1
-    # drain any stragglers (all trace workers have exited)
-    while next_idx in pending:
-        on_results(pending.pop(next_idx))
-        next_idx += 1
-        done += 1
+    # prelim stage on the calling thread (see module docstring)
+    try:
+        for idx, batch in enumerate(batches):
+            if errors:
+                break
+            prelim = prelim_search(batch, db, options, interrupt_fn)
+            prelim_q.put((idx, prelim))
+    except BaseException as e:  # noqa: BLE001
+        errors.append(e)
+    finally:
+        for _ in range(trace_threads):
+            prelim_q.put(_STOP)
     for t in threads:
         t.join()
     if errors:
         raise errors[0]
-    return done
+    return done[0]
