@@ -132,6 +132,12 @@ def algorithm_options(options) -> Of:
         params.append(b4_parameter(
             "CullingLimit", "integer", options.culling_limit
         ))
+    if getattr(options, "use_index", False):
+        # CExportStrategy emits MbIndexName for indexed megablast
+        # (search_strategy.cpp x_AddParameterToProgramOptions)
+        params.append(b4_parameter(
+            "MbIndexName", "string", options.index_name or ""
+        ))
     return Of(params, set_of=False)
 
 
@@ -337,6 +343,10 @@ def strategy_to_args(text: str) -> dict:
             args["perc_identity"] = real_value(inner)
         elif name == "CullingLimit":
             args["culling_limit"] = int(inner)
+        elif name == "MbIndexName":
+            args["use_index"] = "true"
+            if inner:
+                args["index_name"] = str(inner)
         elif name == "StrandOption":
             code = STRAND_TYPE.get(inner) if isinstance(inner, str) else None
             if inner == "forward-strand":

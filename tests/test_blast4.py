@@ -80,6 +80,7 @@ def test_strategy_recovery():
     opts = megablast_options(
         evalue=0.001, word_size=20, reward=2, penalty=-3,
         gap_open=5, gap_extend=2, window_size=40, strand="plus",
+        use_index=True, index_name="idx/path",
     )
     txt = to_text("Blast4-request", _request(opts))
     args = strategy_to_args(txt)
@@ -94,6 +95,8 @@ def test_strategy_recovery():
     assert args["window_size"] == 40
     assert args["strand"] == "plus"
     assert args["ungapped"] is False
+    assert args["use_index"] == "true"
+    assert args["index_name"] == "idx/path"
 
 
 def test_archive_roundtrip_with_masks():
