@@ -309,14 +309,57 @@ def _prepare_query_jit(query):
 
 
 @jax.jit
-def _pack11(qs, ss, ok, ctx, f_q, f_s, f_len, f_score, f_tr,
-            n_overflow, n_raw):
-    return jnp.stack([
-        qs, ss, ok.astype(jnp.int32), ctx,
-        f_q, f_s, f_len, f_score, f_tr.astype(jnp.int32),
-        jnp.broadcast_to(n_overflow.astype(jnp.int32), qs.shape),
-        jnp.broadcast_to(n_raw.astype(jnp.int32), qs.shape),
+def _pack_seeds(qs, ss, ok, f_q, f_len, f_score, f_tr,
+                n_overflow, n_raw):
+    """One flat int32[4 * cap + 2] device->host transfer.
+
+    Naive row-stacking of every per-seed array is 44 B/lane; over the
+    tunnel's ~80 MB/s downlink that fetch dominates dense-seed (blastn
+    word 11) batches. 16 B/lane instead: qs, ss, score, and a bitfield
+    of ok(1) | trunc-flags(3) | left-ext(12) | length(13). Left
+    extension shifts q and s equally, so f_s needs no slot, and the
+    Pallas window clamp (WINDOW steps/side) plus the XLA phase-1 clamp
+    bound l_ext < 2^12 and length < 2^13; ctx is recomputed on host
+    from qs (same searchsorted the device does)."""
+    l_ext = jnp.clip(qs - f_q, 0, (1 << 12) - 1)
+    d = (
+        ok.astype(jnp.int32)
+        | ((f_tr.astype(jnp.int32) & 7) << 1)
+        | (l_ext << 4)
+        | (jnp.clip(f_len, 0, (1 << 13) - 1) << 16)
+    )
+    return jnp.concatenate([
+        qs, ss, f_score, d,
+        jnp.stack([n_overflow.astype(jnp.int32),
+                   n_raw.astype(jnp.int32)]),
     ])
+
+
+def _unpack_seeds(flat, ctx_off_dev, ctx_cap):
+    """Host side of ``_pack_seeds``: rebuild the per-seed arrays.
+
+    ``ctx`` is recomputed with the same padded-offsets searchsorted the
+    device program applies (ops.seeding.seeding_scan_mini), so the
+    result is bit-identical to fetching it."""
+    cap = (len(flat) - 2) // 4
+    qs = flat[:cap]
+    ss = flat[cap: 2 * cap]
+    ug_score = flat[2 * cap: 3 * cap]
+    d = flat[3 * cap: 4 * cap]
+    fill = (d & 1).astype(bool)
+    # bit 1 of the flag word = WINDOW overrun (bits 2/3 are bound-stop
+    # info used by the streaming path)
+    trunc = (d & 2).astype(bool)
+    l_ext = (d >> 4) & 0xFFF
+    ug_len = ((d >> 16) & 0x1FFF).astype(np.int32)
+    ug_q = (qs - l_ext).astype(np.int32)
+    ug_s = (ss - l_ext).astype(np.int32)
+    ctx = np.clip(
+        np.searchsorted(ctx_off_dev, qs, side="right") - 1,
+        0, ctx_cap - 1,
+    ).astype(np.int32)
+    return (qs, ss, fill, ctx, ug_q, ug_s, ug_len, ug_score, trunc,
+            flat[4 * cap], flat[4 * cap + 1])
 
 
 def _pallas_alive_only(
@@ -415,8 +458,11 @@ def _seeding_tpu_fused(
     if sync:
         with slog.time("device.seeding.pallas_sync"):
             jax.block_until_ready((f_q, f_s, f_len, f_score, f_tr))
-    packed = _pack11(qs, ss, ok, ctx, f_q, f_s, f_len, f_score, f_tr,
-                     n_overflow, n_raw)
+    from gblastn_tpu.ops.pallas_ungapped import WINDOW
+
+    assert 2 * WINDOW < (1 << 13)   # _pack_seeds bitfield bounds
+    packed = _pack_seeds(qs, ss, ok, f_q, f_len, f_score, f_tr,
+                         n_overflow, n_raw)
     # the caller fetches `packed` immediately, so blocking here costs
     # nothing -- and fetching a ready buffer avoids the tunnel's
     # (much) slower transfer-of-pending-computation path
@@ -506,7 +552,7 @@ def run_seeding(
     while True:
         if pallas_primary:
             with slog.time("device.seeding.pipeline"):
-                packed = np.asarray(_seeding_tpu_fused(
+                flat = np.asarray(_seeding_tpu_fused(
                     dev.subject2, dev.subject_valid,
                     dev.lut_offsets, dev.lut_positions, dev.query,
                     jnp.asarray(ctx_off_dev), jnp.asarray(xdrop_dev),
@@ -522,18 +568,10 @@ def run_seeding(
                     alive_cap=alive_cap if phase0 else 0,
                     q_allowed=dev.q_allowed,
                 ))
-                qs, ss, fill, ctx = (
-                    packed[0], packed[1], packed[2].astype(bool),
-                    packed[3],
+                (qs, ss, fill, ctx, ug_q, ug_s, ug_len, ug_score,
+                 trunc, n_overflow, n_raw) = _unpack_seeds(
+                    flat, ctx_off_dev, ctx_cap
                 )
-                ug_q, ug_s, ug_len, ug_score = (
-                    packed[4], packed[5], packed[6], packed[7],
-                )
-                # bit 0 of the flag word = WINDOW overrun (bits 1/2
-                # are bound-stop info for the streaming path)
-                trunc = (packed[8] & 1).astype(bool)
-                n_overflow = packed[9, 0]
-                n_raw = packed[10, 0]
         else:
             with slog.time("device.seeding.pipeline"):
                 out = seeding_pipeline(

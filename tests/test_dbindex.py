@@ -189,6 +189,26 @@ def test_use_index_fallbacks(workload, capsys):
     assert "not found" in capsys.readouterr().err
 
 
+def test_search_indexed_blastn_word11(workload):
+    from gblastn_tpu.params.options import blastn_options
+
+    tmp, _db, _index, _queries, genome = workload
+    db = SequenceDB.load(tmp / "db")
+    index = build_db_index(db, 11)          # lut 11, stride 1
+    save_db_index(index, str(tmp / "db11"))
+    rng = np.random.default_rng(5)
+    queries = _reads(rng, genome, 6, 400, mut=0.05)
+    base = blastn_options(
+        evalue=1e-3, max_target_seqs=20, lut_word_size=11
+    )
+    ref = search(queries, db, base)
+    res = search(queries, db, base.replace(
+        use_index=True, index_name=str(tmp / "db11")
+    ))
+    assert _flat_hits(res) == _flat_hits(ref)
+    assert _flat_hits(ref)
+
+
 def test_cli_makembindex_and_use_index(tmp_path, capsys):
     from gblastn_tpu.cli.main import main
 

@@ -556,3 +556,51 @@ class TestPhase0:
             np.testing.assert_array_equal(ps[sel], fs[sel])
             np.testing.assert_array_equal(plen[sel], flen[sel])
             np.testing.assert_array_equal(pscore[sel], fscore[sel])
+
+
+class TestPackSeeds:
+    def test_pack_unpack_roundtrip(self):
+        from gblastn_tpu.engine.seeding import _pack_seeds, _unpack_seeds
+
+        rng = np.random.default_rng(3)
+        n = 512
+        ctx_cap = 64
+        ctx_off = np.full(ctx_cap + 1, np.iinfo(np.int32).max, np.int32)
+        ctx_off[:5] = [0, 1000, 2100, 3300, 4600]
+        qs = rng.integers(0, 4500, n).astype(np.int32)
+        l_ext = rng.integers(0, 2049, n).astype(np.int32)
+        r_ext = rng.integers(0, 2049, n).astype(np.int32)
+        ss = rng.integers(3000, 1 << 24, n).astype(np.int32)
+        ok = rng.random(n) < 0.7
+        qs = np.where(ok, qs, 0).astype(np.int32)
+        ss = np.where(ok, ss, 0).astype(np.int32)
+        l_ext = np.where(ok, np.minimum(l_ext, qs), 0).astype(np.int32)
+        r_ext = np.where(ok, r_ext, 0)
+        score = np.where(ok, rng.integers(0, 6000, n), 0).astype(np.int32)
+        tr = np.where(ok & (rng.random(n) < 0.1), 1, 0).astype(np.int32)
+        f_q = qs - l_ext
+        f_len = (l_ext + r_ext).astype(np.int32)
+
+        flat = np.asarray(_pack_seeds(
+            jnp.asarray(qs), jnp.asarray(ss), jnp.asarray(ok),
+            jnp.asarray(f_q), jnp.asarray(f_len), jnp.asarray(score),
+            jnp.asarray(tr),
+            jnp.asarray(np.int32(7)), jnp.asarray(np.int32(12345)),
+        ))
+        (uqs, uss, fill, ctx, ug_q, ug_s, ug_len, ug_score, trunc,
+         n_ov, n_raw) = _unpack_seeds(flat, ctx_off, ctx_cap)
+        np.testing.assert_array_equal(uqs, qs)
+        np.testing.assert_array_equal(uss, ss)
+        np.testing.assert_array_equal(fill, ok)
+        np.testing.assert_array_equal(trunc, tr.astype(bool))
+        np.testing.assert_array_equal(ug_q, f_q)
+        np.testing.assert_array_equal(ug_s, ss - l_ext)
+        np.testing.assert_array_equal(ug_len, f_len)
+        np.testing.assert_array_equal(ug_score, score)
+        assert int(n_ov) == 7 and int(n_raw) == 12345
+        # ctx must equal the device program's derivation
+        expect_ctx = np.clip(
+            np.searchsorted(ctx_off, qs, side="right") - 1, 0,
+            ctx_cap - 1,
+        )
+        np.testing.assert_array_equal(ctx, expect_ctx)
