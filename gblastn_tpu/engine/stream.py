@@ -176,14 +176,30 @@ def compute_right_runs_packed(
 
 # -------------------------------------------------------------- device packs
 @jax.jit
-def _pack_stream(qs, ss, ok, ctx, f_q, f_s, f_len, f_score, bits,
+def _pack_stream(qs, ss, ok, f_q, f_len, f_score, bits,
                  max_l, max_r, n_overflow, n_raw):
-    return jnp.stack([
-        qs, ss, ok.astype(jnp.int32), ctx,
-        f_q, f_s, f_len, f_score, bits.astype(jnp.int32),
-        max_l, max_r,
-        jnp.broadcast_to(n_overflow.astype(jnp.int32), qs.shape),
-        jnp.broadcast_to(n_raw.astype(jnp.int32), qs.shape),
+    """One flat int32[6 * cap + 2] device->host transfer per block
+    (the engine.seeding._pack_seeds trick: s-start needs no slot, ctx
+    is recomputed on host, small fields share a bitfield; max_l/max_r
+    stay whole rows -- the halo escalation needs them and they exceed
+    bitfield range).
+
+    The XLA block path extends UNCLAMPED within the buffer, so on long
+    queries the 12/13-bit fields can overflow; those lanes get the
+    always-escalate bit and the host recomputes them exactly (the same
+    path that handles halo-edge stops)."""
+    l_ext = qs - f_q
+    wide = (l_ext > 0xFFF) | (f_len > 0x1FFF)
+    d = (
+        ok.astype(jnp.int32)
+        | (((bits.astype(jnp.int32) | wide.astype(jnp.int32)) & 7) << 1)
+        | (jnp.clip(l_ext, 0, 0xFFF) << 4)
+        | (jnp.clip(f_len, 0, 0x1FFF) << 16)
+    )
+    return jnp.concatenate([
+        qs, ss, f_score, d, max_l, max_r,
+        jnp.stack([n_overflow.astype(jnp.int32),
+                   n_raw.astype(jnp.int32)]),
     ])
 
 
@@ -209,7 +225,10 @@ def _xla_block_packed(
         cmax=cmax, n_scan=n_scan, hit_cap=hit_cap, seed_cap=seed_cap,
         out_cap=out_cap, pos_base_static=pos_base_static,
     )
-    return _pack_stream(*outs)
+    (qs, ss, ok, _ctx, uq, _us, ulen, uscore, bound_bits,
+     max_l, max_r, n_overflow, n_raw) = outs
+    return _pack_stream(qs, ss, ok, uq, ulen, uscore, bound_bits,
+                        max_l, max_r, n_overflow, n_raw)
 
 
 # --------------------------------------------------------------- orchestrator
@@ -428,7 +447,7 @@ def run_seeding_streamed(
                     )
                 )
             return _pack_stream(
-                qs, ss, ok, ctx, f_q, f_s, f_len, f_score, f_tr,
+                qs, ss, ok, f_q, f_len, f_score, f_tr,
                 max_l, max_r, n_overflow, n_raw,
             )
         return _xla_block_packed(
@@ -447,8 +466,9 @@ def run_seeding_streamed(
     def collect(k, inputs, out_dev):
         nonlocal total_raw
         while True:
-            packed = np.asarray(out_dev)
-            n_overflow = int(packed[11, 0])
+            flat = np.asarray(out_dev)
+            cap = (len(flat) - 2) // 6
+            n_overflow = int(flat[6 * cap])
             if n_overflow == 0:
                 break
             caps[0] *= 2
@@ -459,24 +479,31 @@ def run_seeding_streamed(
                     "streamed seeding capacity overflow did not clear"
                 )
             out_dev = dispatch(inputs)
-        total_raw += int(packed[12, 0])
-        ok = packed[2].astype(bool)
-        sel = np.nonzero(ok)[0]
+        total_raw += int(flat[6 * cap + 1])
+        d = flat[3 * cap: 4 * cap]
+        sel = np.nonzero(d & 1)[0]
         if not len(sel):
             return
         g0 = plan.slices[k][0]
+        qs_s = flat[:cap][sel]
+        ss_s = flat[cap: 2 * cap][sel]
+        d_s = d[sel]
+        l_ext = (d_s >> 4) & 0xFFF
         per_block[k] = {
             "g0": g0,
-            "qs": packed[0, sel],
-            "ss": packed[1, sel],
-            "ctx": packed[3, sel],
-            "uq": packed[4, sel],
-            "us": packed[5, sel],
-            "ulen": packed[6, sel],
-            "uscore": packed[7, sel],
-            "bits": packed[8, sel],
-            "maxl": packed[9, sel],
-            "maxr": packed[10, sel],
+            "qs": qs_s,
+            "ss": ss_s,
+            "ctx": np.clip(
+                np.searchsorted(ctx_off_np, qs_s, side="right") - 1,
+                0, ctx_cap - 1,
+            ).astype(np.int32),
+            "uq": qs_s - l_ext,
+            "us": ss_s - l_ext,
+            "ulen": (d_s >> 16) & 0x1FFF,
+            "uscore": flat[2 * cap: 3 * cap][sel],
+            "bits": (d_s >> 1) & 7,
+            "maxl": flat[4 * cap: 5 * cap][sel],
+            "maxr": flat[5 * cap: 6 * cap][sel],
         }
 
     with slog.time("device.seeding.stream"):
