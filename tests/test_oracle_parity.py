@@ -287,3 +287,127 @@ class TestDustParity:
             queries, subjects, megablast_options(evalue=1e-5, dust=False),
             dict(task="megablast", evalue=1e-5, dust="no"), tmp_path,
         )
+
+
+class TestOptionSweepParity:
+    """Non-default option combinations: scoring pairs, word sizes,
+    X-drop overrides, hitlist caps, search-space overrides, subject
+    ambiguity. Each case runs the reference C core with the same knobs
+    (driver.c flag surface) and requires identical final HSPs."""
+
+    def _queries(self, rng, genome, n, ln, sub=0.03, ind=0.002):
+        out = []
+        for i in range(n):
+            start = int(rng.integers(0, len(genome) - ln - 100))
+            frag = mutate(rng, genome[start : start + ln],
+                          sub_rate=sub, indel_rate=ind)
+            if i % 2:
+                frag = revcomp(frag)
+            out.append((f"s{i}", frag))
+        return out
+
+    @pytest.mark.parametrize("word", [16, 20])
+    def test_megablast_word_sizes(self, genome, tmp_path, word):
+        rng = np.random.default_rng(word)
+        queries = self._queries(rng, genome, 5, 500)
+        assert_parity(
+            queries, [("chr1", genome)],
+            megablast_options(evalue=1e-5, word_size=word),
+            dict(task="megablast", evalue=1e-5, word_size=word),
+            tmp_path,
+        )
+
+    def test_blastn_scoring_1_1(self, genome, tmp_path):
+        rng = np.random.default_rng(41)
+        queries = self._queries(rng, genome, 5, 400, sub=0.06)
+        assert_parity(
+            queries, [("chr1", genome)],
+            blastn_options(evalue=1e-5, reward=1, penalty=-1,
+                           gap_open=3, gap_extend=2),
+            dict(task="blastn", evalue=1e-5, reward=1, penalty=-1,
+                 gapopen=3, gapextend=2),
+            tmp_path,
+        )
+
+    def test_blastn_scoring_4_5(self, genome, tmp_path):
+        rng = np.random.default_rng(42)
+        queries = self._queries(rng, genome, 5, 400, sub=0.06)
+        assert_parity(
+            queries, [("chr1", genome)],
+            blastn_options(evalue=1e-5, reward=4, penalty=-5,
+                           gap_open=4, gap_extend=5),
+            dict(task="blastn", evalue=1e-5, reward=4, penalty=-5,
+                 gapopen=4, gapextend=5),
+            tmp_path,
+        )
+
+    def test_xdrop_overrides(self, genome, tmp_path):
+        rng = np.random.default_rng(43)
+        queries = self._queries(rng, genome, 6, 600, sub=0.04,
+                                ind=0.004)
+        assert_parity(
+            queries, [("chr1", genome)],
+            megablast_options(evalue=1e-5, x_dropoff_ungapped=10.0,
+                              gap_x_dropoff=15.0,
+                              gap_x_dropoff_final=50.0),
+            dict(task="megablast", evalue=1e-5, xdrop_ungap=10,
+                 xdrop_gap=15, xdrop_gap_final=50),
+            tmp_path,
+        )
+
+    def test_hitlist_cap_one(self, genome, tmp_path):
+        rng = np.random.default_rng(44)
+        subjects = [
+            ("c1", genome[:15000]),
+            ("c2", genome[15000:32000]),
+            ("c3", genome[32000:]),
+        ]
+        queries = self._queries(rng, genome, 6, 350)
+        assert_parity(
+            queries, subjects,
+            megablast_options(evalue=1e-3, hitlist_size=1),
+            dict(task="megablast", evalue=1e-3, hitlist_size=1),
+            tmp_path,
+        )
+
+    def test_searchsp_override(self, genome, tmp_path):
+        rng = np.random.default_rng(45)
+        queries = self._queries(rng, genome, 4, 400)
+        assert_parity(
+            queries, [("chr1", genome)],
+            megablast_options(evalue=1e-5, searchsp_override=10**6),
+            dict(task="megablast", evalue=1e-5, searchsp=10**6),
+            tmp_path,
+        )
+
+    def test_subject_ns(self, genome, tmp_path):
+        # ambiguity runs in the SUBJECT: seeding skips them (invalid
+        # words), re-evaluation and traceback must score them as the
+        # reference does
+        rng = np.random.default_rng(46)
+        g = list(genome[:30000])
+        for start in (5200, 11033, 18777):
+            for k in range(int(rng.integers(2, 8))):
+                g[start + k] = "N"
+        g = "".join(g)
+        queries = [
+            ("nq1", genome[5000:5600]),      # spans an N run
+            ("nq2", genome[11000:11400]),
+            ("clean", genome[22000:22500]),
+        ]
+        assert_parity(
+            queries, [("chrN", g)],
+            megablast_options(evalue=1e-5),
+            dict(task="megablast", evalue=1e-5),
+            tmp_path,
+        )
+
+    def test_blastn_word7_loose_evalue(self, genome, tmp_path):
+        rng = np.random.default_rng(47)
+        queries = self._queries(rng, genome, 3, 250, sub=0.1)
+        assert_parity(
+            queries, [("chr1", genome[:20000])],
+            blastn_options(evalue=1.0, word_size=7),
+            dict(task="blastn", evalue=1.0, word_size=7),
+            tmp_path,
+        )
