@@ -381,13 +381,31 @@ def run_blastn(argv) -> int:
                 qlen = qb.lengths[qi]
                 if writer is not None:
                     hits = []
+                    want_seqs = writer.needs_sequences()
+                    subj_cache: dict[int, object] = {}
                     for lst in qres.hsplists:
                         sid = db.ids[lst.oid]
                         slen = int(db.lengths[lst.oid])
+                        subj = None
+                        if want_seqs:
+                            if lst.oid not in subj_cache:
+                                subj_cache[lst.oid] = (
+                                    db.get_sequence_blastna(lst.oid)
+                                )
+                            subj = subj_cache[lst.oid]
                         for h in lst.hsps:
-                            hits.append(
-                                hsp_to_tabular(h, qid, sid, qlen, slen)
-                            )
+                            q_ctx = None
+                            if want_seqs:
+                                c0 = int(ctx_off[h.context])
+                                q_ctx = qb.buffer[
+                                    c0: c0 + qb.contexts[h.context].length
+                                ]
+                            hits.append(hsp_to_tabular(
+                                h, qid, sid, qlen, slen,
+                                stitle=(sid + " " + db.titles[lst.oid]
+                                        ).strip(),
+                                q_ctx=q_ctx, subject=subj,
+                            ))
                     writer.write_query_results(qid, qtitle, hits)
                 elif pairwise is not None or anchored is not None:
                     def get_query(ctx):

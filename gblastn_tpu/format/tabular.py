@@ -47,6 +47,27 @@ FIELD_HEADER_NAMES = {
     "slen": "subject length",
     "sstrand": "subject strand",
     "frames": "query/sbjct frames",
+    # extended specifiers (tabular.cpp sFieldMap / blast_formatter -help)
+    "qgi": "query gi",
+    "qacc": "query acc.",
+    "qaccver": "query acc.ver",
+    "sallseqid": "all subject ids",
+    "sgi": "subject gi",
+    "sallgi": "all subject gis",
+    "sacc": "subject acc.",
+    "saccver": "subject acc.ver",
+    "sallacc": "all subject acc.",
+    "stitle": "subject title",
+    "salltitles": "all subject titles",
+    "qframe": "query frame",
+    "sframe": "sbjct frame",
+    "positive": "positives",
+    "ppos": "% positives",
+    "btop": "BTOP",
+    "qseq": "query seq",
+    "sseq": "subject seq",
+    "qcovs": "% query coverage per subject",
+    "qcovhsp": "% query coverage per hsp",
 }
 
 PROGRAM_VERSION = "GBLASTN-TPU 0.1.0"
@@ -120,6 +141,14 @@ class TabularHit:
     slen: int = 0
     sstrand: str = "plus"
     q_frame: int = 1
+    stitle: str = ""
+    qcovs: int = 0          # filled by fill_query_coverage
+    # lazy-field inputs: the HSP plus BLASTNA views of the HSP's query
+    # context and the whole subject (only set when the writer's field
+    # list requests btop/qseq/sseq)
+    hsp: HSP | None = None
+    q_ctx: object = None
+    subject: object = None
 
 
 def hsp_to_tabular(
@@ -128,6 +157,9 @@ def hsp_to_tabular(
     sseqid: str,
     query_length: int,
     subject_length: int,
+    stitle: str = "",
+    q_ctx=None,
+    subject=None,
 ) -> TabularHit:
     """Convert a finished HSP (context-local coords) to report values."""
     align_length, gaps, gap_opens = calc_length_and_gaps(hsp)
@@ -153,7 +185,98 @@ def hsp_to_tabular(
         evalue=hsp.evalue, bit_score=hsp.bit_score, score=hsp.score,
         qlen=query_length, slen=subject_length,
         sstrand=strand, q_frame=1 if hsp.q_frame >= 0 else -1,
+        stitle=stitle, hsp=hsp, q_ctx=q_ctx, subject=subject,
     )
+
+
+def fill_query_coverage(hits: list[TabularHit]) -> None:
+    """qcovs: percent of the query covered by the union of all HSPs
+    from the same subject (CAlignFormatUtil::GetWholeAlnCoverageParams
+    semantics, computed over merged plus-strand query ranges)."""
+    by_subject: dict[str, list[TabularHit]] = {}
+    for h in hits:
+        by_subject.setdefault(h.sseqid, []).append(h)
+    for group in by_subject.values():
+        ivs = sorted((h.qstart, h.qend) for h in group)
+        covered = 0
+        cur_a, cur_b = ivs[0]
+        for a, b in ivs[1:]:
+            if a > cur_b + 1:
+                covered += cur_b - cur_a + 1
+                cur_a, cur_b = a, b
+            else:
+                cur_b = max(cur_b, b)
+        covered += cur_b - cur_a + 1
+        qlen = group[0].qlen or 1
+        pct = int(covered * 100.0 / qlen + 0.5)
+        for h in group:
+            h.qcovs = pct
+
+
+_COMP = str.maketrans("ACGTRYSWKMBDHVN-", "TGCAYRSWMKVHDBN-")
+
+OP_DEL, OP_SUB, OP_INS = 0, 3, 6
+
+
+def _aligned_strings(hit: TabularHit) -> tuple[str, str]:
+    """Gapped alignment strings in NCBI report orientation (query
+    plus-strand; minus-strand hits reverse-complement both rows, the
+    convention of the denseg blastn emits: query plus / subject
+    minus)."""
+    from gblastn_tpu.io.encoding import blastna_to_seq
+
+    h = hit.hsp
+    if h is None or hit.q_ctx is None or hit.subject is None:
+        raise ValueError(
+            "btop/qseq/sseq need sequences at hsp_to_tabular time"
+        )
+    q = blastna_to_seq(hit.q_ctx[h.q_off: h.q_end])
+    s = blastna_to_seq(hit.subject[h.s_off: h.s_end])
+    script = h.edit_script
+    if script is None:
+        script = [(OP_SUB, max(len(q), len(s)))]
+    qrow = []
+    srow = []
+    qi = si = 0
+    for op, num in script:
+        if op == OP_SUB:
+            qrow.append(q[qi: qi + num])
+            srow.append(s[si: si + num])
+            qi += num
+            si += num
+        elif op == OP_DEL:        # consumes subject: gap in query
+            qrow.append("-" * num)
+            srow.append(s[si: si + num])
+            si += num
+        elif op == OP_INS:        # consumes query: gap in subject
+            qrow.append(q[qi: qi + num])
+            srow.append("-" * num)
+            qi += num
+    qstr = "".join(qrow)
+    sstr = "".join(srow)
+    if hit.q_frame < 0:
+        qstr = qstr[::-1].translate(_COMP)
+        sstr = sstr[::-1].translate(_COMP)
+    return qstr, sstr
+
+
+def _btop(qstr: str, sstr: str) -> str:
+    """Blast traceback operations (tabular.cpp x_ComputeBTOP): runs of
+    identities as counts, differences as query+subject letter pairs
+    (gap = '-')."""
+    out = []
+    run = 0
+    for qc, sc in zip(qstr, sstr):
+        if qc == sc and qc != "-":
+            run += 1
+            continue
+        if run:
+            out.append(str(run))
+            run = 0
+        out.append(qc + sc)
+    if run:
+        out.append(str(run))
+    return "".join(out) or "0"
 
 
 def format_field(hit: TabularHit, name: str) -> str:
@@ -197,6 +320,39 @@ def format_field(hit: TabularHit, name: str) -> str:
         return str(hit.slen)
     if name == "sstrand":
         return hit.sstrand
+    if name in ("qacc", "qaccver"):
+        return hit.qseqid
+    if name in ("sacc", "saccver", "sallseqid", "sallacc"):
+        return hit.sseqid
+    if name in ("qgi", "sgi", "sallgi"):
+        return "N/A"            # local ids carry no gi (tabular.cpp)
+    if name in ("stitle", "salltitles"):
+        return hit.stitle or "N/A"
+    if name == "qframe":
+        return "1"              # blastn reports minus on the subject
+    if name == "sframe":
+        return str(hit.q_frame)
+    if name == "frames":
+        return f"1/{hit.q_frame}"
+    if name == "positive":
+        return str(hit.num_ident)   # nucleotide: positives = identities
+    if name == "ppos":
+        p = (
+            hit.num_ident / hit.align_length * 100
+            if hit.align_length > 0 else 0.0
+        )
+        return f"{p:.2f}"
+    if name == "qcovs":
+        return str(hit.qcovs)
+    if name == "qcovhsp":
+        qspan = hit.qend - hit.qstart + 1
+        return str(int(qspan * 100.0 / (hit.qlen or 1) + 0.5))
+    if name == "qseq":
+        return _aligned_strings(hit)[0]
+    if name == "sseq":
+        return _aligned_strings(hit)[1]
+    if name == "btop":
+        return _btop(*_aligned_strings(hit))
     raise ValueError(f"unsupported tabular field {name!r}")
 
 
@@ -215,9 +371,16 @@ class TabularWriter:
     program: str = PROGRAM_VERSION
     delimiter: str = "\t"           # ',' for outfmt 10
 
+    def needs_sequences(self) -> bool:
+        """True when the field list includes alignment-string fields,
+        so the caller must pass q_ctx/subject to hsp_to_tabular."""
+        return bool({"btop", "qseq", "sseq"} & set(self.fields))
+
     def write_query_results(
         self, query_id: str, query_title: str, hits: list[TabularHit]
     ) -> None:
+        if hits and "qcovs" in self.fields:
+            fill_query_coverage(hits)
         if self.commented:
             self.out.write(f"# {self.program}\n")
             title = query_title or query_id

@@ -107,3 +107,82 @@ def test_dustmasker(setup, tmp_path, capsys):
     a, _, b = out.splitlines()[1].partition(" - ")
     # the AT-repeat run (300..379) must be inside the masked interval
     assert int(a) <= 300 and int(b) >= 370
+
+
+def test_outfmt6_extended_fields(setup, tmp_path):
+    # a minus-strand query with a planted 3-base deletion exercises
+    # btop/qseq/sseq orientation and the gap convention
+    genome_line = (setup / "db.fa").read_text().splitlines()
+    genome = "".join(genome_line[1:])
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    frag = genome[8000:8400]
+    frag = frag[:200] + frag[203:]            # deletion vs subject
+    rc = "".join(comp[c] for c in reversed(frag))
+    q = tmp_path / "ext_q.fa"
+    q.write_text(f">m1\n{rc}\n")
+    out = tmp_path / "ext.tsv"
+    rcde = main([
+        "blastn", "-query", str(q), "-db", str(setup / "db"),
+        "-out", str(out),
+        "-outfmt", "6 qseqid sacc stitle sstrand frames positive ppos "
+                   "qcovs qcovhsp btop qseq sseq",
+    ])
+    assert rcde == 0
+    f = out.read_text().strip().split("\t")
+    (qseqid, sacc, stitle, sstrand, frames, positive, ppos,
+     qcovs, qcovhsp, btop, qseq, sseq) = f
+    assert qseqid == "m1" and sacc == "chr1"
+    assert stitle == "chr1 test chromosome"
+    assert sstrand == "minus" and frames == "1/-1"
+    assert positive == "397" and ppos == "99.25"
+    assert qcovs == "100" and qcovhsp == "100"
+    # alignment strings: query row has the 3-base gap, subject row none
+    assert len(qseq) == len(sseq) == 400
+    assert qseq.count("-") == 3 and sseq.count("-") == 0
+    # NCBI orientation: rows align the query in ITS OWN plus strand
+    # (the FASTA sequence as given), so the subject row is the reverse
+    # complement of the genome segment
+    assert qseq.replace("-", "") == rc
+    assert sseq == "".join(comp[c] for c in reversed(genome[8000:8400]))
+    # btop must encode exactly the returned rows: 397 identities in
+    # runs plus the three query-gap pairs, in row order
+    expect = []
+    run = 0
+    for qc, sc in zip(qseq, sseq):
+        if qc == sc:
+            run += 1
+            continue
+        if run:
+            expect.append(str(run))
+            run = 0
+        expect.append(qc + sc)
+    if run:
+        expect.append(str(run))
+    assert btop == "".join(expect)
+    assert btop.count("-") == 3
+    assert sum(int(x) for x in
+               __import__("re").findall(r"\d+", btop)) == 397
+
+
+def test_outfmt7_extended_header_and_qcovs_merge(setup, tmp_path):
+    genome_line = (setup / "db.fa").read_text().splitlines()
+    genome = "".join(genome_line[1:])
+    # two disjoint HSPs from the same subject: qcovs merges both spans
+    q = tmp_path / "two.fa"
+    q.write_text(">t1\n" + genome[1000:1200] +
+                 "TTTTACCGGTTAACCGGAATT" * 5 + genome[4000:4200] + "\n")
+    out = tmp_path / "two.tsv"
+    assert main([
+        "blastn", "-query", str(q), "-db", str(setup / "db"),
+        "-out", str(out), "-task", "blastn",
+        "-outfmt", "7 qseqid qstart qend qcovs qcovhsp",
+    ]) == 0
+    text = out.read_text()
+    assert "# Fields: query id, q. start, q. end, % query coverage " \
+           "per subject, % query coverage per hsp" in text
+    rows = [l.split("\t") for l in text.splitlines()
+            if l and not l.startswith("#")]
+    assert len(rows) >= 2
+    qcovs = {r[3] for r in rows}
+    assert len(qcovs) == 1          # same subject -> same merged value
+    assert all(int(r[4]) <= int(r[3]) for r in rows)
