@@ -116,6 +116,7 @@ def _build_native(buf, locations, word_size, w, table_size):
     offsets = np.zeros(table_size + 1, dtype=np.int32)
     pos_cap = max(len(buf), 1)
     positions = np.empty(pos_cap, dtype=np.int32)
+    pos_words_buf = np.empty(pos_cap, dtype=np.int32)
     out = np.zeros(2, dtype=np.int64)
     bufc = np.ascontiguousarray(buf)
     r = lib.gblastn_lut_build(
@@ -123,16 +124,14 @@ def _build_native(buf, locations, word_size, w, table_size):
         locs.ctypes.data_as(ctypes.c_void_p), len(locations),
         word_size, w,
         offsets.ctypes.data_as(ctypes.c_void_p),
-        positions.ctypes.data_as(ctypes.c_void_p), pos_cap,
+        positions.ctypes.data_as(ctypes.c_void_p),
+        pos_words_buf.ctypes.data_as(ctypes.c_void_p), pos_cap,
         out.ctypes.data_as(ctypes.c_void_p),
     )
     if r != 0:
         return None
     n = int(out[0])
-    pos_words = (
-        np.searchsorted(offsets, np.arange(n, dtype=np.int64),
-                        side="right") - 1
-    ).astype(np.int32)
+    pos_words = pos_words_buf[:n].copy()
     return LookupTable(
         word_size=word_size,
         lut_word_size=w,

@@ -128,6 +128,7 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_int64,      # locs pairs, n_locs
         ctypes.c_int64, ctypes.c_int64,       # word_size, w
         ctypes.c_void_p, ctypes.c_void_p,     # offsets, positions
+        ctypes.c_void_p,                      # pos_words
         ctypes.c_int64,                       # pos_cap
         ctypes.c_void_p,                      # out int64[2]
     ]
