@@ -204,6 +204,99 @@ def device_gapped_rejects(
     return reject
 
 
+def _walk_native(
+    qblock: QueryBlock,
+    subject2: np.ndarray,
+    subject_start: int,
+    init_order: np.ndarray,
+    init: InitHits,
+    params: SearchParams,
+    reject: np.ndarray | None,
+) -> list[HSP] | None:
+    """native/prelim.cpp fast path for the per-subject walk; None = use
+    the Python loop (identical semantics, asserted by tests)."""
+    from gblastn_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    opts = params.options
+    order = np.asarray(init_order, np.int64)
+    n = len(order)
+    if n == 0:
+        return []
+    ctx = np.ascontiguousarray(np.asarray(init.context)[order], np.int32)
+    uq = np.ascontiguousarray(np.asarray(init.q_start)[order], np.int64)
+    us = np.ascontiguousarray(
+        np.asarray(init.s_start)[order].astype(np.int64) - subject_start
+    )
+    ln = np.ascontiguousarray(np.asarray(init.length)[order], np.int64)
+    sc = np.ascontiguousarray(np.asarray(init.score)[order], np.int64)
+    qo = np.ascontiguousarray(np.asarray(init.q_off)[order], np.int64)
+    so = np.ascontiguousarray(
+        np.asarray(init.s_off)[order].astype(np.int64) - subject_start
+    )
+    rej_ptr = 0
+    if reject is not None:
+        rej = np.ascontiguousarray(
+            np.asarray(reject)[order].astype(np.uint8)
+        )
+        rej_ptr = rej.ctypes.data
+    ctx_off = np.ascontiguousarray(
+        qblock.context_offsets()[:-1], np.int64
+    )
+    ctx_len = np.ascontiguousarray(
+        [c.length for c in qblock.contexts], np.int64
+    )
+    cutoff = np.ascontiguousarray(
+        [c.cutoff_score for c in params.contexts], np.int64
+    )
+    greedy = opts.extension_method is ExtensionMethod.GREEDY
+    mat_ptr = 0
+    if not greedy:
+        mat = np.ascontiguousarray(
+            nucl_score_matrix(opts.reward, opts.penalty), np.int32
+        )
+        mat_ptr = mat.ctypes.data
+    sub = np.ascontiguousarray(subject2, np.uint8)
+    qbuf = np.ascontiguousarray(qblock.buffer, np.uint8)
+    o_qo = np.empty(n, np.int64)
+    o_qe = np.empty(n, np.int64)
+    o_so = np.empty(n, np.int64)
+    o_se = np.empty(n, np.int64)
+    o_sc = np.empty(n, np.int64)
+    o_cx = np.empty(n, np.int32)
+    o_qg = np.empty(n, np.int64)
+    o_sg = np.empty(n, np.int64)
+    n_ext = np.zeros(1, np.int64)
+    k = lib.gblastn_gapped_prelim_walk(
+        qbuf.ctypes.data, len(qbuf), sub.ctypes.data, len(sub),
+        n, ctx.ctypes.data, uq.ctypes.data, us.ctypes.data,
+        ln.ctypes.data, sc.ctypes.data, qo.ctypes.data, so.ctypes.data,
+        rej_ptr, ctx_off.ctypes.data, ctx_len.ctypes.data,
+        cutoff.ctypes.data, 0 if greedy else 1,
+        opts.reward, opts.penalty, opts.gap_open, opts.gap_extend,
+        params.gap_x_dropoff, opts.min_diag_separation, mat_ptr,
+        o_qo.ctypes.data, o_qe.ctypes.data, o_so.ctypes.data,
+        o_se.ctypes.data, o_sc.ctypes.data, o_cx.ctypes.data,
+        o_qg.ctypes.data, o_sg.ctypes.data, n_ext.ctypes.data,
+    )
+    if k < 0:
+        return None
+    slog.diagnostics.gapped_extensions += int(n_ext[0])
+    saved: list[HSP] = []
+    for j in range(int(k)):
+        c = int(o_cx[j])
+        saved.append(HSP(
+            q_off=int(o_qo[j]), q_end=int(o_qe[j]),
+            s_off=int(o_so[j]), s_end=int(o_se[j]),
+            score=int(o_sc[j]), context=c,
+            q_frame=qblock.contexts[c].frame, s_frame=1,
+            q_gapped_start=int(o_qg[j]), s_gapped_start=int(o_sg[j]),
+        ))
+    return saved
+
+
 def get_gapped_score_one_subject(
     qblock: QueryBlock,
     subject2: np.ndarray,          # uint8[s_len] 2-bit codes of one subject
@@ -212,10 +305,18 @@ def get_gapped_score_one_subject(
     init: InitHits,
     params: SearchParams,
     reject: np.ndarray | None = None,   # device filter verdicts (global)
+    use_native: bool | None = None,
 ) -> list[HSP]:
     """BLAST_GetGappedScore (blast_gapalign.c:3233), greedy and DP
     branches."""
     opts = params.options
+    if use_native is not False:
+        res = _walk_native(
+            qblock, subject2, subject_start, init_order, init, params,
+            reject,
+        )
+        if res is not None:
+            return res
     saved: list[HSP] = []
     index = ContainmentIndex(
         opts.min_diag_separation, q_span=len(qblock.buffer) + 1

@@ -67,16 +67,16 @@ def semi_gapped_align_native(
         op_types = np.zeros(max_ops, dtype=np.int32)
         op_nums = np.zeros(max_ops, dtype=np.int32)
         rc = lib.gblastn_semi_gapped_align(
-            a.ctypes.data_as(ctypes.c_void_p), len(a),
-            b.ctypes.data_as(ctypes.c_void_p), len(b),
+            a.ctypes.data, len(a),
+            b.ctypes.data, len(b),
             int(M), int(N),
-            m.ctypes.data_as(ctypes.c_void_p),
+            m.ctypes.data,
             int(gap_open), int(gap_extend), int(x_dropoff),
             int(reverse_sequence), int(score_only),
-            op_types.ctypes.data_as(ctypes.c_void_p),
-            op_nums.ctypes.data_as(ctypes.c_void_p),
+            op_types.ctypes.data,
+            op_nums.ctypes.data,
             max_ops,
-            out.ctypes.data_as(ctypes.c_void_p),
+            out.ctypes.data,
         )
         if rc == 0:
             break

@@ -59,11 +59,16 @@ class QueryBlock:
         """int32[n_ctx+1]: start offset per context, then len(buffer).
 
         The buffer ends with a trailing sentinel, so entry c+1 is always
-        one past context c's trailing sentinel.
+        one past context c's trailing sentinel. Cached: called per
+        HSPList in the traceback stage.
         """
-        out = [c.offset for c in self.contexts]
-        out.append(len(self.buffer))
-        return np.array(out, dtype=np.int32)
+        cached = self.__dict__.get("_ctx_off_cache")
+        if cached is None or len(cached) != len(self.contexts) + 1:
+            out = [c.offset for c in self.contexts]
+            out.append(len(self.buffer))
+            cached = np.array(out, dtype=np.int32)
+            self.__dict__["_ctx_off_cache"] = cached
+        return cached
 
 
 def build_query_block(

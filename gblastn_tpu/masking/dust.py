@@ -223,17 +223,17 @@ def dust_mask(
             cap = max(len(s) // 2 + 16, 64)
             out = np.empty(2 * cap, dtype=np.int64)
             m = lib.gblastn_dust_mask(
-                s.ctypes.data_as(ctypes.c_void_p), len(s),
+                s.ctypes.data, len(s),
                 level, window, linker,
-                out.ctypes.data_as(ctypes.c_void_p), cap,
+                out.ctypes.data, cap,
             )
             if m > cap:  # can't happen (intervals merge), but be safe
                 cap = int(m)
                 out = np.empty(2 * cap, dtype=np.int64)
                 m = lib.gblastn_dust_mask(
-                    s.ctypes.data_as(ctypes.c_void_p), len(s),
+                    s.ctypes.data, len(s),
                     level, window, linker,
-                    out.ctypes.data_as(ctypes.c_void_p), cap,
+                    out.ctypes.data, cap,
                 )
             return [
                 (int(out[2 * i]), int(out[2 * i + 1])) for i in range(m)
@@ -297,18 +297,17 @@ def query_dust_masks(
     context. Returns one list of inclusive (from, to) buffer ranges per
     context, suitable for lut.builder.unmasked_locations.
     """
+    # plus-strand context per query, one pass (not a scan per context)
+    plus_ctx: dict[int, object] = {}
+    for c in qblock.contexts:
+        if c.frame >= 0 and c.query_index not in plus_ctx:
+            plus_ctx[c.query_index] = c
     per_query: dict[int, list[tuple[int, int]]] = {}
     masks: list[list[tuple[int, int]]] = []
     for ctx in qblock.contexts:
         qi = ctx.query_index
         if qi not in per_query:
-            # find the plus context's slice for this query
-            plus = next(
-                c for c in qblock.contexts
-                if c.query_index == qi and c.frame >= 0
-            ) if any(
-                c.query_index == qi and c.frame >= 0 for c in qblock.contexts
-            ) else ctx
+            plus = plus_ctx.get(qi, ctx)
             seq = qblock.buffer[plus.offset: plus.offset + plus.length]
             if plus.frame < 0:
                 seq = seq[::-1]  # minus-only search: recover plus order

@@ -132,6 +132,30 @@ def get_lib():
         ctypes.c_int64,                       # pos_cap
         ctypes.c_void_p,                      # out int64[2]
     ]
+    lib.gblastn_gapped_prelim_walk.restype = ctypes.c_int64
+    lib.gblastn_gapped_prelim_walk.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,      # qbuf, len
+        ctypes.c_void_p, ctypes.c_int64,      # subject2, len
+        ctypes.c_int64,                       # n candidates
+        ctypes.c_void_p,                      # ctx int32
+        ctypes.c_void_p, ctypes.c_void_p,     # uq_start, us_start
+        ctypes.c_void_p, ctypes.c_void_p,     # length, score
+        ctypes.c_void_p, ctypes.c_void_p,     # q_off, s_off
+        ctypes.c_void_p,                      # reject uint8 or NULL
+        ctypes.c_void_p, ctypes.c_void_p,     # ctx_offsets, ctx_len
+        ctypes.c_void_p,                      # cutoff
+        ctypes.c_int,                         # method 0 greedy / 1 DP
+        ctypes.c_int64, ctypes.c_int64,       # reward, penalty
+        ctypes.c_int64, ctypes.c_int64,       # gap_open, gap_extend
+        ctypes.c_int64,                       # gap_x_dropoff
+        ctypes.c_int64,                       # min_diag_separation
+        ctypes.c_void_p,                      # matrix 16x16 or NULL
+        ctypes.c_void_p, ctypes.c_void_p,     # o_q_off, o_q_end
+        ctypes.c_void_p, ctypes.c_void_p,     # o_s_off, o_s_end
+        ctypes.c_void_p, ctypes.c_void_p,     # o_score, o_ctx
+        ctypes.c_void_p, ctypes.c_void_p,     # o_qg, o_sg
+        ctypes.c_void_p,                      # out_n_ext int64[1]
+    ]
     lib.gblastn_diag_filter.restype = ctypes.c_int64
     lib.gblastn_diag_filter.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # q,s,oid

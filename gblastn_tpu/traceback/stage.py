@@ -208,14 +208,14 @@ def reevaluate_with_ambiguities_gapped(
             sa = np.ascontiguousarray(s, np.uint8)
             out = np.zeros(8, np.int64)
             r = lib.gblastn_reevaluate_gapped(
-                qa.ctypes.data_as(ctypes.c_void_p), len(qa),
-                sa.ctypes.data_as(ctypes.c_void_p), len(sa),
-                m256.ctypes.data_as(ctypes.c_void_p),
+                qa.ctypes.data, len(qa),
+                sa.ctypes.data, len(sa),
+                m256.ctypes.data,
                 hsp.q_off, hsp.s_off, cutoff_score,
                 reward, penalty, gap_open, gap_extend,
-                ops.ctypes.data_as(ctypes.c_void_p),
-                nums.ctypes.data_as(ctypes.c_void_p), n,
-                out.ctypes.data_as(ctypes.c_void_p),
+                ops.ctypes.data,
+                nums.ctypes.data, n,
+                out.ctypes.data,
             )
             hsp.score = int(out[0])
             if r < 0:

@@ -199,3 +199,123 @@ class TestDiagFilterNativeParity:
             b = two_hit_diag_filter(q, s, o, 11, 40, us, ul, sc, cu, rr,
                                     use_native=False)
             assert np.array_equal(a, b), trial
+
+
+class TestNativePrelimWalk:
+    """native/prelim.cpp per-subject walk vs the Python loop in
+    engine/gapped.py (identical saved HSPs, any option set)."""
+
+    def _workload(self, rng, options, n_queries=6, qlen=300, glen=5000):
+        from gblastn_tpu.engine.seeding import InitHits
+        from gblastn_tpu.io.fasta import FastaRecord
+        from gblastn_tpu.io.query import build_query_block
+        from gblastn_tpu.params.derived import derive_params
+
+        genome2 = rng.integers(0, 4, glen).astype(np.uint8)
+        letters = "ACGT"
+        records, seg_starts = [], []
+        for i in range(n_queries):
+            start = int(rng.integers(0, glen - qlen))
+            seg = genome2[start: start + qlen].copy()
+            mut = rng.random(qlen) < 0.03
+            seg[mut] = rng.integers(0, 4, mut.sum())
+            records.append(FastaRecord(
+                f"q{i}", "", "".join(letters[c] for c in seg)
+            ))
+            seg_starts.append(start)
+        qblock = build_query_block(records)
+        params = derive_params(
+            options, [c.length for c in qblock.contexts], glen, 1
+        )
+
+        ctxs, uqs, uss, lens, scores, qoffs, soffs = (
+            [], [], [], [], [], [], []
+        )
+        for i in range(n_queries):
+            for _ in range(30):
+                ctx_id = 2 * i + int(rng.random() < 0.3)
+                ctx = qblock.contexts[ctx_id]
+                ln = int(rng.integers(12, 29))
+                k = int(rng.integers(0, ctx.length - ln))
+                s_start = seg_starts[i] + k
+                if ctx_id % 2 == 1 or s_start + ln > glen:
+                    s_start = int(rng.integers(0, glen - ln))
+                ctxs.append(ctx_id)
+                uqs.append(ctx.offset + k)
+                uss.append(s_start)
+                lens.append(ln)
+                scores.append(
+                    options.reward * ln - int(rng.integers(0, 5))
+                )
+                half = int(rng.integers(0, ln))
+                qoffs.append(ctx.offset + k + half)
+                soffs.append(s_start + half)
+        init = InitHits(
+            q_off=np.array(qoffs), s_off=np.array(soffs),
+            q_start=np.array(uqs), s_start=np.array(uss),
+            length=np.array(lens), score=np.array(scores),
+            context=np.array(ctxs), oid=np.zeros(len(ctxs), np.int32),
+        )
+        order = np.argsort(-init.score, kind="stable")
+        return qblock, genome2, init, order, params
+
+    @pytest.mark.parametrize("task", ["megablast", "blastn"])
+    @pytest.mark.parametrize("with_reject", [False, True])
+    def test_walk_fuzz(self, task, with_reject):
+        from gblastn_tpu.engine.gapped import get_gapped_score_one_subject
+        from gblastn_tpu.params.options import (
+            blastn_options,
+            megablast_options,
+        )
+
+        rng = np.random.default_rng(91 if task == "megablast" else 92)
+        options = (
+            megablast_options() if task == "megablast"
+            else blastn_options()
+        )
+        for trial in range(6):
+            qblock, genome2, init, order, params = self._workload(
+                rng, options
+            )
+            reject = None
+            if with_reject:
+                reject = rng.random(len(init)) < 0.25
+            py = get_gapped_score_one_subject(
+                qblock, genome2, 0, order, init, params, reject,
+                use_native=False,
+            )
+            nat = get_gapped_score_one_subject(
+                qblock, genome2, 0, order, init, params, reject,
+                use_native=True,
+            )
+            assert len(py) == len(nat), (trial, len(py), len(nat))
+            for a, b in zip(py, nat):
+                assert (
+                    a.q_off, a.q_end, a.s_off, a.s_end, a.score,
+                    a.context, a.q_frame, a.q_gapped_start,
+                    a.s_gapped_start,
+                ) == (
+                    b.q_off, b.q_end, b.s_off, b.s_end, b.score,
+                    b.context, b.q_frame, b.q_gapped_start,
+                    b.s_gapped_start,
+                ), trial
+
+    def test_walk_empty(self):
+        from gblastn_tpu.engine.gapped import _walk_native
+        from gblastn_tpu.engine.seeding import InitHits
+        from gblastn_tpu.io.fasta import FastaRecord
+        from gblastn_tpu.io.query import build_query_block
+        from gblastn_tpu.params.derived import derive_params
+        from gblastn_tpu.params.options import megablast_options
+
+        qblock = build_query_block([FastaRecord("q", "", "ACGT" * 50)])
+        opts = megablast_options()
+        params = derive_params(
+            opts, [c.length for c in qblock.contexts], 1000, 1
+        )
+        z = np.zeros(0, np.int64)
+        init = InitHits(z, z, z, z, z, z, z.astype(np.int32), z)
+        out = _walk_native(
+            qblock, np.zeros(1000, np.uint8), 0, z, init, params, None
+        )
+        assert out == []
