@@ -644,15 +644,21 @@ def run_seeding(
         return InitHits(z, z, z, z, z, z, z, z)
     right_run = None
     if window_size > 0:
-        if dev.host_query is None or dev.host_subject2 is None:
-            raise ValueError(
-                "window_size > 0 needs host_query/host_subject2/"
-                "host_valid on SeedingDeviceData"
+        if lut_word >= word_size:
+            # word_length == lut_word_length: s_TypeOfWord returns
+            # "single word, extended = 0" without any probe
+            # (na_ungapped.c:512), so the double-word test never fires
+            right_run = np.zeros(len(sel), np.int32)
+        else:
+            if dev.host_query is None or dev.host_subject2 is None:
+                raise ValueError(
+                    "window_size > 0 needs host_query/host_subject2/"
+                    "host_valid on SeedingDeviceData"
+                )
+            right_run = compute_right_runs(
+                dev.host_query, dev.host_subject2, dev.host_valid,
+                qs[sel], ss[sel], word_size,
             )
-        right_run = compute_right_runs(
-            dev.host_query, dev.host_subject2, dev.host_valid,
-            qs[sel], ss[sel], word_size,
-        )
     return _finish_init_hits(
         qs[sel], ss[sel], np.clip(ctx[sel], 0, n_ctx - 1),
         ug_q[sel], ug_s[sel], ug_len[sel], ug_score[sel],
@@ -770,12 +776,16 @@ def run_seeding_sharded(
         return InitHits(z, z, z, z, z, z, z, z)
     right_run = None
     if window_size > 0:
-        right_run = compute_right_runs(
-            np.asarray(query_buffer), np.asarray(subject2),
-            np.asarray(subject_valid),
-            q_off.astype(np.int64), s_off.astype(np.int64),
-            word_size,
-        )
+        if lut.lut_word_size >= word_size:
+            # na_ungapped.c:512 fast return (see run_seeding)
+            right_run = np.zeros(len(q_off), np.int32)
+        else:
+            right_run = compute_right_runs(
+                np.asarray(query_buffer), np.asarray(subject2),
+                np.asarray(subject_valid),
+                q_off.astype(np.int64), s_off.astype(np.int64),
+                word_size,
+            )
     return _finish_init_hits(
         q_off, s_off, np.clip(ctx, 0, n_ctx - 1),
         ug_q, ug_s, ug_len, ug_score,

@@ -579,9 +579,13 @@ def run_seeding_streamed(
 
     right_run = None
     if window_size > 0:
-        right_run = compute_right_runs_packed(
-            query_host, db.packed, sub_end, qs, ss_g, word_size,
-        )
+        if lut_word >= word_size:
+            # na_ungapped.c:512 fast return (see engine.seeding)
+            right_run = np.zeros(len(qs), np.int32)
+        else:
+            right_run = compute_right_runs_packed(
+                query_host, db.packed, sub_end, qs, ss_g, word_size,
+            )
     return _finish_init_hits(
         qs.astype(np.int64), ss_g, np.clip(ctx, 0, n_ctx - 1),
         uq, us_g, ulen, uscore,

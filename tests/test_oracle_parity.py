@@ -224,6 +224,29 @@ class TestTwoHitParity:
         )
 
 
+    def test_blastn_window_size_lut_width11(self, genome, tmp_path):
+        # enough query bases (>12000 table entries) that the engine
+        # picks LUT width 11 == word_size: s_TypeOfWord short-circuits
+        # to "single word, extended=0" (na_ungapped.c:512) and the
+        # double-word probe must NOT fire (regression: right_run was
+        # fed to the two-hit replay regardless of width)
+        rng = np.random.default_rng(23)
+        queries = []
+        for i in range(20):
+            start = int(rng.integers(0, len(genome) - 900))
+            frag = mutate(rng, genome[start : start + 600], sub_rate=0.04)
+            queries.append((f"lw{i}", frag))
+        subjects = [("chr1", genome)]
+        from gblastn_tpu.lut.builder import choose_lut_width
+        assert choose_lut_width(11, 2 * sum(
+            len(s) for _, s in queries)) == 11
+        assert_parity(
+            queries, subjects,
+            blastn_options(evalue=1e-5, window_size=40),
+            dict(task="blastn", evalue=1e-5, window_size=40), tmp_path,
+        )
+
+
 class TestAmbiguityParity:
     def test_sparse_ns_in_query(self, genome, tmp_path):
         # Ns sparse enough that seeding is unaffected; the final HSPs
