@@ -55,7 +55,13 @@ def _add_blastn_args(p: argparse.ArgumentParser) -> None:
                    help="mask lowercase query letters")
     p.add_argument("-out", default="-", help="output file (default stdout)")
     p.add_argument("-task", default="megablast",
-                   choices=["megablast", "blastn"])
+                   choices=["megablast", "blastn", "dc-megablast"])
+    p.add_argument("-template_type", default=None,
+                   choices=["coding", "optimal", "coding_and_optimal"],
+                   help="discontiguous template type (dc-megablast)")
+    p.add_argument("-template_length", type=int, default=None,
+                   choices=[16, 18, 21],
+                   help="discontiguous template length (dc-megablast)")
     p.add_argument("-evalue", type=float, default=10.0)
     p.add_argument("-word_size", type=int, default=0)
     p.add_argument("-window_size", type=int, default=None,
@@ -172,6 +178,17 @@ def _build_options(args):
         overrides["use_index"] = True
         if args.index_name:
             overrides["index_name"] = args.index_name
+    if args.template_type is not None:
+        overrides["template_type"] = args.template_type
+    if args.template_length is not None:
+        overrides["template_length"] = args.template_length
+    if (args.task != "dc-megablast"
+            and (args.template_type is not None
+                 or args.template_length is not None)):
+        raise SystemExit(
+            "BLAST options error: -template_type/-template_length "
+            "require -task dc-megablast"
+        )
     return options_for_task(args.task, **overrides)
 
 

@@ -50,6 +50,33 @@ def device_matrix16(reward: int, penalty: int) -> np.ndarray:
     return np.clip(m, NEG_CLIP, None).astype(np.int32)
 
 
+def _second_template_dev(dev, lut2):
+    """SeedingDeviceData sharing the subject/query device arrays but
+    carrying the second disc template's CSR table."""
+    import dataclasses as _dc
+
+    positions = (
+        lut2.positions if len(lut2.positions) else np.zeros(1, np.int32)
+    )
+    pcap = 1024
+    while pcap < len(positions):
+        pcap *= 2
+    pos_padded = np.zeros(pcap, dtype=np.int32)
+    pos_padded[: len(positions)] = positions
+    if (jax.default_backend() != "cpu"
+            and lut2.position_words is not None):
+        from gblastn_tpu.engine.seeding import offsets_on_device
+
+        pw = np.full(pcap, lut2.table_size, dtype=np.int32)
+        pw[: len(lut2.positions)] = lut2.position_words
+        offs = offsets_on_device(jnp.asarray(pw), lut2.table_size)
+    else:
+        offs = jnp.asarray(lut2.counts_offsets)
+    return _dc.replace(
+        dev, lut_offsets=offs, lut_positions=jnp.asarray(pos_padded)
+    )
+
+
 def _build_gapped_filter(qblock, params, db, device_arrays=None):
     """Device banded-DP gapped pre-filter context, or None when off.
 
@@ -274,13 +301,36 @@ def prelim_search(
     # (the seed set is bit-identical to a scan at that width; see
     # lut/dbindex.py). Unusable index -> warn once and scan normally.
     db_index = _resolve_db_index(db, options)
-
-    with slog.time("setup.lookup_table"):
-        lut = build_lookup_table(
-            qblock.buffer, locations, options.word_size,
-            db_index.lut_word if db_index is not None
-            else options.lut_word_size
+    if db_index is not None and options.template_length:
+        _warn_once(
+            db, "idx-disc",
+            "-use_index does not apply to discontiguous megablast; "
+            "scanning instead",
         )
+        db_index = None
+
+    lut2 = None   # second-template table (coding_and_optimal)
+    with slog.time("setup.lookup_table"):
+        if options.template_length:
+            from gblastn_tpu.lut.builder import build_disc_lookup_table
+
+            lut = build_disc_lookup_table(
+                qblock.buffer, locations, options.word_size,
+                options.template_length,
+                "coding" if options.template_type == "coding_and_optimal"
+                else options.template_type,
+            )
+            if options.template_type == "coding_and_optimal":
+                lut2 = build_disc_lookup_table(
+                    qblock.buffer, locations, options.word_size,
+                    options.template_length, "optimal",
+                )
+        else:
+            lut = build_lookup_table(
+                qblock.buffer, locations, options.word_size,
+                db_index.lut_word if db_index is not None
+                else options.lut_word_size
+            )
 
     n_ctx = len(qblock.contexts)
     word_cutoffs = np.array(
@@ -361,6 +411,15 @@ def prelim_search(
         and stream_env != "0"
         and (stream_env == "1" or db.padded_length > stream_threshold)
     )
+    if options.template_length and (use_stream or n_shards > 1):
+        # discontiguous megablast runs on the device-resident path
+        _warn_once(
+            db, "disc-path",
+            "discontiguous megablast uses the device-resident scan; "
+            "streamed/sharded paths are disabled for this search",
+        )
+        use_stream = False
+        n_shards = 1
     # database-side masking (-db_soft_mask / -db_hard_mask): masked
     # subject ranges are excluded from scanning; hard masking also
     # renders them as N on the host re-evaluation path (masksubj.inl
@@ -526,22 +585,39 @@ def prelim_search(
             dev.host_query = qbuf_padded
             dev.host_subject2, dev.host_valid = host_sub
 
+        seed_kw = dict(
+            word_size=lut.word_size,
+            lut_word=lut.lut_word_size,
+            scan_step=lut.scan_step,
+            subject_starts=db.starts,
+            subject_lengths=db.lengths,
+            context_offsets=ctx_offsets,
+            word_cutoffs=word_cutoffs,
+            x_dropoffs=x_dropoffs,
+            cmax=cmax,
+            window_size=options.window_size,
+            mask_starts=mask_starts,
+            mask_ends=mask_ends,
+        )
         with slog.time("device.seeding"):
-            init = run_seeding(
-                dev,
-                word_size=lut.word_size,
-                lut_word=lut.lut_word_size,
-                scan_step=lut.scan_step,
-                subject_starts=db.starts,
-                subject_lengths=db.lengths,
-                context_offsets=ctx_offsets,
-                word_cutoffs=word_cutoffs,
-                x_dropoffs=x_dropoffs,
-                cmax=cmax,
-                window_size=options.window_size,
-                mask_starts=mask_starts,
-                mask_ends=mask_ends,
-            )
+            if lut2 is not None:
+                from gblastn_tpu.engine.seeding import (
+                    run_seeding_two_templates,
+                )
+
+                dev2 = _second_template_dev(dev, lut2)
+                cmax2 = 4
+                while cmax2 < max(lut2.max_positions_per_word, 1):
+                    cmax2 *= 2
+                seed_kw["cmax"] = max(cmax, cmax2)
+                init = run_seeding_two_templates(
+                    dev, dev2, lut.disc_offsets, lut2.disc_offsets,
+                    **seed_kw,
+                )
+            else:
+                init = run_seeding(
+                    dev, disc_offsets=lut.disc_offsets, **seed_kw,
+                )
         device_gapped = _build_gapped_filter(
             qblock, params, db, device_arrays=dev.subject2
         )

@@ -410,7 +410,7 @@ def _seeding_tpu_fused(
     subject_p, table64,
     *, scan_step, lut_word, word_size, cmax, n_scan, hit_cap, seed_cap,
     mask_starts=None, mask_ends=None, query_nib=None, subject_w=None,
-    alive_cap=0, q_allowed=None,
+    alive_cap=0, q_allowed=None, disc_offsets=None,
 ):
     """TPU seeding stage: scan+mini (one jit), the Pallas ungapped
     kernel (its own dispatch -- nesting it inside one mega-jit makes
@@ -439,6 +439,7 @@ def _seeding_tpu_fused(
         scan_step=scan_step, lut_word=lut_word, word_size=word_size,
         cmax=cmax, n_scan=n_scan, hit_cap=hit_cap, seed_cap=seed_cap,
         out_cap=seed_cap // 2, pos_base_static=0,
+        disc_offsets=disc_offsets,
     )
     if sync:
         with slog.time("device.seeding.scan_sync"):
@@ -489,6 +490,8 @@ def run_seeding(
     window_size: int = 0,
     mask_starts: np.ndarray | None = None,  # int32[M] sorted, padded
     mask_ends: np.ndarray | None = None,    # (db soft-mask intervals)
+    disc_offsets: tuple[int, ...] | None = None,  # disc-mb template
+    _raw: bool = False,   # return pre-replay hit arrays (two templates)
 ) -> InitHits:
     """Full seeding pass over one subject buffer; returns saved init hits.
 
@@ -500,11 +503,12 @@ def run_seeding(
     """
     s_pad = int(dev.subject2.shape[0])
     indexed = dev.q_allowed is not None
+    span = disc_offsets[-1] + 1 if disc_offsets else lut_word
     if indexed:
         # indexed megablast: the scan walks the query, not the subject
         n_scan = max(int(dev.query.shape[0]) - lut_word + 1, 1)
     else:
-        n_scan = max((s_pad - lut_word) // scan_step + 1, 1)
+        n_scan = max((s_pad - span) // scan_step + 1, 1)
 
     # start from the last capacities that worked for this problem
     # shape: capacity overflows would otherwise re-run the doubling
@@ -564,9 +568,15 @@ def run_seeding(
                     word_size=word_size, cmax=cmax, n_scan=n_scan,
                     hit_cap=hit_cap, seed_cap=seed_cap,
                     mask_starts=mask_dev[0], mask_ends=mask_dev[1],
-                    query_nib=dev.query_nib, subject_w=dev.subject_w,
-                    alive_cap=alive_cap if phase0 else 0,
+                    query_nib=(
+                        None if disc_offsets else dev.query_nib
+                    ),
+                    subject_w=dev.subject_w,
+                    alive_cap=(
+                        alive_cap if phase0 and not disc_offsets else 0
+                    ),
                     q_allowed=dev.q_allowed,
+                    disc_offsets=disc_offsets,
                 ))
                 (qs, ss, fill, ctx, ug_q, ug_s, ug_len, ug_score,
                  trunc, n_overflow, n_raw) = _unpack_seeds(
@@ -584,6 +594,7 @@ def run_seeding(
                     hit_cap=hit_cap, seed_cap=seed_cap,
                     mask_starts=mask_dev[0], mask_ends=mask_dev[1],
                     q_allowed=dev.q_allowed,
+                    disc_offsets=disc_offsets,
                 )
                 (qs, ss, fill, ctx, ug_q, ug_s, ug_len, ug_score, trunc,
                  n_overflow, n_raw) = (np.asarray(o) for o in out)
@@ -641,7 +652,17 @@ def run_seeding(
     slog.diagnostics.init_extends += len(sel)
     if len(sel) == 0:
         z = np.zeros(0, dtype=np.int32)
+        if _raw:
+            return (z,) * 7
         return InitHits(z, z, z, z, z, z, z, z)
+    raw = (
+        qs[sel], ss[sel], np.clip(ctx[sel], 0, n_ctx - 1),
+        ug_q[sel], ug_s[sel], ug_len[sel], ug_score[sel],
+    )
+    if _raw:
+        # caller merges hits from another pass (second disc template)
+        # before the diagonal replay
+        return raw
     right_run = None
     if window_size > 0:
         if lut_word >= word_size:
@@ -660,9 +681,37 @@ def run_seeding(
                 qs[sel], ss[sel], word_size,
             )
     return _finish_init_hits(
-        qs[sel], ss[sel], np.clip(ctx[sel], 0, n_ctx - 1),
-        ug_q[sel], ug_s[sel], ug_len[sel], ug_score[sel],
+        raw[0], raw[1], raw[2], raw[3], raw[4], raw[5], raw[6],
         word_cutoffs, subject_starts, word_size,
+        window_size=window_size, right_run=right_run,
+    )
+
+
+def run_seeding_two_templates(
+    dev: SeedingDeviceData,
+    dev2: SeedingDeviceData,
+    disc_offsets: tuple[int, ...],
+    disc_offsets2: tuple[int, ...],
+    **kw,
+) -> InitHits:
+    """coding_and_optimal discontiguous megablast: both templates are
+    scanned (the reference fills two hashtables and scans both,
+    s_FillDiscMBTable blast_nalookup.c:714); the raw hit sets are merged
+    before the diagonal replay, which orders by (oid, diag, s_off) --
+    duplicates (a hit found by both templates) fall inside the explored
+    area and are skipped, exactly as the second table's chain is in the
+    reference scanner."""
+    word_size = kw["word_size"]
+    window_size = kw.get("window_size", 0)
+    raw1 = run_seeding(dev, disc_offsets=disc_offsets, _raw=True, **kw)
+    raw2 = run_seeding(dev2, disc_offsets=disc_offsets2, _raw=True, **kw)
+    cat = tuple(
+        np.concatenate([a, b]) for a, b in zip(raw1, raw2)
+    )
+    right_run = np.zeros(len(cat[0]), np.int32)   # word == lut word
+    return _finish_init_hits(
+        cat[0], cat[1], cat[2], cat[3], cat[4], cat[5], cat[6],
+        kw["word_cutoffs"], kw["subject_starts"], word_size,
         window_size=window_size, right_run=right_run,
     )
 

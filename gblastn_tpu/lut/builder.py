@@ -48,6 +48,11 @@ class LookupTable:
     # rebuild counts_offsets from an O(n_positions) upload instead of
     # shipping the dense 4^w+1 table (67MB at w=12) every batch
     position_words: np.ndarray | None = None
+    # discontiguous megablast: window offsets of the template's used
+    # bases (ascending; None = contiguous). word_size then holds the
+    # template length (the diagonal/extension word span) and
+    # lut_word_size the template weight (the index width).
+    disc_offsets: tuple[int, ...] | None = None
 
     @property
     def table_size(self) -> int:
@@ -218,6 +223,71 @@ def build_lookup_table(
         positions=positions.astype(np.int32),
         max_positions_per_word=max_chain,
         position_words=all_words[order].astype(np.int32),
+    )
+
+
+def build_disc_lookup_table(
+    query_buffer: np.ndarray,
+    locations: list[tuple[int, int]],
+    word_size: int,            # template weight: 11 or 12
+    template_length: int,      # 16, 18 or 21
+    template_type: str,        # "coding" | "optimal"
+) -> LookupTable:
+    """Discontiguous-megablast CSR table (s_FillDiscMBTable,
+    blast_nalookup.c:663): within every unmasked location of length >=
+    template_length, every window start whose FULL template window is
+    ambiguity-free is indexed under its discontiguous word code.
+    Scan stride is always 1 for discontiguous tables."""
+    from gblastn_tpu.lut.templates import disc_template_offsets
+
+    offs = disc_template_offsets(word_size, template_length, template_type)
+    w = len(offs)
+    L = template_length
+    table_size = 1 << (BITS_PER_NUC * w)
+    buf = np.asarray(query_buffer, dtype=np.uint8)
+
+    n_starts = len(buf) - L + 1
+    if n_starts > 0:
+        delta = np.zeros(n_starts + 1, dtype=np.int32)
+        for a, b in locations:
+            if L > b - a + 1:
+                continue
+            hi = min(b - L + 2, n_starts)
+            if hi > a:
+                delta[a] += 1
+                delta[hi] -= 1
+        allowed = np.cumsum(delta[:-1]) > 0
+
+        valid_base = buf < 4
+        cum = np.concatenate([[0], np.cumsum(valid_base)])
+        window_valid = (cum[L:] - cum[:-L]) == L
+
+        codes = np.zeros(n_starts, dtype=np.int32)
+        b32 = buf.astype(np.int32)
+        for r, j in enumerate(offs):
+            codes += (b32[j: j + n_starts] & 3) << (2 * (w - 1 - r))
+
+        sel = allowed & window_valid
+        all_words = codes[sel]
+        all_pos = np.flatnonzero(sel).astype(np.int32)
+    else:
+        all_words = np.zeros(0, dtype=np.int32)
+        all_pos = np.zeros(0, dtype=np.int32)
+
+    counts = np.bincount(all_words, minlength=table_size)
+    offsets = np.zeros(table_size + 1, dtype=np.int32)
+    np.cumsum(counts, dtype=np.int32, out=offsets[1:])
+    order = np.argsort(all_words, kind="stable")
+    max_chain = int(counts.max()) if len(counts) and counts.max() else 0
+    return LookupTable(
+        word_size=template_length,
+        lut_word_size=w,
+        scan_step=1,
+        counts_offsets=offsets,
+        positions=all_pos[order],
+        max_positions_per_word=max_chain,
+        position_words=all_words[order].astype(np.int32),
+        disc_offsets=offs,
     )
 
 

@@ -47,7 +47,7 @@ def unpack_2na_device(packed: jnp.ndarray) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "scan_step", "lut_word", "word_size", "cmax", "n_scan",
-        "hit_cap", "pos_base_static",
+        "hit_cap", "pos_base_static", "disc_offsets",
     ),
 )
 def scan_block(
@@ -67,6 +67,7 @@ def scan_block(
     mask_starts=None,             # int32[M] sorted soft-mask starts
     mask_ends=None,               # int32[M] sorted soft-mask ends
     pos_base_static: int | None = None,  # static pos_base (fast path)
+    disc_offsets: tuple[int, ...] | None = None,  # disc-mb template
 ):
     """Scan subject at stride positions; resolve CSR seeds.
 
@@ -94,9 +95,21 @@ def scan_block(
     """
     del word_size
     S = subject2.shape[0]
+    # contiguous words read lut_word consecutive bases; discontiguous
+    # templates read the selected offsets of a template_length window
+    # (the whole window must be valid -- s_FillDiscMBTable resets its
+    # accumulator on any ambiguity, blast_nalookup.c:757)
+    if disc_offsets is not None:
+        code_offs = list(enumerate(disc_offsets))
+        span = disc_offsets[-1] + 1
+        w_eff = len(disc_offsets)
+    else:
+        code_offs = [(j, j) for j in range(lut_word)]
+        span = lut_word
+        w_eff = lut_word
     fast = (
         pos_base_static is not None
-        and pos_base_static + (n_scan - 1) * scan_step + lut_word <= S
+        and pos_base_static + (n_scan - 1) * scan_step + span <= S
     )
     if fast:
         # fast path (static start): compute word codes ONLY at the
@@ -108,17 +121,18 @@ def scan_block(
         lim0 = pos_base_static + (n_scan - 1) * scan_step + 1
         words = jnp.zeros(n_scan, dtype=jnp.int32)
         valid_word = jnp.ones(n_scan, dtype=bool)
-        for j in range(lut_word):
+        for r, j in code_offs:
             sl = jax.lax.slice(
                 subject2, (pos_base_static + j,), (lim0 + j,),
                 (scan_step,),
             )
+            words = words + (
+                sl.astype(jnp.int32) << (2 * (w_eff - 1 - r))
+            )
+        for j in range(span):
             vl = jax.lax.slice(
                 subject_valid, (pos_base_static + j,), (lim0 + j,),
                 (scan_step,),
-            )
-            words = words + (
-                sl.astype(jnp.int32) << (2 * (lut_word - 1 - j))
             )
             valid_word = valid_word & vl
         if pos_end is not None:
@@ -127,15 +141,16 @@ def scan_block(
     else:
         # rolling word codes over the full subject: word_full[i] =
         # sum_j base[i+j] * 4^(w-1-j), via static shifted slices
-        npos_full = S - lut_word + 1
+        npos_full = S - span + 1
         word_full = jnp.zeros(npos_full, dtype=jnp.int32)
         valid_all = subject_valid
         valid_word_full = jnp.ones(npos_full, dtype=bool)
-        for j in range(lut_word):
+        for r, j in code_offs:
             word_full = word_full + (
                 subject2[j: j + npos_full].astype(jnp.int32)
-                << (2 * (lut_word - 1 - j))
+                << (2 * (w_eff - 1 - r))
             )
+        for j in range(span):
             valid_word_full = (
                 valid_word_full & valid_all[j: j + npos_full]
             )
@@ -154,13 +169,13 @@ def scan_block(
 
     if mask_starts is not None:
         # word at pos overlaps a masked interval iff the first interval
-        # ending after pos starts before pos + lut_word
+        # ending after pos starts before pos + span
         j = jnp.clip(
             jnp.searchsorted(mask_ends, pos, side="right"),
             0, mask_starts.shape[0] - 1,
         )
         soft_masked = (
-            (mask_starts[j] < pos + lut_word) & (mask_ends[j] > pos)
+            (mask_starts[j] < pos + span) & (mask_ends[j] > pos)
         )
         count = jnp.where(soft_masked, 0, count)
 
@@ -826,7 +841,7 @@ def ungapped_extend(
     jax.jit,
     static_argnames=(
         "scan_step", "lut_word", "word_size", "cmax", "n_scan", "hit_cap",
-        "seed_cap", "chunk", "phase1_extend",
+        "seed_cap", "chunk", "phase1_extend", "disc_offsets",
     ),
 )
 def seeding_pipeline(
@@ -851,6 +866,7 @@ def seeding_pipeline(
     mask_starts=None,
     mask_ends=None,
     q_allowed=None,               # bool[Q_pad]: indexed-megablast mode
+    disc_offsets: tuple[int, ...] | None = None,
 ):
     """Fused device seeding: scan -> seed compaction -> mini-extension
     -> survivor compaction -> clamped X-drop ungapped extension, one
@@ -885,7 +901,7 @@ def seeding_pipeline(
             scan_step=scan_step, lut_word=lut_word, word_size=word_size,
             cmax=cmax, n_scan=n_scan, hit_cap=hit_cap,
             mask_starts=mask_starts, mask_ends=mask_ends,
-            pos_base_static=0,
+            pos_base_static=0, disc_offsets=disc_offsets,
         )
     # compact raw seeds before the gather-heavy mini-extension
     n_raw = take.sum()
@@ -897,10 +913,15 @@ def seeding_pipeline(
     q_off = jnp.where(rfill, q_off[ridx], 0)
     s_off = jnp.where(rfill, s_off[ridx], 0)
 
-    qs, ss, ok = mini_extend(
-        query, subject2, subject_valid, q_off, s_off, rfill,
-        lut_word=lut_word, word_size=word_size,
-    )
+    if disc_offsets is not None:
+        # discontiguous hits are full template words: no mini-extension
+        # (s_BlastNaExtendDirect, na_ungapped.c:941)
+        qs, ss, ok = q_off, s_off, rfill
+    else:
+        qs, ss, ok = mini_extend(
+            query, subject2, subject_valid, q_off, s_off, rfill,
+            lut_word=lut_word, word_size=word_size,
+        )
     qs = jnp.where(ok, qs, 0)
     ss = jnp.where(ok, ss, 0)
 
@@ -924,7 +945,7 @@ def seeding_pipeline(
     jax.jit,
     static_argnames=(
         "scan_step", "lut_word", "word_size", "cmax", "n_scan", "hit_cap",
-        "seed_cap", "out_cap", "pos_base_static",
+        "seed_cap", "out_cap", "pos_base_static", "disc_offsets",
     ),
 )
 def seeding_scan_mini(
@@ -954,6 +975,7 @@ def seeding_scan_mini(
     seed_cap: int,
     out_cap: int = 0,
     pos_base_static: int | None = None,
+    disc_offsets: tuple[int, ...] | None = None,
 ):
     """Device seeding WITHOUT the ungapped stage: scan -> compaction ->
     mini-extension -> per-seed context/X-drop/subject-bound lookup.
@@ -982,7 +1004,7 @@ def seeding_scan_mini(
             cmax=cmax, n_scan=n_scan, hit_cap=hit_cap,
             pos_base=pos_base, pos_end=pos_end,
             mask_starts=mask_starts, mask_ends=mask_ends,
-            pos_base_static=pos_base_static,
+            pos_base_static=pos_base_static, disc_offsets=disc_offsets,
         )
     n_raw = take.sum()
     ridx = jnp.nonzero(take, size=seed_cap, fill_value=0)[0]
@@ -993,7 +1015,11 @@ def seeding_scan_mini(
     q_off = jnp.where(rfill, q_off[ridx], 0)
     s_off = jnp.where(rfill, s_off[ridx], 0)
 
-    if query_nib is not None:
+    if disc_offsets is not None:
+        # discontiguous hits are full template words: no mini-extension
+        # (s_BlastNaExtendDirect, na_ungapped.c:941)
+        qs, ss, ok = q_off, s_off, rfill
+    elif query_nib is not None:
         # owning-subject bounds BEFORE the extension (mini-extension
         # never crosses the inter-subject pad, so the oid is stable
         # under the <= ext_to leftward shift)

@@ -20,6 +20,7 @@ from enum import Enum
 class Task(str, Enum):
     MEGABLAST = "megablast"
     BLASTN = "blastn"
+    DC_MEGABLAST = "dc-megablast"
 
 
 class ExtensionMethod(str, Enum):
@@ -74,6 +75,11 @@ class SearchOptions:
     db_soft_mask: int | None = None
     db_hard_mask: int | None = None
 
+    # Discontiguous megablast (-task dc-megablast): template window
+    # length and type (s_DiscWordOptionsValidate, blast_options.c:1191)
+    template_length: int = 0            # 0 = contiguous; 16, 18 or 21
+    template_type: str = "coding"       # coding|optimal|coding_and_optimal
+
     # Indexed megablast (-use_index/-index_name): resolve seeds against
     # a prebuilt database word index (makembindex) instead of scanning
     # the database (lut/dbindex.py)
@@ -95,6 +101,20 @@ class SearchOptions:
             raise ValueError("reward must be > 0 and penalty < 0")
         if self.strand not in ("both", "plus", "minus"):
             raise ValueError(f"bad strand {self.strand}")
+        if self.template_length:
+            # s_DiscWordOptionsValidate (blast_options.c:1191)
+            if self.template_length not in (16, 18, 21):
+                raise ValueError("template_length must be 16, 18 or 21")
+            if self.word_size not in (11, 12):
+                raise ValueError(
+                    "discontiguous template requires word_size 11 or 12"
+                )
+            if self.template_type not in (
+                "coding", "optimal", "coding_and_optimal"
+            ):
+                raise ValueError(
+                    f"bad template_type {self.template_type!r}"
+                )
 
 
 def megablast_options(**overrides) -> SearchOptions:
@@ -127,8 +147,33 @@ def blastn_options(**overrides) -> SearchOptions:
     ).replace(**overrides)
 
 
+def dc_megablast_options(**overrides) -> SearchOptions:
+    """CDiscNucleotideOptionsHandle defaults (disc_nucl_options.cpp:25):
+    word 11, template 18 coding, two-hit window 40
+    (BLAST_WINDOW_SIZE_DISC), blastn scoring 2/-3 gaps 5/2, DP
+    extension. Hit saving keeps the megablast defaults (the disc handle
+    does not override SetMBHitSavingOptionsDefaults), so
+    min_diag_separation stays 6."""
+    return SearchOptions(
+        task=Task.DC_MEGABLAST,
+        word_size=11,
+        template_length=18,
+        template_type="coding",
+        reward=2,
+        penalty=-3,
+        gap_open=5,
+        gap_extend=2,
+        extension_method=ExtensionMethod.DYN_PROG,
+        gap_x_dropoff=30.0,
+        window_size=40,
+        min_diag_separation=6,
+    ).replace(**overrides)
+
+
 def options_for_task(task: str | Task, **overrides) -> SearchOptions:
     task = Task(task)
     if task is Task.MEGABLAST:
         return megablast_options(**overrides)
+    if task is Task.DC_MEGABLAST:
+        return dc_megablast_options(**overrides)
     return blastn_options(**overrides)

@@ -391,6 +391,8 @@ typedef struct Args {
     Int8 searchsp;           /* 0 = none */
     double xdrop_ungap, xdrop_gap, xdrop_gap_final; /* <0 = default */
     Int4 min_diag_separation; /* -1 = task default */
+    Int4 template_length;    /* 0 = contiguous */
+    Int4 template_type;      /* 0 coding, 1 optimal, 2 both */
     const char* qmask;       /* query mask intervals file (see below) */
 } Args;
 
@@ -429,6 +431,12 @@ static Args parse_args(int argc, char** argv) {
         else if (!strcmp(k, "-xdrop_gap")) { a.xdrop_gap = atof(v); i++; }
         else if (!strcmp(k, "-xdrop_gap_final")) { a.xdrop_gap_final = atof(v); i++; }
         else if (!strcmp(k, "-min_diag_separation")) { a.min_diag_separation = atoi(v); i++; }
+        else if (!strcmp(k, "-template_length")) { a.template_length = atoi(v); i++; }
+        else if (!strcmp(k, "-template_type")) {
+            a.template_type = !strcmp(v, "optimal") ? 1 :
+                              !strcmp(v, "coding_and_optimal") ? 2 : 0;
+            i++;
+        }
         else if (!strcmp(k, "-qmask")) { a.qmask = v; i++; }
         else { fprintf(stderr, "oracle: unknown arg %s\n", k); exit(2); }
     }
@@ -438,16 +446,19 @@ static Args parse_args(int argc, char** argv) {
 
 int main(int argc, char** argv) {
     Args a = parse_args(argc, argv);
-    int is_megablast = !strcmp(a.task, "megablast");
+    int is_dc = !strcmp(a.task, "dc-megablast");
+    if (is_dc && a.template_length == 0)
+        a.template_length = 18;   /* CDiscNucleotideOptionsHandle */
+    int is_megablast = !strcmp(a.task, "megablast") || is_dc;
     const EBlastProgramType kProgram = eBlastTypeBlastn;
 
     /* task defaults: blast_nucl_options.cpp:58-162 */
-    Int4 word_size = a.word_size ? a.word_size : (is_megablast ? 28 : 11);
-    Int4 reward = a.reward ? a.reward : (is_megablast ? 1 : 2);
-    Int4 penalty = a.penalty ? a.penalty : (is_megablast ? -2 : -3);
-    Int4 gapopen = (a.gapopen != INT4_MAX) ? a.gapopen : (is_megablast ? 0 : 5);
-    Int4 gapextend = (a.gapextend != INT4_MAX) ? a.gapextend : (is_megablast ? 0 : 2);
-    Int4 window_size = (a.window_size >= 0) ? a.window_size : 0;
+    Int4 word_size = a.word_size ? a.word_size : (is_megablast && !is_dc ? 28 : 11);
+    Int4 reward = a.reward ? a.reward : (is_megablast && !is_dc ? 1 : 2);
+    Int4 penalty = a.penalty ? a.penalty : (is_megablast && !is_dc ? -2 : -3);
+    Int4 gapopen = (a.gapopen != INT4_MAX) ? a.gapopen : (is_megablast && !is_dc ? 0 : 5);
+    Int4 gapextend = (a.gapextend != INT4_MAX) ? a.gapextend : (is_megablast && !is_dc ? 0 : 2);
+    Int4 window_size = (a.window_size >= 0) ? a.window_size : (is_dc ? 40 : 0);
     /* greedy iff megablast-style linear gap costs (blast_nucl_options.cpp
      * SetMBGappedExtensionDefaults; the CLI picks greedy whenever
      * gapopen==gapextend==0 for megablast) */
@@ -456,7 +467,8 @@ int main(int argc, char** argv) {
     double xdrop_gap = (a.xdrop_gap >= 0) ? a.xdrop_gap : (greedy ? 25 : 30);
     double xdrop_gap_final = (a.xdrop_gap_final >= 0) ? a.xdrop_gap_final : 100;
     Int4 min_diag_separation =
-        (a.min_diag_separation >= 0) ? a.min_diag_separation : (is_megablast ? 6 : 50);
+        (a.min_diag_separation >= 0) ? a.min_diag_separation
+                                     : (is_megablast ? 6 : 50);
 
     FastaSet queries = read_fasta(a.query);
     FastaSet subjects = read_fasta(a.subject);
@@ -479,6 +491,11 @@ int main(int argc, char** argv) {
     BLAST_FillLookupTableOptions(lut_opts, kProgram,
                                  is_megablast ? TRUE : FALSE,
                                  0 /* threshold */, word_size);
+    if (is_dc) {
+        /* CDiscNucleotideOptionsHandle::SetMBLookupTableDefaults */
+        lut_opts->mb_template_length = (Uint1) a.template_length;
+        lut_opts->mb_template_type = (Uint1) a.template_type;
+    }
     BLAST_FillScoringOptions(score_opts, kProgram, greedy ? TRUE : FALSE,
                              penalty, reward, NULL, gapopen, gapextend);
     score_opts->gapped_calculation = a.ungapped ? FALSE : TRUE;

@@ -247,6 +247,87 @@ class TestTwoHitParity:
         )
 
 
+class TestDiscMegablastParity:
+    """dc-megablast vs the reference C core: template sweep."""
+
+    def _wobbled_queries(self, rng, genome, n, qlen=450):
+        queries = []
+        for i in range(n):
+            start = int(rng.integers(0, len(genome) - qlen - 10))
+            frag = list(genome[start: start + qlen])
+            for p in range(len(frag)):
+                r = 0.4 if p % 3 == 2 else 0.03
+                if rng.random() < r:
+                    frag[p] = BASES[
+                        (BASES.index(frag[p]) + 1 + rng.integers(0, 3)) % 4
+                    ]
+            queries.append((f"d{i}", "".join(frag)))
+        return queries
+
+    @pytest.mark.parametrize("tlen", [16, 18, 21])
+    def test_templates_coding(self, genome, tmp_path, tlen):
+        from gblastn_tpu.params.options import dc_megablast_options
+
+        rng = np.random.default_rng(700 + tlen)
+        queries = self._wobbled_queries(rng, genome, 5)
+        assert_parity(
+            queries, [("chr1", genome)],
+            dc_megablast_options(evalue=1e-5, template_length=tlen),
+            dict(task="dc-megablast", evalue=1e-5,
+                 template_length=tlen), tmp_path,
+        )
+
+    def test_optimal_word12(self, genome, tmp_path):
+        from gblastn_tpu.params.options import dc_megablast_options
+
+        rng = np.random.default_rng(711)
+        queries = self._wobbled_queries(rng, genome, 5)
+        assert_parity(
+            queries, [("chr1", genome)],
+            dc_megablast_options(
+                evalue=1e-5, word_size=12, template_length=18,
+                template_type="optimal",
+            ),
+            dict(task="dc-megablast", evalue=1e-5, word_size=12,
+                 template_length=18, template_type="optimal"), tmp_path,
+        )
+
+    def test_two_templates(self, genome, tmp_path):
+        from gblastn_tpu.params.options import dc_megablast_options
+
+        rng = np.random.default_rng(712)
+        queries = self._wobbled_queries(rng, genome, 6)
+        assert_parity(
+            queries, [("chr1", genome)],
+            dc_megablast_options(
+                evalue=1e-5, template_type="coding_and_optimal",
+            ),
+            dict(task="dc-megablast", evalue=1e-5,
+                 template_type="coding_and_optimal"), tmp_path,
+        )
+
+    def test_multi_subject_indels(self, genome, tmp_path):
+        from gblastn_tpu.params.options import dc_megablast_options
+
+        rng = np.random.default_rng(713)
+        queries = []
+        for i, (rid, q) in enumerate(
+            self._wobbled_queries(rng, genome, 5)
+        ):
+            if rng.random() < 0.6:   # also plant an indel
+                cut = int(rng.integers(50, len(q) - 50))
+                q = q[:cut] + q[cut + 3:]
+            queries.append((rid, q))
+        subjects = [
+            ("s1", genome[:20000]), ("s2", genome[20000:]),
+        ]
+        assert_parity(
+            queries, subjects,
+            dc_megablast_options(evalue=1e-3),
+            dict(task="dc-megablast", evalue=1e-3), tmp_path,
+        )
+
+
 class TestAmbiguityParity:
     def test_sparse_ns_in_query(self, genome, tmp_path):
         # Ns sparse enough that seeding is unaffected; the final HSPs
