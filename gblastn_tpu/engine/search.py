@@ -411,12 +411,17 @@ def prelim_search(
         and stream_env != "0"
         and (stream_env == "1" or db.padded_length > stream_threshold)
     )
-    if options.template_length and (use_stream or n_shards > 1):
-        # discontiguous megablast runs on the device-resident path
+    if options.template_length and (
+        n_shards > 1
+        or (use_stream
+            and options.template_type == "coding_and_optimal")
+    ):
+        # single-template disc streams fine; two-template merge and the
+        # sharded program run on the device-resident path only
         _warn_once(
             db, "disc-path",
-            "discontiguous megablast uses the device-resident scan; "
-            "streamed/sharded paths are disabled for this search",
+            "two-template / sharded discontiguous megablast uses the "
+            "device-resident scan; falling back for this search",
         )
         use_stream = False
         n_shards = 1
@@ -508,6 +513,7 @@ def prelim_search(
                 )),
                 halo=int(os.environ.get("GBLASTN_TPU_BLOCK_HALO", "4096")),
                 mask_intervals=db_mask_ivs,
+                disc_offsets=lut.disc_offsets,
             )
     else:
         # the subject arrays are per-database and immutable: upload once

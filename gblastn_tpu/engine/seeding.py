@@ -665,8 +665,9 @@ def run_seeding(
         return raw
     right_run = None
     if window_size > 0:
-        if lut_word >= word_size:
-            # word_length == lut_word_length: s_TypeOfWord returns
+        if lut_word >= word_size or disc_offsets is not None:
+            # word_length == lut_word_length (for discontiguous, word
+            # length IS the template length): s_TypeOfWord returns
             # "single word, extended = 0" without any probe
             # (na_ungapped.c:512), so the double-word test never fires
             right_run = np.zeros(len(sel), np.int32)

@@ -208,6 +208,7 @@ def _pack_stream(qs, ss, ok, f_q, f_len, f_score, bits,
     static_argnames=(
         "scan_step", "lut_word", "word_size", "cmax", "n_scan",
         "hit_cap", "seed_cap", "out_cap", "pos_base_static",
+        "disc_offsets",
     ),
 )
 def _xla_block_packed(
@@ -215,7 +216,7 @@ def _xla_block_packed(
     query, matrix16, ctx_offsets, x_dropoffs, pos_base, pos_end,
     mask_starts=None, mask_ends=None,
     *, scan_step, lut_word, word_size, cmax, n_scan, hit_cap, seed_cap,
-    out_cap, pos_base_static=None,
+    out_cap, pos_base_static=None, disc_offsets=None,
 ):
     outs = seeding_pipeline_block(
         packed, local_starts, local_ends, lut_offsets, lut_positions,
@@ -224,6 +225,7 @@ def _xla_block_packed(
         scan_step=scan_step, lut_word=lut_word, word_size=word_size,
         cmax=cmax, n_scan=n_scan, hit_cap=hit_cap, seed_cap=seed_cap,
         out_cap=out_cap, pos_base_static=pos_base_static,
+        disc_offsets=disc_offsets,
     )
     (qs, ss, ok, _ctx, uq, _us, ulen, uscore, bound_bits,
      max_l, max_r, n_overflow, n_raw) = outs
@@ -345,11 +347,13 @@ def run_seeding_streamed(
     seed_cap: int = 16384,
     use_pallas: bool | None = None,
     mask_intervals: np.ndarray | None = None,  # int64[n, 2] absolute
+    disc_offsets: tuple[int, ...] | None = None,
 ) -> InitHits:
     """Streamed seeding over the whole database; same InitHits contract
     as engine.seeding.run_seeding (asserted equal in tests)."""
+    span = disc_offsets[-1] + 1 if disc_offsets else lut_word
     plan = _BlockPlan(
-        db, block_bases=block_bases, halo=halo, lut_word=lut_word,
+        db, block_bases=block_bases, halo=halo, lut_word=span,
         scan_step=scan_step, mask_intervals=mask_intervals,
     )
     if use_pallas is None:
@@ -371,7 +375,8 @@ def run_seeding_streamed(
 
         table64_dev = jnp.asarray(make_table64(matrix16))
         query_p = jax.jit(prepare_query)(query_dev)
-        query_nib = pack_query_nibbles(query_dev)
+        if disc_offsets is None:
+            query_nib = pack_query_nibbles(query_dev)
 
     n_ctx = len(word_cutoffs)
     ctx_cap = 64
@@ -426,6 +431,7 @@ def run_seeding_streamed(
                     hit_cap=caps[0], seed_cap=caps[1],
                     out_cap=caps[1] // 2,
                     pos_base_static=int(pos_base),
+                    disc_offsets=disc_offsets,
                 )
             )
             if phase0 and query_nib is not None:
@@ -457,7 +463,7 @@ def run_seeding_streamed(
             scan_step=scan_step, lut_word=lut_word, word_size=word_size,
             cmax=cmax, n_scan=plan.n_scan, hit_cap=caps[0],
             seed_cap=caps[1], out_cap=caps[1] // 2,
-            pos_base_static=int(pos_base),
+            pos_base_static=int(pos_base), disc_offsets=disc_offsets,
         )
 
     per_block: list[dict | None] = [None] * plan.n_blocks
@@ -579,7 +585,7 @@ def run_seeding_streamed(
 
     right_run = None
     if window_size > 0:
-        if lut_word >= word_size:
+        if lut_word >= word_size or disc_offsets is not None:
             # na_ungapped.c:512 fast return (see engine.seeding)
             right_run = np.zeros(len(qs), np.int32)
         else:

@@ -1129,7 +1129,7 @@ def block_arrays_pallas(packed, local_starts, local_ends):
     jax.jit,
     static_argnames=(
         "scan_step", "lut_word", "word_size", "cmax", "n_scan", "hit_cap",
-        "seed_cap", "out_cap", "chunk", "pos_base_static",
+        "seed_cap", "out_cap", "chunk", "pos_base_static", "disc_offsets",
     ),
 )
 def seeding_pipeline_block(
@@ -1157,6 +1157,7 @@ def seeding_pipeline_block(
     out_cap: int = 0,
     chunk: int = 64,
     pos_base_static: int | None = None,
+    disc_offsets: tuple[int, ...] | None = None,
 ):
     """One streamed block through the XLA seeding path: unpack -> scan
     (core positions only) -> mini-extension -> unclamped ungapped
@@ -1176,6 +1177,7 @@ def seeding_pipeline_block(
             scan_step=scan_step, lut_word=lut_word, word_size=word_size,
             cmax=cmax, n_scan=n_scan, hit_cap=hit_cap, seed_cap=seed_cap,
             out_cap=out_cap, pos_base_static=pos_base_static,
+            disc_offsets=disc_offsets,
         )
     )
     uq, us, ulen, uscore, _t, bl, br = ungapped_extend(

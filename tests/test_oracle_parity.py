@@ -306,6 +306,24 @@ class TestDiscMegablastParity:
                  template_type="coding_and_optimal"), tmp_path,
         )
 
+    def test_exact_queries_double_word_region(self, genome, tmp_path):
+        # exact (undiverged) fragments produce long exact runs after
+        # every template hit; the two-hit replay must NOT treat them as
+        # double words (s_TypeOfWord early-returns "single word" when
+        # word length == template length, na_ungapped.c:512)
+        rng = np.random.default_rng(714)
+        queries = []
+        for i in range(4):
+            start = int(rng.integers(0, len(genome) - 500))
+            queries.append((f"x{i}", genome[start: start + 400]))
+        assert_parity(
+            queries, [("chr1", genome)],
+            __import__(
+                "gblastn_tpu.params.options", fromlist=["x"]
+            ).dc_megablast_options(evalue=1e-5),
+            dict(task="dc-megablast", evalue=1e-5), tmp_path,
+        )
+
     def test_multi_subject_indels(self, genome, tmp_path):
         from gblastn_tpu.params.options import dc_megablast_options
 

@@ -289,3 +289,64 @@ def test_search_end_to_end_streamed(monkeypatch):
     )
     got = search(reads, db2, opts)
     assert rows(got) == rows(ref)
+
+
+def test_streamed_matches_resident_disc(problem):
+    # discontiguous template: streamed blocks must reproduce the
+    # device-resident seed set exactly (template window crossing
+    # block boundaries included)
+    from gblastn_tpu.lut.builder import build_disc_lookup_table
+    from gblastn_tpu.lut.templates import disc_template_offsets
+
+    qs, ss = problem
+    rng = np.random.default_rng(0)
+    qb = build_query_block(
+        [FastaRecord(f"q{i}", "", s.encode())
+         for i, s in enumerate(qs)],
+        strand="both",
+    )
+    db = SequenceDB.from_records(
+        [FastaRecord(f"s{i}", "", s.encode())
+         for i, s in enumerate(ss)]
+    )
+    locs = unmasked_locations(qb.buffer, qb.context_offsets())
+    lut = build_disc_lookup_table(qb.buffer, locs, 11, 18, "coding")
+    offs = disc_template_offsets(11, 18, "coding")
+    mat = _matrix16(2, -3)
+    ctx_offs = qb.context_offsets()
+    n_ctx = len(qb.contexts)
+    cutoffs = np.full(n_ctx, 30, np.int32)
+    xdrops = np.full(n_ctx, 22, np.int32)
+    sub2 = db.unpacked().astype(np.int8)
+
+    dev = SeedingDeviceData(
+        query=jnp.asarray(qb.buffer),
+        subject2=jnp.asarray(sub2),
+        subject_valid=jnp.asarray(db.valid_mask()),
+        lut_offsets=jnp.asarray(lut.counts_offsets),
+        lut_positions=jnp.asarray(lut.positions),
+        matrix16=jnp.asarray(mat),
+    )
+    kw = dict(
+        word_size=lut.word_size, context_offsets=ctx_offs,
+        word_cutoffs=cutoffs, x_dropoffs=xdrops, window_size=40,
+    )
+    ref = run_seeding(
+        dev, lut_word=lut.lut_word_size, scan_step=1,
+        subject_starts=np.asarray(db.starts),
+        subject_lengths=np.asarray(db.lengths),
+        disc_offsets=offs, **kw,
+    )
+    got = run_seeding_streamed(
+        db,
+        query_dev=jnp.asarray(qb.buffer),
+        query_host=np.asarray(qb.buffer),
+        lut_offsets_dev=jnp.asarray(lut.counts_offsets),
+        lut_positions_dev=jnp.asarray(lut.positions),
+        matrix16=mat,
+        lut_word=lut.lut_word_size,
+        scan_step=1, cmax=16, block_bases=4096, halo=512,
+        use_pallas=False, disc_offsets=offs, **kw,
+    )
+    assert len(ref) > 0
+    assert _as_rows(ref) == _as_rows(got)
