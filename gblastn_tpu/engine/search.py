@@ -411,16 +411,13 @@ def prelim_search(
         and stream_env != "0"
         and (stream_env == "1" or db.padded_length > stream_threshold)
     )
-    if options.template_length and (
-        n_shards > 1
-        or (use_stream
-            and options.template_type == "coding_and_optimal")
-    ):
-        # single-template disc streams fine; two-template merge and the
-        # sharded program run on the device-resident path only
+    if (options.template_length
+            and options.template_type == "coding_and_optimal"
+            and (use_stream or n_shards > 1)):
+        # the two-template raw-hit merge runs device-resident only
         _warn_once(
             db, "disc-path",
-            "two-template / sharded discontiguous megablast uses the "
+            "two-template discontiguous megablast uses the "
             "device-resident scan; falling back for this search",
         )
         use_stream = False

@@ -818,6 +818,7 @@ def run_seeding_sharded(
                 scan_step=lut.scan_step, lut_word=lut.lut_word_size,
                 word_size=word_size, cmax=cmax,
                 mask_intervals=mask_intervals,
+                disc_offsets=lut.disc_offsets,
             )
         )
     slog.diagnostics.init_extends += len(q_off)
@@ -826,7 +827,7 @@ def run_seeding_sharded(
         return InitHits(z, z, z, z, z, z, z, z)
     right_run = None
     if window_size > 0:
-        if lut.lut_word_size >= word_size:
+        if lut.lut_word_size >= word_size or lut.disc_offsets is not None:
             # na_ungapped.c:512 fast return (see run_seeding)
             right_run = np.zeros(len(q_off), np.int32)
         else:

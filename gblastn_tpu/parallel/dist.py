@@ -222,6 +222,7 @@ def make_sharded_seeding(
     out_cap: int,
     use_pallas: bool,
     chunk: int = 64,
+    disc_offsets: tuple[int, ...] | None = None,
 ):
     """Build the jitted DB-sharded seeding step.
 
@@ -240,7 +241,7 @@ def make_sharded_seeding(
             ls, le, pos_base, pos_end, ms, me,
             scan_step=scan_step, lut_word=lut_word, word_size=word_size,
             cmax=cmax, n_scan=n_scan, hit_cap=hit_cap, seed_cap=seed_cap,
-            out_cap=out_cap,
+            out_cap=out_cap, disc_offsets=disc_offsets,
         )
         if use_pallas:
             from gblastn_tpu.ops.pallas_ungapped import (
@@ -311,6 +312,7 @@ def run_sharded_seeding(
     seed_cap: int = 16384,
     use_pallas: bool | None = None,
     mask_intervals: np.ndarray | None = None,  # int64[n, 2] absolute
+    disc_offsets: tuple[int, ...] | None = None,
 ):
     """Shard, run, retry on overflow, escalate edge truncations, and
     return exact host seed arrays (q_off, s_off int64 global, ctx,
@@ -325,7 +327,8 @@ def run_sharded_seeding(
         use_pallas = mesh.devices.flat[0].platform == "tpu"
 
     S = len(subject2)
-    npos = S - lut_word + 1
+    span = disc_offsets[-1] + 1 if disc_offsets else lut_word
+    npos = S - span + 1
     pos_base = np.zeros(n, np.int32)
     pos_end = np.zeros(n, np.int32)
     for d in range(n):
@@ -369,7 +372,7 @@ def run_sharded_seeding(
             mesh, scan_step=scan_step, lut_word=lut_word,
             word_size=word_size, cmax=cmax, n_scan=n_scan,
             hit_cap=hit_cap, seed_cap=seed_cap, out_cap=seed_cap // 2,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, disc_offsets=disc_offsets,
         )
         out = step(*args)
         if jax.process_count() > 1:  # pragma: no cover - multi-host
