@@ -1031,6 +1031,29 @@ def run_blastdbcmd(argv) -> int:
             out.close()
 
 
+def run_blast_formatter(argv) -> int:
+    """blast_formatter: re-render a -outfmt 11 archive (reference:
+    src/app/blast/blast_formatter.cpp) as tabular 6/7/10."""
+    import argparse
+
+    p = argparse.ArgumentParser(prog="gblastn-tpu blast_formatter")
+    p.add_argument("-archive", required=True,
+                   help="Blast4-archive file (-outfmt 11 output)")
+    p.add_argument("-outfmt", default="6")
+    p.add_argument("-out", default="-")
+    args = p.parse_args(argv)
+
+    from gblastn_tpu.format.formatter import format_archive
+
+    text = open(args.archive).read()
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    try:
+        return format_archive(text, out, args.outfmt)
+    finally:
+        if out is not sys.stdout:
+            out.close()
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
@@ -1055,6 +1078,8 @@ def main(argv=None) -> int:
         return run_blastdbcheck(rest)
     if cmd == "makembindex":
         return run_makembindex(rest)
+    if cmd == "blast_formatter":
+        return run_blast_formatter(rest)
     # default: treat as blastn args directly
     return run_blastn(argv)
 

@@ -164,3 +164,60 @@ def test_parse_reference_golden_archive():
     assert args["db"] == "nt"
     assert args["word_size"] == 11
     assert args["penalty"] == -3
+
+
+def test_blast_formatter_roundtrip(tmp_path):
+    """search -> -outfmt 11 archive -> blast_formatter == direct run."""
+    from gblastn_tpu.cli.main import main
+
+    rng = np.random.default_rng(81)
+    g = "".join("ACGT"[i] for i in rng.integers(0, 4, 20000))
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    frag = g[6000:6400]
+    frag = frag[:150] + frag[153:]        # deletion -> gapped script
+    rc = "".join(comp[c] for c in reversed(frag))
+    ref = tmp_path / "ref.fa"
+    ref.write_text(">chr1 archive chrom\n" + g + "\n")
+    qfile = tmp_path / "q.fa"
+    qfile.write_text(f">am\n{rc}\n>ap\n{g[11000:11350]}\n")
+    db_prefix = tmp_path / "db"
+    assert main(["makedb", "-in", str(ref), "-out", str(db_prefix),
+                 "-title", "archdb"]) == 0
+    arc = tmp_path / "run.11"
+    direct = tmp_path / "direct.tsv"
+    assert main([
+        "blastn", "-query", str(qfile), "-db", str(db_prefix),
+        "-outfmt", "11", "-out", str(arc),
+    ]) == 0
+    assert main([
+        "blastn", "-query", str(qfile), "-db", str(db_prefix),
+        "-outfmt", "6", "-out", str(direct),
+    ]) == 0
+    refmt = tmp_path / "refmt.tsv"
+    assert main([
+        "blast_formatter", "-archive", str(arc),
+        "-outfmt", "6", "-out", str(refmt),
+    ]) == 0
+    assert refmt.read_text() == direct.read_text()
+
+    # sequence-dependent fields re-fetch the archived database
+    d2 = tmp_path / "d2.tsv"
+    r2 = tmp_path / "r2.tsv"
+    ofmt = "6 qseqid sstrand stitle slen qcovhsp btop qseq sseq"
+    assert main([
+        "blastn", "-query", str(qfile), "-db", str(db_prefix),
+        "-outfmt", ofmt, "-out", str(d2),
+    ]) == 0
+    assert main([
+        "blast_formatter", "-archive", str(arc),
+        "-outfmt", ofmt, "-out", str(r2),
+    ]) == 0
+    assert r2.read_text() == d2.read_text()
+
+    # CSV mode
+    r10 = tmp_path / "r10.csv"
+    assert main([
+        "blast_formatter", "-archive", str(arc),
+        "-outfmt", "10 qseqid evalue bitscore", "-out", str(r10),
+    ]) == 0
+    assert "," in r10.read_text().splitlines()[0]
