@@ -512,6 +512,9 @@ def run_seeding_streamed(
             "maxr": flat[5 * cap: 6 * cap][sel],
         }
 
+    # blocks in flight: deeper pipelining hides the per-block host prep
+    # and the tunnel's dispatch/fetch round trips behind device compute
+    depth = max(int(_os.environ.get("GBLASTN_TPU_STREAM_DEPTH", "3")), 1)
     with slog.time("device.seeding.stream"):
         pending = []
         for k in range(plan.n_blocks):
@@ -519,7 +522,7 @@ def run_seeding_streamed(
             if inputs is None:
                 continue
             pending.append((k, inputs, dispatch(inputs)))
-            if len(pending) > 1:
+            if len(pending) > depth - 1:
                 collect(*pending.pop(0))
         for item in pending:
             collect(*item)

@@ -820,6 +820,57 @@ class GappedResult:
     edit_script: EditScript | None
 
 
+def greedy_gapped_traceback_native(
+    query: np.ndarray,
+    subject: np.ndarray,
+    gap_x_dropoff: int,
+    reward: int,
+    penalty: int,
+    gap_open: int,
+    gap_extend: int,
+    q_off: int,
+    s_off: int,
+) -> GappedResult | None:
+    """One fused native call for the traceback extension: both greedy
+    directions + prelim-block combine + s_ReduceGaps
+    (native/greedy.cpp gblastn_greedy_gapped_traceback); None = use the
+    two-call Python driver below."""
+    from gblastn_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gblastn_greedy_gapped_traceback"):
+        return None
+    qa = np.ascontiguousarray(query, dtype=np.uint8)
+    sa = np.ascontiguousarray(subject, dtype=np.uint8)
+    out = np.empty(6, dtype=np.int64)
+    max_ops = 256
+    while True:
+        op_types = np.empty(max_ops, dtype=np.int32)
+        op_nums = np.empty(max_ops, dtype=np.int32)
+        rc = lib.gblastn_greedy_gapped_traceback(
+            qa.ctypes.data, len(qa), sa.ctypes.data, len(sa),
+            int(gap_x_dropoff), int(reward), int(penalty),
+            int(gap_open), int(gap_extend),
+            int(q_off), int(s_off),
+            op_types.ctypes.data, op_nums.ctypes.data, max_ops,
+            out.ctypes.data,
+        )
+        if rc == 0:
+            break
+        max_ops *= 4
+        if max_ops > 1 << 24:
+            return None
+    n = int(out[5])
+    esp = list(zip(op_types[:n].tolist(), op_nums[:n].tolist()))
+    return GappedResult(
+        q_start=int(out[1]), q_end=int(out[2]),
+        s_start=int(out[3]), s_end=int(out[4]),
+        score=int(out[0]),
+        q_seed_start=q_off, s_seed_start=s_off,
+        edit_script=esp,
+    )
+
+
 def greedy_gapped_alignment(
     query: np.ndarray,
     subject: np.ndarray,
@@ -831,12 +882,20 @@ def greedy_gapped_alignment(
     q_off: int,
     s_off: int,
     do_traceback: bool,
+    use_native: bool | None = None,
 ) -> GappedResult:
     """BLAST_GreedyGappedAlignment (blast_gapalign.c:2620).
 
     ``penalty`` is negative (as in scoring options); query is BLASTNA,
     subject is either 2-bit codes (prelim) or BLASTNA (traceback).
     """
+    if do_traceback and use_native is not False:
+        res = greedy_gapped_traceback_native(
+            query, subject, gap_x_dropoff, reward, penalty,
+            gap_open, gap_extend, q_off, s_off,
+        )
+        if res is not None:
+            return res
     mismatch = -penalty
     fwd = affine_greedy_align(
         query[q_off:], subject[s_off:], False, gap_x_dropoff,

@@ -96,6 +96,18 @@ def get_lib():
         ctypes.c_int64,                       # max_ops
         ctypes.c_void_p,                      # out_vals[7]
     ]
+    lib.gblastn_greedy_gapped_traceback.restype = ctypes.c_int
+    lib.gblastn_greedy_gapped_traceback.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,      # q, q_len
+        ctypes.c_void_p, ctypes.c_int64,      # s, s_len
+        ctypes.c_int64, ctypes.c_int64,       # xdrop, reward
+        ctypes.c_int64,                       # penalty (negative)
+        ctypes.c_int64, ctypes.c_int64,       # gap_open, gap_extend
+        ctypes.c_int64, ctypes.c_int64,       # q_off, s_off
+        ctypes.c_void_p, ctypes.c_void_p,     # op_types, op_nums
+        ctypes.c_int64,                       # max_ops
+        ctypes.c_void_p,                      # out int64[6]
+    ]
     lib.gblastn_semi_gapped_align.restype = ctypes.c_int
     lib.gblastn_semi_gapped_align.argtypes = [
         ctypes.c_void_p, ctypes.c_int64,      # A, a_avail

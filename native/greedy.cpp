@@ -543,4 +543,124 @@ int gblastn_greedy_align(
     return ops.overflow ? 1 : 0;
 }
 
+// Fused greedy gapped TRACEBACK extension: both directions + prelim-
+// block combination (Blast_PrelimEditBlockToGapEditScript,
+// blast_gapalign.c:2455) + gap normalization (s_ReduceGaps, :2547) in
+// one call -- the native twin of gapped/greedy.py
+// greedy_gapped_alignment(do_traceback=True).
+//
+// out = [score, q_start, q_end, s_start, s_end, n_ops]; returns 0 ok,
+// 1 = ops buffer overflow (retry with a larger buffer).
+int gblastn_greedy_gapped_traceback(
+    const uint8_t* q, int64_t q_len,
+    const uint8_t* s, int64_t s_len,
+    int64_t xdrop, int64_t reward, int64_t penalty /* negative */,
+    int64_t gap_open, int64_t gap_extend,
+    int64_t q_off, int64_t s_off,
+    int32_t* op_types, int32_t* op_nums, int64_t max_ops,
+    int64_t* out_vals) {
+    const int64_t mismatch = -penalty;
+    std::vector<int32_t> ft(max_ops), fn(max_ops), rt(max_ops),
+        rn(max_ops);
+    Out fwd{}, rev{};
+    OpsBuf fops{ft.data(), fn.data(), max_ops};
+    OpsBuf rops{rt.data(), rn.data(), max_ops};
+    greedy_affine(q + q_off, q_len - q_off, s + s_off, s_len - s_off,
+                  false, xdrop, reward, mismatch, gap_open, gap_extend,
+                  true, &fops, &fwd);
+    greedy_affine(q, q_off, s, s_off,
+                  true, xdrop, reward, mismatch, gap_open, gap_extend,
+                  true, &rops, &rev);
+    if (fops.overflow || rops.overflow) return 1;
+
+    int64_t score = fwd.score_or_dist + rev.score_or_dist;
+    const int64_t q_ext_r = fwd.s1_align_len, s_ext_r = fwd.s2_align_len;
+    const int64_t q_ext_l = rev.s1_align_len, s_ext_l = rev.s2_align_len;
+    if (gap_open == 0 && gap_extend == 0) {
+        score = (q_ext_r + s_ext_r + q_ext_l + s_ext_l) * reward / 2 -
+                score * (reward - penalty);
+    } else if (reward % 2 == 1) {
+        score /= 2;
+    }
+
+    // combine: rev block in order, fwd block reversed, junction merge
+    OpsBuf esp{op_types, op_nums, max_ops};
+    for (int64_t i = 0; i < rops.n; ++i) esp.add(rt[i], rn[i]);
+    for (int64_t i = fops.n - 1; i >= 0; --i) esp.add(ft[i], fn[i]);
+    if (esp.overflow) return 1;
+
+    // s_ReduceGaps (blast_gapalign.c:2547) over the combined script
+    const int64_t n0 = esp.n;
+    int32_t* ot = op_types;
+    int32_t* on = op_nums;
+    {
+        int64_t qi = q_off - q_ext_l;
+        int64_t si = s_off - s_ext_l;
+        for (int64_t i = 0; i < n0; ++i) {
+            const int32_t op = ot[i];
+            if (op == OP_SUB) {
+                qi += on[i];
+                si += on[i];
+                continue;
+            }
+            if (i > 1 && ot[i] != ot[i - 2] && on[i - 2] > 0) {
+                const int64_t d = (int64_t)on[i] + on[i - 1] + on[i - 2];
+                if (d == 3) {
+                    on[i - 2] = 0;
+                    on[i - 1] = 2;
+                    on[i] = 0;
+                    if (op == OP_INS) ++qi; else ++si;
+                } else if (d < 12) {
+                    int64_t nm1 = 0, nm2 = 0;
+                    const int32_t dd =
+                        on[i] < on[i - 2] ? on[i] : on[i - 2];
+                    qi -= on[i - 1];
+                    si -= on[i - 1];
+                    int64_t q1 = qi, s1 = si;
+                    if (op == OP_INS) si -= dd; else qi -= dd;
+                    for (int32_t k = 0; k < on[i - 1]; ++k) {
+                        if (q[q1] == s[s1]) ++nm1;
+                        if (q[qi] == s[si]) ++nm2;
+                        ++q1; ++s1; ++qi; ++si;
+                    }
+                    for (int32_t k = 0; k < dd; ++k) {
+                        if (q[qi] == s[si]) ++nm2;
+                        ++qi; ++si;
+                    }
+                    if (nm2 >= nm1 - dd) {
+                        on[i - 2] -= dd;
+                        on[i - 1] += dd;
+                        on[i] -= dd;
+                    } else {
+                        qi = q1;
+                        si = s1;
+                    }
+                }
+            }
+            if (ot[i] == OP_INS) qi += on[i]; else si += on[i];
+        }
+    }
+    // rebuild: drop zero-num ops, merging the op after a dropped one
+    // into the previous kept op (blast_gapalign.c:2607)
+    int64_t w = 0;
+    for (int64_t i = 0; i < n0; ++i) {
+        if (on[i] > 0) {
+            ot[w] = ot[i];
+            on[w] = on[i];
+            ++w;
+        } else {
+            ++i;
+            if (i < n0 && w > 0) on[w - 1] += on[i];
+        }
+    }
+
+    out_vals[0] = score;
+    out_vals[1] = q_off - q_ext_l;
+    out_vals[2] = q_off + q_ext_r;
+    out_vals[3] = s_off - s_ext_l;
+    out_vals[4] = s_off + s_ext_r;
+    out_vals[5] = w;
+    return 0;
+}
+
 }  // extern "C"

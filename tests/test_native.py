@@ -319,3 +319,41 @@ class TestNativePrelimWalk:
             qblock, np.zeros(1000, np.uint8), 0, z, init, params, None
         )
         assert out == []
+
+
+class TestNativeGreedyTraceback:
+    """Fused gblastn_greedy_gapped_traceback vs the Python two-call
+    driver (combine + reduce_gaps)."""
+
+    @pytest.mark.parametrize("reward,penalty,go,ge,xdrop", [
+        (1, -2, 0, 0, 110),   # megablast non-affine, doubled units
+        (2, -3, 5, 2, 60),
+        (1, -3, 2, 1, 40),
+    ])
+    def test_traceback_fuzz(self, reward, penalty, go, ge, xdrop):
+        from gblastn_tpu.gapped.greedy import greedy_gapped_alignment
+
+        rng = np.random.default_rng(515)
+        for trial in range(60):
+            n = int(rng.integers(60, 600))
+            s = rng.integers(0, 4, n + 200).astype(np.uint8)
+            q = mutate(rng, s[100: 100 + n], 0.05, 0.02)
+            # occasional ambiguity codes in both rows
+            for arr in (q, s):
+                amb = rng.random(len(arr)) < 0.002
+                arr[amb] = 14
+            q_off = len(q) // 2
+            s_off = 100 + q_off
+            py = greedy_gapped_alignment(
+                q, s, xdrop, reward, penalty, go, ge, q_off, s_off,
+                do_traceback=True, use_native=False,
+            )
+            nat = greedy_gapped_alignment(
+                q, s, xdrop, reward, penalty, go, ge, q_off, s_off,
+                do_traceback=True, use_native=True,
+            )
+            assert (py.score, py.q_start, py.q_end, py.s_start,
+                    py.s_end) == (
+                nat.score, nat.q_start, nat.q_end, nat.s_start,
+                nat.s_end), trial
+            assert py.edit_script == nat.edit_script, trial
