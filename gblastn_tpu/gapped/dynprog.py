@@ -358,6 +358,49 @@ def dyn_prog_nt_gapped_alignment(
     )
 
 
+def dp_gapped_traceback_native(
+    query, subject, matrix, gap_open, gap_extend, gap_x_dropoff_final,
+    q_start, s_start,
+) -> GappedResult | None:
+    """One fused native call for the DP traceback extension (left +
+    right + combine, native/dynprog.cpp); None = Python driver."""
+    from gblastn_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gblastn_dp_gapped_traceback"):
+        return None
+    qa = np.ascontiguousarray(query, dtype=np.uint8)
+    sa = np.ascontiguousarray(subject, dtype=np.uint8)
+    m = np.ascontiguousarray(matrix, dtype=np.int32)
+    out = np.empty(6, dtype=np.int64)
+    max_ops = 256
+    while True:
+        op_types = np.empty(max_ops, dtype=np.int32)
+        op_nums = np.empty(max_ops, dtype=np.int32)
+        rc = lib.gblastn_dp_gapped_traceback(
+            qa.ctypes.data, len(qa), sa.ctypes.data, len(sa),
+            m.ctypes.data,
+            int(gap_open), int(gap_extend), int(gap_x_dropoff_final),
+            int(q_start), int(s_start),
+            op_types.ctypes.data, op_nums.ctypes.data, max_ops,
+            out.ctypes.data,
+        )
+        if rc == 0:
+            break
+        max_ops *= 4
+        if max_ops > 1 << 24:
+            return None
+    n = int(out[5])
+    esp = list(zip(op_types[:n].tolist(), op_nums[:n].tolist()))
+    return GappedResult(
+        q_start=int(out[1]), q_end=int(out[2]),
+        s_start=int(out[3]), s_end=int(out[4]),
+        score=int(out[0]),
+        q_seed_start=q_start, s_seed_start=s_start,
+        edit_script=esp,
+    )
+
+
 def gapped_alignment_with_traceback(
     query: np.ndarray,        # uint8 BLASTNA
     subject: np.ndarray,      # uint8 BLASTNA (true ambiguities)
@@ -367,9 +410,17 @@ def gapped_alignment_with_traceback(
     gap_x_dropoff_final: int,
     q_start: int,
     s_start: int,
+    use_native: bool | None = None,
 ) -> GappedResult:
     """BLAST_GappedAlignmentWithTraceback (blast_gapalign.c:3994).
     Left extension includes [q_start, s_start]; right excludes it."""
+    if use_native is not False:
+        res = dp_gapped_traceback_native(
+            query, subject, matrix, gap_open, gap_extend,
+            gap_x_dropoff_final, q_start, s_start,
+        )
+        if res is not None:
+            return res
     q_length = len(query)
     s_length = len(subject)
 

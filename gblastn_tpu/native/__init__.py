@@ -121,6 +121,18 @@ def get_lib():
         ctypes.c_int64,                       # max_ops
         ctypes.c_void_p,                      # out_vals[4]
     ]
+    lib.gblastn_dp_gapped_traceback.restype = ctypes.c_int
+    lib.gblastn_dp_gapped_traceback.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,      # q, q_len
+        ctypes.c_void_p, ctypes.c_int64,      # s, s_len
+        ctypes.c_void_p,                      # matrix 16x16 int32
+        ctypes.c_int64, ctypes.c_int64,       # gap_open, gap_extend
+        ctypes.c_int64,                       # x_dropoff
+        ctypes.c_int64, ctypes.c_int64,       # q_start, s_start
+        ctypes.c_void_p, ctypes.c_void_p,     # op_types, op_nums
+        ctypes.c_int64,                       # max_ops
+        ctypes.c_void_p,                      # out int64[6]
+    ]
     lib.gblastn_reevaluate_gapped.restype = ctypes.c_int64
     lib.gblastn_reevaluate_gapped.argtypes = [
         ctypes.c_void_p, ctypes.c_int64,      # q, qlen

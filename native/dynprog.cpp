@@ -39,6 +39,18 @@ struct OpsBuf {
         nums[n] = 1;
         ++n;
     }
+
+    void add(int32_t op, int64_t num) {
+        if (num == 0) return;
+        if (n > 0 && types[n - 1] == op) {
+            nums[n - 1] += (int32_t)num;
+            return;
+        }
+        if (n >= cap) { overflow = true; return; }
+        types[n] = op;
+        nums[n] = (int32_t)num;
+        ++n;
+    }
 };
 
 }  // namespace
@@ -232,4 +244,65 @@ int gblastn_semi_gapped_align(
     return ops.overflow ? 1 : 0;
 }
 
+// Fused DP gapped TRACEBACK extension: left (inclusive) + right
+// (exclusive) semi-gapped passes + prelim-block combination in one
+// call -- the native twin of gapped/dynprog.py
+// gapped_alignment_with_traceback (BLAST_GappedAlignmentWithTraceback,
+// blast_gapalign.c:3994).
+//
+// out = [score, q_start, q_end, s_start, s_end, n_ops]; returns 0 ok,
+// 1 = ops buffer overflow.
+int gblastn_dp_gapped_traceback(
+    const uint8_t* q, int64_t q_len,
+    const uint8_t* s, int64_t s_len,
+    const int32_t* matrix,
+    int64_t gap_open, int64_t gap_extend, int64_t x_dropoff,
+    int64_t q_start, int64_t s_start,
+    int32_t* op_types, int32_t* op_nums, int64_t max_ops,
+    int64_t* out_vals) {
+    std::vector<int32_t> lt(max_ops), ln(max_ops), rt(max_ops),
+        rn(max_ops);
+    int64_t lv[4] = {0, 0, 0, 0}, rv[4] = {0, 0, 0, 0};
+    if (gblastn_semi_gapped_align(
+            q, q_len, s, s_len, q_start + 1, s_start + 1, matrix,
+            gap_open, gap_extend, x_dropoff, 1, 0,
+            lt.data(), ln.data(), max_ops, lv) != 0)
+        return 1;
+    const int64_t query_start = q_start - lv[1] + 1;
+    const int64_t subject_start = s_start - lv[2] + 1;
+
+    int64_t query_stop, subject_stop, score_right = 0;
+    int64_t n_fwd = 0;
+    if (q_start < q_len && s_start < s_len) {
+        if (gblastn_semi_gapped_align(
+                q + q_start, q_len - q_start, s + s_start,
+                s_len - s_start, q_len - q_start - 1,
+                s_len - s_start - 1, matrix,
+                gap_open, gap_extend, x_dropoff, 0, 0,
+                rt.data(), rn.data(), max_ops, rv) != 0)
+            return 1;
+        score_right = rv[0];
+        query_stop = q_start + rv[1] + 1;
+        subject_stop = s_start + rv[2] + 1;
+        n_fwd = rv[3];
+    } else {
+        query_stop = q_start - 1;
+        subject_stop = s_start - 1;
+    }
+
+    OpsBuf esp{op_types, op_nums, max_ops};
+    for (int64_t i = 0; i < lv[3]; ++i) esp.add(lt[i], ln[i]);
+    for (int64_t i = n_fwd - 1; i >= 0; --i) esp.add(rt[i], rn[i]);
+    if (esp.overflow) return 1;
+
+    out_vals[0] = lv[0] + score_right;
+    out_vals[1] = query_start;
+    out_vals[2] = query_stop;
+    out_vals[3] = subject_start;
+    out_vals[4] = subject_stop;
+    out_vals[5] = esp.n;
+    return 0;
+}
+
 }  // extern "C"
+

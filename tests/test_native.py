@@ -357,3 +357,61 @@ class TestNativeGreedyTraceback:
                 nat.score, nat.q_start, nat.q_end, nat.s_start,
                 nat.s_end), trial
             assert py.edit_script == nat.edit_script, trial
+
+
+class TestNativeDPTraceback:
+    """Fused gblastn_dp_gapped_traceback vs the Python driver."""
+
+    @pytest.mark.parametrize("go,ge,xdrop", [(5, 2, 100), (4, 1, 60)])
+    def test_dp_traceback_fuzz(self, go, ge, xdrop):
+        from gblastn_tpu.gapped.dynprog import (
+            gapped_alignment_with_traceback,
+        )
+        from gblastn_tpu.stats.karlin import nucl_score_matrix
+
+        mat = nucl_score_matrix(2, -3)
+        rng = np.random.default_rng(616)
+        for trial in range(50):
+            n = int(rng.integers(60, 500))
+            s = rng.integers(0, 4, n + 200).astype(np.uint8)
+            q = mutate(rng, s[100: 100 + n], 0.05, 0.02)
+            for arr in (q, s):
+                amb = rng.random(len(arr)) < 0.002
+                arr[amb] = 14
+            q_start = len(q) // 2
+            s_start = 100 + q_start
+            py = gapped_alignment_with_traceback(
+                q, s, mat, go, ge, xdrop, q_start, s_start,
+                use_native=False,
+            )
+            nat = gapped_alignment_with_traceback(
+                q, s, mat, go, ge, xdrop, q_start, s_start,
+                use_native=True,
+            )
+            assert (py.score, py.q_start, py.q_end, py.s_start,
+                    py.s_end) == (
+                nat.score, nat.q_start, nat.q_end, nat.s_start,
+                nat.s_end), trial
+            assert py.edit_script == nat.edit_script, trial
+
+    def test_dp_traceback_at_sequence_edge(self):
+        from gblastn_tpu.gapped.dynprog import (
+            gapped_alignment_with_traceback,
+        )
+        from gblastn_tpu.stats.karlin import nucl_score_matrix
+
+        mat = nucl_score_matrix(2, -3)
+        rng = np.random.default_rng(617)
+        s = rng.integers(0, 4, 80).astype(np.uint8)
+        q = s[20:].copy()
+        # seed at the very last base: right pass is skipped
+        py = gapped_alignment_with_traceback(
+            q, s, mat, 5, 2, 100, len(q) - 1, 79, use_native=False,
+        )
+        nat = gapped_alignment_with_traceback(
+            q, s, mat, 5, 2, 100, len(q) - 1, 79, use_native=True,
+        )
+        assert (py.score, py.q_start, py.q_end, py.s_start, py.s_end,
+                py.edit_script) == (
+            nat.score, nat.q_start, nat.q_end, nat.s_start, nat.s_end,
+            nat.edit_script)
