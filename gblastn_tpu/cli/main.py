@@ -32,7 +32,6 @@ from pathlib import Path
 
 import numpy as np
 
-from gblastn_tpu.format.tabular import TabularWriter, hsp_to_tabular
 from gblastn_tpu.io.fasta import (
     BATCH_SIZE_BLASTN,
     BATCH_SIZE_MEGABLAST,
@@ -308,230 +307,21 @@ def run_blastn(argv) -> int:
     else:
         out = sys.stdout if args.out == "-" else open(args.out, "w")
     try:
-        pairwise = sam = xmlw = asnw = archw = anchored = None
-        writer = None
-        if kind == 5:
-            from gblastn_tpu.format.xmlout import XmlWriter
+        from gblastn_tpu.format.render import ResultRenderer
 
-            xmlw = XmlWriter(
-                out=out, dbname=db.title or args.db,
-                params={
-                    "expect": options.evalue,
-                    "sc-match": options.reward,
-                    "sc-mismatch": options.penalty,
-                    "gap-open": options.gap_open,
-                    "gap-extend": options.gap_extend,
-                    "filter": "L;m;" if options.dust else "F",
-                },
-            )
-        elif kind in (6, 7, 10):
-            writer = TabularWriter(
-                out=out,
-                commented=(kind == 7),
-                dbname=db.title or args.db,
-                delimiter="," if kind == 10 else "\t",
-            )
-            if fields:
-                writer.fields = fields
-        elif kind in (8, 9):
-            from gblastn_tpu.format.asn1out import AsnWriter
-
-            asnw = AsnWriter(
-                out=out, binary=(kind == 9), task=args.task,
-                db_title=db.title or args.db or "",
-            )
-        elif kind == 11:
-            from gblastn_tpu.format.archive import ArchiveWriter
-
-            archw = ArchiveWriter(
-                out=out, options=options,
-                dbname=args.db or args.subject or "",
-                db_num_seqs=db.num_seqs,
-                db_length=int(db.total_length),
-                task=args.task,
-            )
-        elif kind == 0:
-            from gblastn_tpu.format.pairwise import PairwiseWriter
-
-            pairwise = PairwiseWriter(
-                out=out, dbname=db.title or args.db,
-                db_num_seqs=db.num_seqs, db_length=db.total_length,
-            )
-            pairwise.write_header()
-        elif kind in (1, 2, 3, 4):
-            from gblastn_tpu.format.anchored import AnchoredWriter
-
-            anchored = AnchoredWriter(
-                out=out,
-                show_identities=kind in (1, 3),
-                flat=kind in (3, 4),
-                dbname=db.title or args.db,
-                db_num_seqs=db.num_seqs, db_length=db.total_length,
-            )
-            anchored.write_header()
-        else:
-            from gblastn_tpu.format.sam import SamWriter
-
-            sam = SamWriter(
-                out=out,
-                references=[
-                    (sid, int(n)) for sid, n in zip(db.ids, db.lengths)
-                ],
-            )
-            sam.write_header()
+        renderer = ResultRenderer(
+            kind, fields, out, db, options,
+            dbname=args.db or args.subject or "", task=args.task,
+        )
 
         batch_size = (
             BATCH_SIZE_MEGABLAST if args.task == "megablast"
             else BATCH_SIZE_BLASTN
         )
-        num_queries = 0
         t0 = time.time()
 
         def emit(results):
-            nonlocal num_queries
-            qb = results.qblock
-            ctx_off = qb.context_offsets()
-            for qres in results.queries:
-                qi = qres.query_index
-                qid = qb.ids[qi]
-                qtitle = (qid + " " + qb.titles[qi]).strip()
-                qlen = qb.lengths[qi]
-                if writer is not None:
-                    hits = []
-                    want_seqs = writer.needs_sequences()
-                    subj_cache: dict[int, object] = {}
-                    for lst in qres.hsplists:
-                        sid = db.ids[lst.oid]
-                        slen = int(db.lengths[lst.oid])
-                        subj = None
-                        if want_seqs:
-                            if lst.oid not in subj_cache:
-                                subj_cache[lst.oid] = (
-                                    db.get_sequence_blastna(lst.oid)
-                                )
-                            subj = subj_cache[lst.oid]
-                        for h in lst.hsps:
-                            q_ctx = None
-                            if want_seqs:
-                                c0 = int(ctx_off[h.context])
-                                q_ctx = qb.buffer[
-                                    c0: c0 + qb.contexts[h.context].length
-                                ]
-                            hits.append(hsp_to_tabular(
-                                h, qid, sid, qlen, slen,
-                                stitle=(sid + " " + db.titles[lst.oid]
-                                        ).strip(),
-                                q_ctx=q_ctx, subject=subj,
-                            ))
-                    writer.write_query_results(qid, qtitle, hits)
-                elif pairwise is not None or anchored is not None:
-                    def get_query(ctx):
-                        q0 = int(ctx_off[ctx])
-                        return qb.buffer[
-                            q0: q0 + qb.contexts[ctx].length
-                        ]
-
-                    phits = []
-                    for lst in qres.hsplists:
-                        subj = db.get_sequence_blastna(lst.oid)
-                        phits.append((
-                            db.ids[lst.oid], db.titles[lst.oid],
-                            int(db.lengths[lst.oid]), lst.hsps, subj,
-                        ))
-                    params = results.params
-                    ctx0 = qi * (
-                        2 if options.strand == "both" else 1
-                    )
-                    if pairwise is not None:
-                        pairwise.write_query_results(
-                            qtitle, qlen, phits, get_query,
-                            None, params.kbp_gap, params.kbp_ungap,
-                            params.contexts[ctx0].eff_searchsp,
-                        )
-                    else:
-                        anchored.write_query_results(
-                            qid, qtitle, qlen, phits, get_query,
-                            params.kbp_gap, params.kbp_ungap,
-                            params.contexts[ctx0].eff_searchsp,
-                        )
-                elif xmlw is not None:
-                    def get_query(ctx):
-                        q0 = int(ctx_off[ctx])
-                        return qb.buffer[
-                            q0: q0 + qb.contexts[ctx].length
-                        ]
-
-                    if num_queries == 0:
-                        xmlw.write_prolog(qid, qtitle, qlen)
-                    xhits = []
-                    for lst in qres.hsplists:
-                        xhits.append((
-                            db.ids[lst.oid], db.titles[lst.oid],
-                            int(db.lengths[lst.oid]), lst.hsps,
-                            db.get_sequence_blastna(lst.oid),
-                        ))
-                    params = results.params
-                    ctx0 = qi * (
-                        2 if options.strand == "both" else 1
-                    )
-                    kbp = params.kbp_gap
-                    xmlw.write_iteration(
-                        qid, qtitle, qlen, xhits, get_query,
-                        params.contexts[ctx0].eff_searchsp,
-                        kbp.K, kbp.Lambda, kbp.H,
-                    )
-                elif asnw is not None:
-                    ctx_lengths = {
-                        c: qb.contexts[c].length
-                        for c in range(len(qb.contexts))
-                    }
-                    asnw.write_query_results(
-                        qid,
-                        [(db.ids[lst.oid], lst.hsps)
-                         for lst in qres.hsplists],
-                        ctx_lengths,
-                    )
-                elif archw is not None:
-                    n_ctx_per_q = (
-                        2 if options.strand == "both" else 1
-                    )
-                    ctx0 = qi * n_ctx_per_q
-                    q0 = int(ctx_off[ctx0])
-                    mask_ivs = []
-                    if results.masks:
-                        mask_ivs = [
-                            (f - q0, t - q0 + 1)
-                            for f, t in results.masks[ctx0]
-                        ]
-                    archw.add_query(
-                        qid, qb.titles[qi],
-                        qb.buffer[q0: q0 + qb.contexts[ctx0].length],
-                        mask_ivs,
-                    )
-                    ctx_lengths = {
-                        c: qb.contexts[c].length
-                        for c in range(len(qb.contexts))
-                    }
-                    archw.add_alignments(
-                        qid,
-                        [(db.ids[lst.oid], lst.hsps)
-                         for lst in qres.hsplists],
-                        ctx_lengths,
-                    )
-                    archw.set_ka(
-                        results.params.kbp_ungap, results.params.kbp_gap
-                    )
-                else:
-                    for lst in qres.hsplists:
-                        sid = db.ids[lst.oid]
-                        for h in lst.hsps:
-                            ctx = h.context
-                            q0 = int(ctx_off[ctx])
-                            qseq = qb.buffer[
-                                q0: q0 + qb.contexts[ctx].length
-                            ]
-                            sam.write_hsp(h, qid, sid, qseq, qlen)
-                num_queries += 1
+            renderer.emit(results)
 
         def all_batches():
             for qfile in query_files:
@@ -582,25 +372,18 @@ def run_blastn(argv) -> int:
         except SearchInterrupted:
             interrupted = True
             print(
-                f"gblastn_tpu: search interrupted after {num_queries} "
-                "queries; output above is complete for those queries",
+                "gblastn_tpu: search interrupted after "
+                f"{renderer.num_queries} queries; output above is "
+                "complete for those queries",
                 file=sys.stderr,
             )
         finally:
             if prev_handler is not None:
                 signal.signal(signal.SIGINT, prev_handler)
-        if writer is not None:
-            writer.finalize(num_queries)
-        elif pairwise is not None:
-            pairwise.finalize()
-        elif xmlw is not None:
-            xmlw.finalize()
-        elif archw is not None:
-            archw.finalize(num_queries)
-        elif anchored is not None:
-            anchored.finalize()
+        renderer.finalize()
         print(
-            f"# {num_queries} queries in {time.time() - t0:.2f}s",
+            f"# {renderer.num_queries} queries in "
+            f"{time.time() - t0:.2f}s",
             file=sys.stderr,
         )
         if args.logfile:

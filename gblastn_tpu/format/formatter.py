@@ -184,13 +184,69 @@ def alignment_to_hsp(a: ArchiveAlignment, qlen: int) -> HSP:
     return h
 
 
+def rebuild_results(arch: Archive, db, options):
+    """Reconstruct a BlastResults (QueryBlock + per-query HSPLists +
+    derived params) from an archive, for rendering through the same
+    writer stack as a live search."""
+    from gblastn_tpu.engine.search import BlastResults, QueryResult
+    from gblastn_tpu.hits import HSPList
+    from gblastn_tpu.io.encoding import blastna_to_seq
+    from gblastn_tpu.io.fasta import FastaRecord
+    from gblastn_tpu.io.query import build_query_block
+    from gblastn_tpu.params.derived import derive_params
+
+    records = [
+        FastaRecord(q.qid, "", blastna_to_seq(
+            _unpack_4na(q.ncbi4na, q.length)
+        ))
+        for q in arch.queries
+    ]
+    qblock = build_query_block(records, options.strand)
+    params = derive_params(
+        options, [c.length for c in qblock.contexts],
+        int(db.total_length), db.num_seqs,
+    )
+    n_ctx_per_q = 2 if options.strand == "both" else 1
+    oid_of = {sid: i for i, sid in enumerate(db.ids)}
+    qi_of = {q.qid: i for i, q in enumerate(arch.queries)}
+
+    results = BlastResults(qblock=qblock, params=params)
+    per_query: dict[int, dict[int, HSPList]] = {}
+    order: dict[int, list[int]] = {}
+    for a in arch.alignments:
+        qi = qi_of.get(a.qid)
+        oid = oid_of.get(a.sid)
+        if qi is None or oid is None:
+            continue
+        h = alignment_to_hsp(a, arch.queries[qi].length)
+        h.context = qi * n_ctx_per_q + (
+            1 if (a.minus and n_ctx_per_q == 2) else 0
+        )
+        h.q_frame = -1 if a.minus else 1
+        lists = per_query.setdefault(qi, {})
+        if oid not in lists:
+            lists[oid] = HSPList(oid=oid, hsps=[])
+            order.setdefault(qi, []).append(oid)
+        lists[oid].hsps.append(h)
+    for qi in range(len(arch.queries)):
+        qres = QueryResult(query_index=qi)
+        for oid in order.get(qi, []):
+            lst = per_query[qi][oid]
+            lst.best_evalue = min(h.evalue for h in lst.hsps)
+            qres.hsplists.append(lst)
+        results.queries.append(qres)
+    return results
+
+
 def format_archive(
     text: str,
     out,
     outfmt: str = "6",
     db=None,                     # SequenceDB override (tests)
 ) -> int:
-    """Render an archive's alignments as tabular 6/7/10."""
+    """Re-render an archive with any -outfmt. Non-tabular kinds (and
+    sequence-dependent tabular fields) need the archived database; the
+    plain tabular kinds work from the archive alone."""
     from gblastn_tpu.format.tabular import (
         DEFAULT_FIELDS,
         TabularWriter,
@@ -201,10 +257,46 @@ def format_archive(
     parts = outfmt.split()
     kind = int(parts[0])
     if kind not in (6, 7, 10):
-        raise ValueError(
-            "blast_formatter supports tabular -outfmt 6/7/10 "
-            f"(got {kind})"
+        from gblastn_tpu.format.render import ResultRenderer
+        from gblastn_tpu.objects.blast4 import strategy_to_args
+
+        if db is None and arch.dbname:
+            try:
+                from gblastn_tpu.io.seqdb import SequenceDB
+
+                db = SequenceDB.load(arch.dbname)
+            except Exception:
+                db = None
+        if db is None:
+            raise ValueError(
+                f"-outfmt {kind} needs the archived database "
+                f"({arch.dbname!r}), which could not be opened; "
+                "tabular 6/7/10 work from the archive alone"
+            )
+        saved = strategy_to_args(text)
+        kw = {}
+        for src, dst in (
+            ("evalue", "evalue"), ("word_size", "word_size"),
+            ("gapopen", "gap_open"), ("gapextend", "gap_extend"),
+            ("penalty", "penalty"), ("reward", "reward"),
+            ("strand", "strand"),
+            ("window_size", "window_size"),
+            ("template_length", "template_length"),
+            ("template_type", "template_type"),
+        ):
+            if saved.get(src) not in (None, 0):
+                kw[dst] = saved[src]
+        from gblastn_tpu.params.options import options_for_task
+
+        options = options_for_task(saved.get("task", "megablast"), **kw)
+        results = rebuild_results(arch, db, options)
+        renderer = ResultRenderer(
+            kind, parts[1:], out, db, options,
+            dbname=arch.dbname, task=str(saved.get("task", "megablast")),
         )
+        renderer.emit(results)
+        renderer.finalize()
+        return 0
     fields = parts[1:] or list(DEFAULT_FIELDS)
     writer = TabularWriter(
         out=out, fields=fields, commented=(kind == 7),

@@ -221,3 +221,26 @@ def test_blast_formatter_roundtrip(tmp_path):
         "-outfmt", "10 qseqid evalue bitscore", "-out", str(r10),
     ]) == 0
     assert "," in r10.read_text().splitlines()[0]
+
+    # non-tabular kinds render through the shared writer stack and must
+    # be byte-identical to the direct run (pairwise, anchored, XML).
+    # SAM is compared with EV tags clamped: the archive stores e-values
+    # below 1e-180 as 0 (s_BuildScoreList, blast_seqalign.cpp:935), so a
+    # replay cannot recover them -- the reference behaves the same.
+    for fmt in ("0", "1", "4", "5", "17"):
+        dd = tmp_path / f"dd.{fmt}"
+        rr = tmp_path / f"rr.{fmt}"
+        assert main([
+            "blastn", "-query", str(qfile), "-db", str(db_prefix),
+            "-outfmt", fmt, "-out", str(dd),
+        ]) == 0
+        assert main([
+            "blast_formatter", "-archive", str(arc),
+            "-outfmt", fmt, "-out", str(rr),
+        ]) == 0
+        a, b = rr.read_text(), dd.read_text()
+        if fmt == "17":
+            import re
+            a = re.sub(r"EV:f:\S+", "EV:f:*", a)
+            b = re.sub(r"EV:f:\S+", "EV:f:*", b)
+        assert a == b, fmt
