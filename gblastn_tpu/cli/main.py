@@ -102,6 +102,23 @@ def _add_blastn_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-db_hard_mask", type=int, default=None,
                    help="database masking algorithm id: masked subject "
                         "ranges excluded from seeding and rendered N")
+    p.add_argument("-xdrop_ungap", type=float, default=None,
+                   help="X-dropoff (bits) for ungapped extensions")
+    p.add_argument("-xdrop_gap", type=float, default=None,
+                   help="X-dropoff (bits) for preliminary gapped "
+                        "extensions")
+    p.add_argument("-xdrop_gap_final", type=float, default=None,
+                   help="X-dropoff (bits) for final gapped alignment")
+    p.add_argument("-gap_trigger", type=float, default=None,
+                   help="score (bits) to trigger gapped extension "
+                        "(ungapped cutoff ceiling)")
+    p.add_argument("-max_hsps_per_subject", type=int, default=0,
+                   help="max HSPs kept per subject sequence (0 = all)")
+    p.add_argument("-no_greedy", action="store_true",
+                   help="megablast: use non-greedy dynamic programming "
+                        "extension")
+    p.add_argument("-min_raw_gapped_score", type=int, default=0,
+                   help="minimum raw gapped score for saved HSPs")
     p.add_argument("-num_threads", type=int, default=1)
     # G-BLASTN compatibility flags, mapped to TPU equivalents
     p.add_argument("-use_gpu", default=None, help="alias of -use_tpu")
@@ -177,6 +194,22 @@ def _build_options(args):
         overrides["use_index"] = True
         if args.index_name:
             overrides["index_name"] = args.index_name
+    if args.xdrop_ungap is not None:
+        overrides["x_dropoff_ungapped"] = args.xdrop_ungap
+    if args.xdrop_gap is not None:
+        overrides["gap_x_dropoff"] = args.xdrop_gap
+    if args.xdrop_gap_final is not None:
+        overrides["gap_x_dropoff_final"] = args.xdrop_gap_final
+    if args.gap_trigger is not None:
+        overrides["gap_trigger"] = args.gap_trigger
+    if args.max_hsps_per_subject:
+        overrides["max_hsps_per_subject"] = args.max_hsps_per_subject
+    if args.min_raw_gapped_score:
+        overrides["cutoff_score"] = args.min_raw_gapped_score
+    if args.no_greedy:
+        from gblastn_tpu.params.options import ExtensionMethod
+
+        overrides["extension_method"] = ExtensionMethod.DYN_PROG
     if args.template_type is not None:
         overrides["template_type"] = args.template_type
     if args.template_length is not None:
@@ -233,6 +266,11 @@ def run_blastn(argv) -> int:
         p.error("one of -query / -query_list is required")
 
     options = _build_options(args)
+    try:
+        options.validate()
+    except ValueError as e:
+        print(f"BLAST options error: {e}", file=sys.stderr)
+        return 1
 
     if args.export_search_strategy:
         # SaveSearchStrategy (blastn_app.cpp:593): a Blast4-request

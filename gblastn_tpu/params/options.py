@@ -101,6 +101,14 @@ class SearchOptions:
             raise ValueError("reward must be > 0 and penalty < 0")
         if self.strand not in ("both", "plus", "minus"):
             raise ValueError(f"bad strand {self.strand}")
+        if (self.gapped
+                and self.gap_open == 0 and self.gap_extend == 0
+                and self.extension_method is not ExtensionMethod.GREEDY):
+            # BlastExtensionOptionsValidate (blast_options.c:1604)
+            raise ValueError(
+                "Greedy extension must be used if gap existence and "
+                "extension options are zero"
+            )
         if self.template_length:
             # s_DiscWordOptionsValidate (blast_options.c:1191)
             if self.template_length not in (16, 18, 21):

@@ -388,6 +388,8 @@ typedef struct Args {
     int dust;                /* 1 = on (default), 0 = off */
     int mask_at_hash;        /* soft masking for seeding only (default 1) */
     int ungapped;            /* 1 = ungapped search */
+    int no_greedy;           /* 1 = force DP extension (megablast) */
+    Int4 min_raw_gapped_score;  /* 0 = derive from evalue */
     Int8 searchsp;           /* 0 = none */
     double xdrop_ungap, xdrop_gap, xdrop_gap_final; /* <0 = default */
     Int4 min_diag_separation; /* -1 = task default */
@@ -426,6 +428,8 @@ static Args parse_args(int argc, char** argv) {
         else if (!strcmp(k, "-dust")) { a.dust = !strcmp(v, "yes"); i++; }
         else if (!strcmp(k, "-soft_masking")) { a.mask_at_hash = !strcmp(v, "true"); i++; }
         else if (!strcmp(k, "-ungapped")) { a.ungapped = 1; }
+        else if (!strcmp(k, "-no_greedy")) { a.no_greedy = 1; }
+        else if (!strcmp(k, "-min_raw_gapped_score")) { a.min_raw_gapped_score = atoi(v); i++; }
         else if (!strcmp(k, "-searchsp")) { a.searchsp = atoll(v); i++; }
         else if (!strcmp(k, "-xdrop_ungap")) { a.xdrop_ungap = atof(v); i++; }
         else if (!strcmp(k, "-xdrop_gap")) { a.xdrop_gap = atof(v); i++; }
@@ -462,7 +466,8 @@ int main(int argc, char** argv) {
     /* greedy iff megablast-style linear gap costs (blast_nucl_options.cpp
      * SetMBGappedExtensionDefaults; the CLI picks greedy whenever
      * gapopen==gapextend==0 for megablast) */
-    int greedy = is_megablast && gapopen == 0 && gapextend == 0;
+    int greedy = is_megablast && gapopen == 0 && gapextend == 0
+                 && !a.no_greedy;
     double xdrop_ungap = (a.xdrop_ungap >= 0) ? a.xdrop_ungap : 20;   /* BLAST_UNGAPPED_X_DROPOFF_NUCL */
     double xdrop_gap = (a.xdrop_gap >= 0) ? a.xdrop_gap : (greedy ? 25 : 30);
     double xdrop_gap_final = (a.xdrop_gap_final >= 0) ? a.xdrop_gap_final : 100;
@@ -505,6 +510,8 @@ int main(int argc, char** argv) {
     BLAST_FillHitSavingOptions(hit_opts, a.evalue, a.hitlist_size,
                                score_opts->gapped_calculation,
                                0 /* culling_limit */, min_diag_separation);
+    if (a.min_raw_gapped_score)
+        hit_opts->cutoff_score = a.min_raw_gapped_score;
     query_opts->strand_option = 3; /* eNa_strand_both */
     if (a.dust) {
         SBlastFilterOptionsNew(&query_opts->filtering_options, eDust);

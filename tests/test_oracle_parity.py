@@ -247,6 +247,64 @@ class TestTwoHitParity:
         )
 
 
+class TestOptionFlagsParity:
+    def test_no_greedy_megablast(self, genome, tmp_path):
+        # -no_greedy: megablast scoring with DP extension (the reference
+        # rejects it at zero gap costs, so costs 4/2 here)
+        from gblastn_tpu.params.options import (
+            ExtensionMethod,
+            megablast_options,
+        )
+
+        rng = np.random.default_rng(901)
+        queries = []
+        for i in range(5):
+            start = int(rng.integers(0, len(genome) - 700))
+            queries.append(
+                (f"ng{i}", mutate(rng, genome[start : start + 500],
+                                  sub_rate=0.04, indel_rate=0.004))
+            )
+        assert_parity(
+            queries, [("chr1", genome)],
+            megablast_options(
+                evalue=1e-5, gap_open=4, gap_extend=2,
+                extension_method=ExtensionMethod.DYN_PROG,
+                gap_x_dropoff=30.0,
+            ),
+            dict(task="megablast", evalue=1e-5, gapopen=4, gapextend=2,
+                 no_greedy=True, xdrop_gap=30), tmp_path,
+        )
+
+    def test_zero_gap_costs_require_greedy(self):
+        from gblastn_tpu.params.options import (
+            ExtensionMethod,
+            megablast_options,
+        )
+
+        with pytest.raises(ValueError, match="Greedy extension"):
+            megablast_options(
+                extension_method=ExtensionMethod.DYN_PROG
+            ).validate()
+
+    def test_min_raw_gapped_score(self, genome, tmp_path):
+        from gblastn_tpu.params.options import megablast_options
+
+        rng = np.random.default_rng(902)
+        queries = []
+        for i in range(4):
+            start = int(rng.integers(0, len(genome) - 400))
+            queries.append(
+                (f"mr{i}", mutate(rng, genome[start : start + 300],
+                                  sub_rate=0.06))
+            )
+        assert_parity(
+            queries, [("chr1", genome)],
+            megablast_options(evalue=10.0, cutoff_score=120),
+            dict(task="megablast", evalue=10.0,
+                 min_raw_gapped_score=120), tmp_path,
+        )
+
+
 class TestDiscMegablastParity:
     """dc-megablast vs the reference C core: template sweep."""
 
