@@ -93,6 +93,10 @@ def _add_blastn_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-searchsp", type=int, default=0,
                    help="effective search space override")
     p.add_argument("-dust", default="yes")
+    p.add_argument("-soft_masking", default="true",
+                   help="true (default): query filters apply to "
+                        "seeding only; false: masked bases become N "
+                        "for the whole search")
     p.add_argument("-window_masker_db", default=None)
     p.add_argument("-filtering_db", default=None,
                    help="repeats database for query masking")
@@ -178,6 +182,8 @@ def _build_options(args):
         overrides["dust"] = args.dust in ("yes", "true", "T")
     if args.window_masker_db:
         overrides["window_masker_db"] = args.window_masker_db
+    if str(args.soft_masking).lower() in ("false", "f", "no", "0"):
+        overrides["mask_at_hash"] = False
     if args.filtering_db:
         overrides["filtering_db"] = args.filtering_db
     if args.window_size is not None:

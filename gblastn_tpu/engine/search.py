@@ -296,6 +296,16 @@ def prelim_search(
             ]
     locations = unmasked_locations(qblock.buffer, ctx_offsets, masks)
 
+    if masks is not None and not options.mask_at_hash:
+        # -soft_masking false: render masked bases as N for the whole
+        # search (BlastSetUp_MaskQuery, blast_filter.c:991); the
+        # original letters stay available as buffer_nomask for identity
+        # counts (sequence_nomask) and report display
+        qblock.buffer_nomask = qblock.buffer.copy()
+        for ctx_masks in masks:
+            for a, b in ctx_masks:
+                qblock.buffer[a: b + 1] = 14
+
     # indexed megablast (-use_index): resolve the database index before
     # the lookup table so the LUT width can be forced to the index's
     # (the seed set is bit-identical to a scan at that width; see

@@ -131,7 +131,7 @@ class ResultRenderer:
                         q_ctx = None
                         if want_seqs:
                             c0 = int(ctx_off[h.context])
-                            q_ctx = qb.buffer[
+                            q_ctx = qb.display_buffer[
                                 c0: c0 + qb.contexts[h.context].length
                             ]
                         hits.append(hsp_to_tabular(
@@ -144,7 +144,7 @@ class ResultRenderer:
             elif pairwise is not None or anchored is not None:
                 def get_query(ctx):
                     q0 = int(ctx_off[ctx])
-                    return qb.buffer[
+                    return qb.display_buffer[
                         q0: q0 + qb.contexts[ctx].length
                     ]
 
@@ -174,7 +174,7 @@ class ResultRenderer:
             elif xmlw is not None:
                 def get_query(ctx):
                     q0 = int(ctx_off[ctx])
-                    return qb.buffer[
+                    return qb.display_buffer[
                         q0: q0 + qb.contexts[ctx].length
                     ]
 
@@ -222,7 +222,7 @@ class ResultRenderer:
                     ]
                 archw.add_query(
                     qid, qb.titles[qi],
-                    qb.buffer[q0: q0 + qb.contexts[ctx0].length],
+                    qb.display_buffer[q0: q0 + qb.contexts[ctx0].length],
                     mask_ivs,
                 )
                 ctx_lengths = {
@@ -244,7 +244,7 @@ class ResultRenderer:
                     for h in lst.hsps:
                         ctx = h.context
                         q0 = int(ctx_off[ctx])
-                        qseq = qb.buffer[
+                        qseq = qb.display_buffer[
                             q0: q0 + qb.contexts[ctx].length
                         ]
                         sam.write_hsp(h, qid, sid, qseq, qlen)

@@ -39,6 +39,17 @@ class QueryBlock:
     ids: list[str]
     titles: list[str]
     lengths: list[int]                   # original per-query lengths
+    # -soft_masking false: ``buffer`` carries the N-masked bases the
+    # engine scores; this keeps the original letters for identity
+    # counting and report display (sequence_nomask analog)
+    buffer_nomask: np.ndarray | None = None
+
+    @property
+    def display_buffer(self) -> np.ndarray:
+        return (
+            self.buffer_nomask if self.buffer_nomask is not None
+            else self.buffer
+        )
 
     @property
     def num_queries(self) -> int:

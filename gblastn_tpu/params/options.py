@@ -68,6 +68,11 @@ class SearchOptions:
     window_masker_db: str | None = None
     filtering_db: str | None = None     # repeats database (-filtering_db)
     lcase_masking: bool = False         # lowercase query letters mask
+    # -soft_masking: True (default) applies query filters at seeding
+    # only (mask-at-hash); False rewrites masked query bases to N for
+    # the whole search (BlastSetUp_MaskQuery), with the unmasked copy
+    # kept for identity counting and report display
+    mask_at_hash: bool = True
     window_size: int = 0                # two-hit window; 0 = one-hit
 
     # Subject-side masking: filtering algorithm id stored in the

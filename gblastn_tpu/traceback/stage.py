@@ -462,9 +462,10 @@ def traceback_from_hsplist(
 
         if not greedy:
             # non-greedy: identity/length test inside the loop
-            # (blast_traceback.c:657-668)
+            # (blast_traceback.c:657-668); identities count against the
+            # UNMASKED letters (sequence_nomask, blast_hits.c:618)
             q0n = int(ctx_offsets[ctx])
-            query_nomask = qblock.buffer[q0n: q0n + q_len]
+            query_nomask = qblock.display_buffer[q0n: q0n + q_len]
             ni, align_len = num_identities(query_nomask, subject, hsp)
             hsp.num_ident = ni
             if hsp_test(hsp, align_len, opts.percent_identity):
@@ -487,7 +488,7 @@ def traceback_from_hsplist(
         q0 = int(ctx_offsets[ctx])
         q_len = qblock.contexts[ctx].length
         query = qblock.buffer[q0: q0 + q_len]
-        query_nomask = query  # nomask buffer == buffer until masking lands
+        query_nomask = qblock.display_buffer[q0: q0 + q_len]
         delete = reevaluate_with_ambiguities_gapped(
             hsp, query, subject, matrix,
             params.contexts[ctx].cutoff_score,

@@ -286,6 +286,30 @@ class TestOptionFlagsParity:
                 extension_method=ExtensionMethod.DYN_PROG
             ).validate()
 
+    def test_soft_masking_false(self, genome, tmp_path):
+        # -soft_masking false: dust-masked query bases become N for the
+        # whole search (BlastSetUp_MaskQuery); identities still count
+        # against the unmasked letters
+        from gblastn_tpu.params.options import megablast_options
+
+        rng = np.random.default_rng(903)
+        queries = []
+        for i in range(4):
+            start = int(rng.integers(0, len(genome) - 700))
+            frag = mutate(rng, genome[start : start + 450],
+                          sub_rate=0.03)
+            # plant a low-complexity run INSIDE the match so the mask
+            # interval cuts through scoring territory
+            cut = int(rng.integers(100, 300))
+            frag = frag[:cut] + "AT" * 20 + frag[cut:]
+            queries.append((f"sm{i}", frag))
+        assert_parity(
+            queries, [("chr1", genome)],
+            megablast_options(evalue=1e-3, mask_at_hash=False),
+            dict(task="megablast", evalue=1e-3, soft_masking="false"),
+            tmp_path,
+        )
+
     def test_min_raw_gapped_score(self, genome, tmp_path):
         from gblastn_tpu.params.options import megablast_options
 
