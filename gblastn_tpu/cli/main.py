@@ -65,6 +65,9 @@ def _add_blastn_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-word_size", type=int, default=0)
     p.add_argument("-window_size", type=int, default=None,
                    help="two-hit window; 0 (default) = one-hit")
+    p.add_argument("-off_diagonal_range", type=int, default=0,
+                   help="number of off-diagonals to search for the "
+                        "2nd hit (two-hit mode)")
     p.add_argument("-ungapped", action="store_true",
                    help="ungapped search (sum-statistics e-values)")
     p.add_argument("-use_index", default=None,
@@ -188,6 +191,8 @@ def _build_options(args):
         overrides["filtering_db"] = args.filtering_db
     if args.window_size is not None:
         overrides["window_size"] = args.window_size
+    if args.off_diagonal_range:
+        overrides["off_diagonal_range"] = args.off_diagonal_range
     if args.db_soft_mask is not None:
         overrides["db_soft_mask"] = args.db_soft_mask
     if args.db_hard_mask is not None:

@@ -494,6 +494,7 @@ def prelim_search(
                 x_dropoffs=x_dropoffs,
                 cmax=cmax,
                 window_size=options.window_size,
+                scan_range=options.off_diagonal_range,
                 mask_intervals=db_mask_ivs,
             )
     elif use_stream:
@@ -515,6 +516,7 @@ def prelim_search(
                 scan_step=lut.scan_step,
                 cmax=cmax,
                 window_size=options.window_size,
+                scan_range=options.off_diagonal_range,
                 block_bases=int(os.environ.get(
                     "GBLASTN_TPU_BLOCK_BASES", str(1 << 27)
                 )),
@@ -609,6 +611,7 @@ def prelim_search(
             x_dropoffs=x_dropoffs,
             cmax=cmax,
             window_size=options.window_size,
+            scan_range=options.off_diagonal_range,
             mask_starts=mask_starts,
             mask_ends=mask_ends,
         )

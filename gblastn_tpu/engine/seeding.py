@@ -301,6 +301,86 @@ def two_hit_diag_filter(
     return saved
 
 
+def two_hit_scan_range_filter(
+    q_off: np.ndarray,
+    s_off: np.ndarray,
+    oid: np.ndarray,
+    word_size: int,
+    window: int,
+    scan_range: int,
+    ung_s_start: np.ndarray,
+    ung_length: np.ndarray,
+    ung_score: np.ndarray,
+    cutoff: np.ndarray,
+    right_run: np.ndarray,
+) -> np.ndarray:
+    """Two-hit replay with the off-diagonal probe
+    (-off_diagonal_range > 0): s_BlastnDiagTableExtendInitialHit
+    (na_ungapped.c:612) with Delta = min(scan_range, window - word).
+
+    Unlike the per-diagonal replay, neighbor diagonals interact, so
+    hits process in scan order (s_off, then q_off) over an exact
+    per-(oid, diag) state map -- the eDiagHash container semantics.
+    ``right_run`` carries the double-word probe (s_TypeOfWord,
+    zeros when word_length == lut_word_length).
+    """
+    n = len(q_off)
+    saved = np.zeros(n, dtype=bool)
+    if n == 0:
+        return saved
+    order = np.lexsort((q_off, s_off, oid))
+    delta_max = min(scan_range, window - word_size)
+    if delta_max < 0:
+        delta_max = 0
+    # (oid, diag) -> (last_hit, flag, hit_len)
+    state: dict[tuple[int, int], tuple[int, int, int]] = {}
+    for i in order:
+        o = int(oid[i])
+        s = int(s_off[i])
+        q = int(q_off[i])
+        diag = s - q
+        last_hit, flag, _hl = state.get((o, diag), (0, 0, 0))
+        s_end = s + word_size
+        if s < last_hit:
+            continue
+        hit_ready = 1
+        off_found = False
+        if flag or s_end > last_hit + window:
+            ext = int(right_run[i])
+            s_end += ext
+            if ext < word_size:
+                # single word: probe the off-diagonals for a pending
+                # (unsaved) hit whose span qualifies; double words
+                # (word_type 2) skip the probe and stay ready
+                s_a = s + word_size - window
+                s_b = s_end - 2 * word_size
+                for delta in range(1, delta_max + 1):
+                    st = state.get((o, diag + delta))
+                    if (st and st[2]
+                            and st[0] - delta >= s_a
+                            and st[0] - st[2] <= s_b):
+                        off_found = True
+                        break
+                    st = state.get((o, diag - delta))
+                    if (st and st[2]
+                            and st[0] >= s_a
+                            and st[0] - st[2] + delta <= s_b):
+                        off_found = True
+                        break
+                if not off_found:
+                    hit_ready = 0
+        if hit_ready:
+            if off_found or ung_score[i] >= cutoff[i]:
+                saved[i] = True
+                s_end = int(ung_s_start[i]) + int(ung_length[i])
+            else:
+                hit_ready = 0
+        state[(o, diag)] = (
+            s_end, hit_ready, 0 if hit_ready else s_end - s
+        )
+    return saved
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _prepare_query_jit(query):
     from gblastn_tpu.ops.pallas_ungapped import prepare_query
@@ -488,6 +568,7 @@ def run_seeding(
     hit_cap: int = 16384,
     seed_cap: int = 16384,
     window_size: int = 0,
+    scan_range: int = 0,
     mask_starts: np.ndarray | None = None,  # int32[M] sorted, padded
     mask_ends: np.ndarray | None = None,    # (db soft-mask intervals)
     disc_offsets: tuple[int, ...] | None = None,  # disc-mb template
@@ -685,6 +766,7 @@ def run_seeding(
         raw[0], raw[1], raw[2], raw[3], raw[4], raw[5], raw[6],
         word_cutoffs, subject_starts, word_size,
         window_size=window_size, right_run=right_run,
+        scan_range=scan_range,
     )
 
 
@@ -720,7 +802,7 @@ def run_seeding_two_templates(
 def _finish_init_hits(
     q_np, s_np, ctx, ug_q, ug_s, ug_len, ug_score,
     word_cutoffs, subject_starts, word_size,
-    window_size: int = 0, right_run=None,
+    window_size: int = 0, right_run=None, scan_range: int = 0,
 ) -> InitHits:
     """Host finishing: per-context cutoffs, oid mapping, one- or
     two-hit diagonal replay, final score ordering.
@@ -743,7 +825,14 @@ def _finish_init_hits(
     score32 = ug_score.astype(np.int32)
 
     with slog.time("host.diag_filter"):
-        if window_size > 0:
+        if window_size > 0 and scan_range > 0:
+            saved = two_hit_scan_range_filter(
+                q32, s_loc, oid, word_size, window_size, scan_range,
+                ug_s_loc, len32, score32, cutoff,
+                right_run if right_run is not None
+                else np.zeros(len(q_np), np.int32),
+            )
+        elif window_size > 0:
             saved = two_hit_diag_filter(
                 q32, s_loc, oid, word_size, window_size,
                 ug_s_loc, len32, score32, cutoff, right_run,
@@ -786,6 +875,7 @@ def run_seeding_sharded(
     x_dropoffs: np.ndarray,
     cmax: int = 8,
     window_size: int = 0,
+    scan_range: int = 0,
     mask_intervals: np.ndarray | None = None,
 ) -> InitHits:
     """Multi-chip seeding over a DB-sharded device mesh
@@ -842,4 +932,5 @@ def run_seeding_sharded(
         ug_q, ug_s, ug_len, ug_score,
         word_cutoffs, subject_starts, word_size,
         window_size=window_size, right_run=right_run,
+        scan_range=scan_range,
     )

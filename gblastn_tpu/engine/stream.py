@@ -341,6 +341,7 @@ def run_seeding_streamed(
     scan_step: int,
     cmax: int,
     window_size: int = 0,
+    scan_range: int = 0,
     block_bases: int = 1 << 27,
     halo: int = 4096,
     hit_cap: int = 16384,
@@ -600,4 +601,5 @@ def run_seeding_streamed(
         uq, us_g, ulen, uscore,
         word_cutoffs, db.starts, word_size,
         window_size=window_size, right_run=right_run,
+        scan_range=scan_range,
     )

@@ -74,6 +74,7 @@ class SearchOptions:
     # kept for identity counting and report display
     mask_at_hash: bool = True
     window_size: int = 0                # two-hit window; 0 = one-hit
+    off_diagonal_range: int = 0         # two-hit off-diagonal probe
 
     # Subject-side masking: filtering algorithm id stored in the
     # database's mask columns (-db_soft_mask / -db_hard_mask)

@@ -390,6 +390,7 @@ typedef struct Args {
     int ungapped;            /* 1 = ungapped search */
     int no_greedy;           /* 1 = force DP extension (megablast) */
     Int4 min_raw_gapped_score;  /* 0 = derive from evalue */
+    Int4 scan_range;         /* off-diagonal probe range (two-hit) */
     Int8 searchsp;           /* 0 = none */
     double xdrop_ungap, xdrop_gap, xdrop_gap_final; /* <0 = default */
     Int4 min_diag_separation; /* -1 = task default */
@@ -430,6 +431,7 @@ static Args parse_args(int argc, char** argv) {
         else if (!strcmp(k, "-ungapped")) { a.ungapped = 1; }
         else if (!strcmp(k, "-no_greedy")) { a.no_greedy = 1; }
         else if (!strcmp(k, "-min_raw_gapped_score")) { a.min_raw_gapped_score = atoi(v); i++; }
+        else if (!strcmp(k, "-scan_range")) { a.scan_range = atoi(v); i++; }
         else if (!strcmp(k, "-searchsp")) { a.searchsp = atoll(v); i++; }
         else if (!strcmp(k, "-xdrop_ungap")) { a.xdrop_ungap = atof(v); i++; }
         else if (!strcmp(k, "-xdrop_gap")) { a.xdrop_gap = atof(v); i++; }
@@ -505,6 +507,7 @@ int main(int argc, char** argv) {
                              penalty, reward, NULL, gapopen, gapextend);
     score_opts->gapped_calculation = a.ungapped ? FALSE : TRUE;
     BLAST_FillInitialWordOptions(word_opts, kProgram, window_size, xdrop_ungap);
+    if (a.scan_range) word_opts->scan_range = a.scan_range;
     BLAST_FillExtensionOptions(ext_opts, kProgram, greedy ? 1 : 0,
                                xdrop_gap, xdrop_gap_final);
     BLAST_FillHitSavingOptions(hit_opts, a.evalue, a.hitlist_size,

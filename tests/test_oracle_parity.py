@@ -310,6 +310,63 @@ class TestOptionFlagsParity:
             tmp_path,
         )
 
+    def test_off_diagonal_range(self, genome, tmp_path):
+        # -off_diagonal_range: two-hit admission accepts a second hit on
+        # a NEIGHBOR diagonal (scan_range probe, na_ungapped.c:668-694)
+        from gblastn_tpu.params.options import blastn_options
+
+        rng = np.random.default_rng(904)
+        queries = []
+        for i in range(6):
+            start = int(rng.integers(0, len(genome) - 900))
+            frag = mutate(rng, genome[start : start + 600],
+                          sub_rate=0.05, indel_rate=0.01)
+            queries.append((f"od{i}", frag))
+        # exact fragments: long exact runs exercise the double-word
+        # (word_type 2) path that bypasses the off-diagonal probe
+        for i in range(2):
+            start = int(rng.integers(0, len(genome) - 600))
+            queries.append((f"ox{i}", genome[start : start + 400]))
+        assert_parity(
+            queries, [("chr1", genome)],
+            blastn_options(evalue=1e-3, window_size=40,
+                           off_diagonal_range=4),
+            dict(task="blastn", evalue=1e-3, window_size=40,
+                 scan_range=4), tmp_path,
+        )
+
+    @pytest.mark.parametrize("sr", [0, 4])
+    def test_off_diagonal_below_cutoff_admission(self, tmp_path, sr):
+        # short matches split by one insertion: each ungapped half
+        # scores below cutoff, so the HSP exists ONLY via the
+        # off-diagonal probe's below-cutoff admission (off_found ||
+        # score >= cutoff, na_ungapped.c:732) -- 0 hits at scan_range 0,
+        # one per query at scan_range 4; both must match the reference
+        from gblastn_tpu.params.options import blastn_options
+
+        rng = np.random.default_rng(11)
+        genome2 = rand_seq(rng, 50000)
+        queries = []
+        for i in range(10):
+            start = int(rng.integers(0, len(genome2) - 100))
+            frag = list(genome2[start : start + 56])
+            frag.insert(28, BASES[int(rng.integers(0, 4))])
+            for pp in (8, 20, 36, 48):
+                frag[pp] = BASES[
+                    (BASES.index(frag[pp]) + 1 + int(rng.integers(0, 3)))
+                    % 4
+                ]
+            queries.append((f"sb{i}", "".join(frag)))
+        orun = assert_parity(
+            queries, [("chr1", genome2)],
+            blastn_options(evalue=20.0, window_size=40, dust=False,
+                           off_diagonal_range=sr),
+            dict(task="blastn", evalue=20.0, window_size=40,
+                 dust="no", scan_range=sr), tmp_path,
+        )
+        n = len(orun.hsps)
+        assert (n == 0) if sr == 0 else (n >= 8), (sr, n)
+
     def test_min_raw_gapped_score(self, genome, tmp_path):
         from gblastn_tpu.params.options import megablast_options
 
