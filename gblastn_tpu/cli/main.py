@@ -103,6 +103,12 @@ def _add_blastn_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-window_masker_db", default=None)
     p.add_argument("-filtering_db", default=None,
                    help="repeats database for query masking")
+    p.add_argument("-seqidlist", default=None,
+                   help="restrict the search to database sequences "
+                        "whose ids are listed in this file")
+    p.add_argument("-negative_seqidlist", default=None,
+                   help="exclude database sequences whose ids are "
+                        "listed in this file")
     p.add_argument("-db_soft_mask", type=int, default=None,
                    help="database masking algorithm id: masked subject "
                         "ranges are excluded from seeding")
@@ -337,6 +343,35 @@ def run_blastn(argv) -> int:
         db = SequenceDB.load(args.db)
     else:
         raise SystemExit("one of -db or -subject is required")
+    if args.seqidlist and args.negative_seqidlist:
+        raise SystemExit(
+            "use either -seqidlist or -negative_seqidlist, not both"
+        )
+    if args.seqidlist or args.negative_seqidlist:
+        listed = {
+            ln.strip()
+            for ln in Path(
+                args.seqidlist or args.negative_seqidlist
+            ).read_text().splitlines()
+            if ln.strip()
+        }
+        negative = args.negative_seqidlist is not None
+        keep = [
+            i for i, sid in enumerate(db.ids)
+            if (sid in listed) != negative
+        ]
+        missing = listed - set(db.ids)
+        if missing:
+            print(
+                "gblastn_tpu: warning: seqidlist ids not in the "
+                f"database: {', '.join(sorted(missing)[:5])}",
+                file=sys.stderr,
+            )
+        if not keep:
+            raise SystemExit(
+                "seqidlist restriction removes every database sequence"
+            )
+        db = db.subset_oids(keep)
     kind, fields = _parse_outfmt(args.outfmt)
 
     query_files = []

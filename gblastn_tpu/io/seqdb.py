@@ -374,6 +374,60 @@ class SequenceDB:
             shards.append(self._slice_oids(a, b))
         return shards
 
+    def subset_oids(self, keep) -> "SequenceDB":
+        """Restricted view over an arbitrary oid subset (-seqidlist /
+        -negative_seqidlist; the OID-mask role of CSeqDB restricted
+        instances, seqdbimpl.cpp). Statistics (num_seqs/total_length)
+        reflect the restriction, as the reference's restricted seqsrc
+        reports."""
+        keep = list(keep)
+        if not keep:
+            return self._slice_oids(0, 0)
+        parts, starts, lengths, ids, titles = [], [], [], [], []
+        ambp, ambc = [], []
+        mask_parts = {algo: [] for algo in self.masks}
+        cursor = 0
+        for oid in keep:
+            a = int(self.starts[oid])
+            b = (
+                int(self.starts[oid + 1]) if oid + 1 < self.num_seqs
+                else self.padded_length
+            )
+            parts.append(self.packed[a // 4: b // 4])
+            starts.append(cursor)
+            lengths.append(int(self.lengths[oid]))
+            ids.append(self.ids[oid])
+            titles.append(self.titles[oid])
+            sel = (self.ambig_pos >= a) & (self.ambig_pos < b)
+            ambp.append(self.ambig_pos[sel] - a + cursor)
+            ambc.append(self.ambig_code[sel])
+            for algo, m in self.masks.items():
+                ivs = m.intervals
+                k2 = (ivs[:, 1] > a) & (ivs[:, 0] < b)
+                mask_parts[algo].append(
+                    np.clip(ivs[k2], a, b) - a + cursor
+                )
+            cursor += b - a
+        db = SequenceDB(
+            packed=np.concatenate(parts),
+            starts=np.asarray(starts, np.int64),
+            lengths=np.asarray(lengths, np.int64),
+            ids=ids, titles=titles,
+            ambig_pos=np.concatenate(ambp),
+            ambig_code=np.concatenate(ambc),
+            title=self.title,
+        )
+        for algo, m in self.masks.items():
+            ivs = (
+                np.concatenate(mask_parts[algo])
+                if mask_parts[algo] else np.zeros((0, 2), np.int64)
+            )
+            db.masks[algo] = MaskSet(
+                program=m.program, options=m.options, intervals=ivs
+            )
+        db.hard_mask_algo = self.hard_mask_algo
+        return db
+
     def _slice_oids(self, a: int, b: int) -> "SequenceDB":
         if a >= b:
             # Empty shard: keep a single empty placeholder buffer.

@@ -186,3 +186,53 @@ def test_outfmt7_extended_header_and_qcovs_merge(setup, tmp_path):
     qcovs = {r[3] for r in rows}
     assert len(qcovs) == 1          # same subject -> same merged value
     assert all(int(r[4]) <= int(r[3]) for r in rows)
+
+
+def test_seqidlist_restriction(setup, tmp_path):
+    # build a 3-subject db; restrict to one id / exclude one id
+    genome_line = (setup / "db.fa").read_text().splitlines()
+    genome = "".join(genome_line[1:])
+    multi = tmp_path / "multi.fa"
+    multi.write_text(
+        ">s1 first\n" + genome[:4000] + "\n"
+        ">s2 second\n" + genome[4000:8000] + "\n"
+        ">s3 third\n" + genome[8000:12000] + "\n"
+    )
+    dbp = tmp_path / "mdb"
+    assert main(["makedb", "-in", str(multi), "-out", str(dbp),
+                 "-title", "m"]) == 0
+    # query matches s2 and s3
+    q = tmp_path / "q.fa"
+    q.write_text(">a\n" + genome[5000:5300] + "\n"
+                 ">b\n" + genome[9000:9300] + "\n")
+    lst = tmp_path / "ids.txt"
+    lst.write_text("s2\n")
+    out = tmp_path / "r.tsv"
+    assert main(["blastn", "-query", str(q), "-db", str(dbp),
+                 "-seqidlist", str(lst), "-out", str(out),
+                 "-outfmt", "6 qseqid sseqid"]) == 0
+    rows = [l.split("\t") for l in out.read_text().splitlines()]
+    assert rows and all(r[1] == "s2" for r in rows)
+    assert {r[0] for r in rows} == {"a"}
+
+    assert main(["blastn", "-query", str(q), "-db", str(dbp),
+                 "-negative_seqidlist", str(lst), "-out", str(out),
+                 "-outfmt", "6 qseqid sseqid"]) == 0
+    rows = [l.split("\t") for l in out.read_text().splitlines()]
+    assert rows and all(r[1] != "s2" for r in rows)
+    assert {r[0] for r in rows} == {"b"}
+
+    # restricted search == direct search of the subset database
+    sub = tmp_path / "sub.fa"
+    sub.write_text(">s2 second\n" + genome[4000:8000] + "\n")
+    sdbp = tmp_path / "sdb"
+    assert main(["makedb", "-in", str(sub), "-out", str(sdbp),
+                 "-title", "m"]) == 0
+    direct = tmp_path / "direct.tsv"
+    assert main(["blastn", "-query", str(q), "-db", str(sdbp),
+                 "-out", str(direct), "-outfmt", "6"]) == 0
+    restricted = tmp_path / "restricted.tsv"
+    assert main(["blastn", "-query", str(q), "-db", str(dbp),
+                 "-seqidlist", str(lst), "-out", str(restricted),
+                 "-outfmt", "6"]) == 0
+    assert restricted.read_text() == direct.read_text()
