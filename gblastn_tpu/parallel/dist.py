@@ -378,8 +378,12 @@ def run_sharded_seeding(
         if jax.process_count() > 1:  # pragma: no cover - multi-host
             from jax.experimental import multihost_utils
 
+            # tiled: the per-shard rows concatenate along axis 0 into
+            # the same [D, cap] layout the single-process path sees
             host = [
-                np.asarray(multihost_utils.process_allgather(o))
+                np.asarray(
+                    multihost_utils.process_allgather(o, tiled=True)
+                )
                 for o in out
             ]
         else:
