@@ -85,6 +85,10 @@ def _add_blastn_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-max_target_seqs", type=int, default=None)
     p.add_argument("-num_alignments", type=int, default=None)
     p.add_argument("-outfmt", default="6")
+    p.add_argument("-line_length", type=int, default=60,
+                   help="alignment line length (outfmt 0-4)")
+    p.add_argument("-num_descriptions", type=int, default=500,
+                   help="one-line summary count (outfmt 0-4)")
     p.add_argument("-strand", default="both",
                    choices=["both", "plus", "minus"])
     p.add_argument("-perc_identity", type=float, default=0.0)
@@ -396,6 +400,8 @@ def run_blastn(argv) -> int:
         renderer = ResultRenderer(
             kind, fields, out, db, options,
             dbname=args.db or args.subject or "", task=args.task,
+            line_length=args.line_length,
+            num_descriptions=args.num_descriptions,
         )
 
         batch_size = (
@@ -907,6 +913,10 @@ def run_blast_formatter(argv) -> int:
     p.add_argument("-archive", required=True,
                    help="Blast4-archive file (-outfmt 11 output)")
     p.add_argument("-outfmt", default="6")
+    p.add_argument("-line_length", type=int, default=60,
+                   help="alignment line length (outfmt 0-4)")
+    p.add_argument("-num_descriptions", type=int, default=500,
+                   help="one-line summary count (outfmt 0-4)")
     p.add_argument("-out", default="-")
     args = p.parse_args(argv)
 

@@ -71,6 +71,8 @@ class PairwiseWriter:
     dbname: str = ""
     db_num_seqs: int = 0
     db_length: int = 0
+    line_length: int = LINE          # -line_length
+    num_descriptions: int = 500      # -num_descriptions (summary rows)
 
     def write_header(self) -> None:
         self.out.write(f"{self.program}\n\n\n")
@@ -110,7 +112,9 @@ class PairwiseWriter:
                 "Sequences producing significant alignments:"
                 "          (Bits)  Value\n\n"
             )
-            for sid, stitle, _slen, hsps, _subj in hits:
+            for sid, stitle, _slen, hsps, _subj in (
+                hits[: self.num_descriptions]
+            ):
                 best = hsps[0]
                 desc = (sid + " " + stitle).strip()[:55]
                 o.write(
@@ -161,10 +165,11 @@ class PairwiseWriter:
                         q_pos = hsp.q_off + 1
                         s_pos = hsp.s_off + 1
                         s_step = 1
-                    for i in range(0, len(qa), LINE):
-                        qs = qa[i: i + LINE]
-                        ms = mid[i: i + LINE]
-                        ss = sa[i: i + LINE]
+                    L = self.line_length
+                    for i in range(0, len(qa), L):
+                        qs = qa[i: i + L]
+                        ms = mid[i: i + L]
+                        ss = sa[i: i + L]
                         nq = sum(1 for c in qs if c != "-")
                         ns = sum(1 for c in ss if c != "-")
                         q_end = q_pos + nq - 1 if nq else q_pos

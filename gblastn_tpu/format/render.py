@@ -18,7 +18,8 @@ class ResultRenderer:
     SequenceDB.
     """
 
-    def __init__(self, kind, fields, out, db, options, dbname, task):
+    def __init__(self, kind, fields, out, db, options, dbname, task,
+                 line_length=60, num_descriptions=500):
         self.kind = kind
         self.out = out
         self.db = db
@@ -74,6 +75,8 @@ class ResultRenderer:
             self.pairwise = PairwiseWriter(
                 out=out, dbname=db.title or dbname,
                 db_num_seqs=db.num_seqs, db_length=db.total_length,
+                line_length=line_length,
+                num_descriptions=num_descriptions,
             )
             self.pairwise.write_header()
         elif kind in (1, 2, 3, 4):
