@@ -89,6 +89,9 @@ def _add_blastn_args(p: argparse.ArgumentParser) -> None:
                    help="alignment line length (outfmt 0-4)")
     p.add_argument("-num_descriptions", type=int, default=500,
                    help="one-line summary count (outfmt 0-4)")
+    p.add_argument("-query_loc", default=None,
+                   help="location on the query sequence "
+                        "(format: start-stop, 1-based inclusive)")
     p.add_argument("-strand", default="both",
                    choices=["both", "plus", "minus"])
     p.add_argument("-perc_identity", type=float, default=0.0)
@@ -203,6 +206,18 @@ def _build_options(args):
         overrides["window_size"] = args.window_size
     if args.off_diagonal_range:
         overrides["off_diagonal_range"] = args.off_diagonal_range
+    if args.query_loc:
+        try:
+            s, _, e = args.query_loc.partition("-")
+            start, stop = int(s), int(e)
+            if start < 1 or stop < start:
+                raise ValueError
+        except ValueError:
+            raise SystemExit(
+                "BLAST options error: -query_loc must be start-stop "
+                "(1-based, start <= stop)"
+            )
+        overrides["query_loc"] = (start - 1, stop)
     if args.db_soft_mask is not None:
         overrides["db_soft_mask"] = args.db_soft_mask
     if args.db_hard_mask is not None:

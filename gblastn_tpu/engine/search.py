@@ -240,9 +240,22 @@ def prelim_search(
     ctx_offsets = qblock.context_offsets()
     ctx_lengths = [c.length for c in qblock.contexts]
 
-    params = derive_params(
-        options, ctx_lengths, db.total_length, db.num_seqs
-    )
+    if options.query_loc is not None:
+        # -query_loc: statistics use the restricted range lengths (the
+        # reference's BlastQueryInfo context lengths are range lengths)
+        a0, b0 = options.query_loc
+        stat_lengths = []
+        for c in qblock.contexts:
+            a = min(max(a0, 0), c.length)
+            b = min(max(b0, a), c.length)
+            stat_lengths.append(b - a)
+        params = derive_params(
+            options, stat_lengths, db.total_length, db.num_seqs
+        )
+    else:
+        params = derive_params(
+            options, ctx_lengths, db.total_length, db.num_seqs
+        )
 
     masks = None
     if options.dust:
@@ -251,7 +264,7 @@ def prelim_search(
         with slog.time("setup.dust"):
             masks = query_dust_masks(
                 qblock, options.dust_level, options.dust_window,
-                options.dust_linker,
+                options.dust_linker, query_loc=options.query_loc,
             )
     if options.window_masker_db:
         from gblastn_tpu.masking.winmask import (
@@ -294,6 +307,20 @@ def prelim_search(
             masks = [
                 sorted(a + b) for a, b in zip(masks, rep_masks)
             ]
+    if options.query_loc is not None:
+        # sentinel-fence the range: bases outside [start, stop) become
+        # sentinels, so seeding skips them and every extension stops at
+        # the range edge exactly like a context boundary -- coordinates
+        # stay full-sequence, as the reference reports them
+        a0, b0 = options.query_loc
+        for c in qblock.contexts:
+            L = c.length
+            a = min(max(a0, 0), L)
+            b = min(max(b0, a), L)
+            lo, hi = (a, b) if c.frame >= 0 else (L - b, L - a)
+            qblock.buffer[c.offset: c.offset + lo] = 15
+            qblock.buffer[c.offset + hi: c.offset + L] = 15
+
     locations = unmasked_locations(qblock.buffer, ctx_offsets, masks)
 
     if masks is not None and not options.mask_at_hash:

@@ -289,6 +289,7 @@ def query_dust_masks(
     level: int = DEFAULT_LEVEL,
     window: int = DEFAULT_WINDOW,
     linker: int = DEFAULT_LINKER,
+    query_loc: tuple[int, int] | None = None,
 ) -> list[list[tuple[int, int]]]:
     """Per-context masked ranges in concatenated-buffer coordinates.
 
@@ -311,7 +312,18 @@ def query_dust_masks(
             seq = qblock.buffer[plus.offset: plus.offset + plus.length]
             if plus.frame < 0:
                 seq = seq[::-1]  # minus-only search: recover plus order
-            per_query[qi] = dust_mask(seq, level, window, linker)
+            if query_loc is not None:
+                # -query_loc: DUST runs on the restricted range only
+                # (the reference filters the range sequence)
+                a = min(max(query_loc[0], 0), len(seq))
+                b = min(max(query_loc[1], a), len(seq))
+                per_query[qi] = [
+                    (s + a, e + a)
+                    for s, e in dust_mask(seq[a:b], level, window,
+                                          linker)
+                ]
+            else:
+                per_query[qi] = dust_mask(seq, level, window, linker)
         intervals = per_query[qi]
         L = ctx.length
         ctx_masks: list[tuple[int, int]] = []

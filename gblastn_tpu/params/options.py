@@ -75,6 +75,9 @@ class SearchOptions:
     mask_at_hash: bool = True
     window_size: int = 0                # two-hit window; 0 = one-hit
     off_diagonal_range: int = 0         # two-hit off-diagonal probe
+    # -query_loc "start-stop": restrict the search to a query range
+    # (0-based half-open here; every query in the batch)
+    query_loc: tuple[int, int] | None = None
 
     # Subject-side masking: filtering algorithm id stored in the
     # database's mask columns (-db_soft_mask / -db_hard_mask)

@@ -236,3 +236,48 @@ def test_seqidlist_restriction(setup, tmp_path):
                  "-seqidlist", str(lst), "-out", str(restricted),
                  "-outfmt", "6"]) == 0
     assert restricted.read_text() == direct.read_text()
+
+
+def test_query_loc_restriction(setup, tmp_path):
+    # a query whose halves match two distant genome loci: restricting
+    # to one half must (a) search only that half, (b) report FULL-query
+    # coordinates, (c) use the restricted length for statistics --
+    # identical e-values/bit scores to searching the slice directly
+    genome_line = (setup / "db.fa").read_text().splitlines()
+    genome = "".join(genome_line[1:])
+    left, right = genome[2000:2300], genome[9000:9300]
+    q = tmp_path / "loc.fa"
+    q.write_text(">two\n" + left + right + "\n")
+    out = tmp_path / "loc.tsv"
+    fmt = "6 qseqid qstart qend sstart send evalue bitscore"
+    assert main(["blastn", "-query", str(q), "-db", str(setup / "db"),
+                 "-query_loc", "301-600", "-out", str(out),
+                 "-outfmt", fmt]) == 0
+    rows = [l.split("\t") for l in out.read_text().splitlines()]
+    assert len(rows) == 1
+    # full-sequence coordinates for the right half
+    assert rows[0][1] == "301" and rows[0][2] == "600"
+    assert rows[0][3] == "9001" and rows[0][4] == "9300"
+
+    # statistics match a direct search of the slice
+    qs = tmp_path / "slice.fa"
+    qs.write_text(">two\n" + right + "\n")
+    out2 = tmp_path / "slice.tsv"
+    assert main(["blastn", "-query", str(qs), "-db", str(setup / "db"),
+                 "-out", str(out2), "-outfmt", fmt]) == 0
+    rows2 = [l.split("\t") for l in out2.read_text().splitlines()]
+    assert len(rows2) == 1
+    assert rows[0][5:] == rows2[0][5:]          # evalue + bit score
+    # minus-strand query restriction: revcomp the same construct
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    rc = "".join(comp[c] for c in reversed(left + right))
+    qm = tmp_path / "locm.fa"
+    qm.write_text(">twom\n" + rc + "\n")
+    out3 = tmp_path / "locm.tsv"
+    assert main(["blastn", "-query", str(qm), "-db", str(setup / "db"),
+                 "-query_loc", "1-300", "-out", str(out3),
+                 "-outfmt", fmt]) == 0
+    rows3 = [l.split("\t") for l in out3.read_text().splitlines()]
+    assert len(rows3) == 1
+    assert rows3[0][1] == "1" and rows3[0][2] == "300"
+    assert rows3[0][3] == "9300" and rows3[0][4] == "9001"
