@@ -940,7 +940,11 @@ def run_blast_formatter(argv) -> int:
     text = open(args.archive).read()
     out = sys.stdout if args.out == "-" else open(args.out, "w")
     try:
-        return format_archive(text, out, args.outfmt)
+        return format_archive(
+            text, out, args.outfmt,
+            line_length=args.line_length,
+            num_descriptions=args.num_descriptions,
+        )
     finally:
         if out is not sys.stdout:
             out.close()

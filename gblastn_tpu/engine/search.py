@@ -50,13 +50,16 @@ def device_matrix16(reward: int, penalty: int) -> np.ndarray:
     return np.clip(m, NEG_CLIP, None).astype(np.int32)
 
 
-def _second_template_dev(dev, lut2):
-    """SeedingDeviceData sharing the subject/query device arrays but
-    carrying the second disc template's CSR table."""
-    import dataclasses as _dc
+def _upload_lut(lut):
+    """(lut_offsets_dev, pos_padded) device upload for a CSR table.
 
+    Positions pad to a pow2 bucket (shape-stable kernels). The dense
+    offsets table at lut width 12 is 4^12+1 int32 = 67MB -- uploading
+    it per batch costs more than the whole device stage over the
+    tunnel, so on accelerators the O(n_positions) word codes ship
+    instead and the table is rebuilt on device."""
     positions = (
-        lut2.positions if len(lut2.positions) else np.zeros(1, np.int32)
+        lut.positions if len(lut.positions) else np.zeros(1, np.int32)
     )
     pcap = 1024
     while pcap < len(positions):
@@ -64,14 +67,25 @@ def _second_template_dev(dev, lut2):
     pos_padded = np.zeros(pcap, dtype=np.int32)
     pos_padded[: len(positions)] = positions
     if (jax.default_backend() != "cpu"
-            and lut2.position_words is not None):
+            and lut.position_words is not None):
         from gblastn_tpu.engine.seeding import offsets_on_device
 
-        pw = np.full(pcap, lut2.table_size, dtype=np.int32)
-        pw[: len(lut2.positions)] = lut2.position_words
-        offs = offsets_on_device(jnp.asarray(pw), lut2.table_size)
+        pw_padded = np.full(pcap, lut.table_size, dtype=np.int32)
+        pw_padded[: len(lut.positions)] = lut.position_words
+        lut_offsets_dev = offsets_on_device(
+            jnp.asarray(pw_padded), lut.table_size
+        )
     else:
-        offs = jnp.asarray(lut2.counts_offsets)
+        lut_offsets_dev = jnp.asarray(lut.counts_offsets)
+    return lut_offsets_dev, pos_padded
+
+
+def _second_template_dev(dev, lut2):
+    """SeedingDeviceData sharing the subject/query device arrays but
+    carrying the second disc template's CSR table."""
+    import dataclasses as _dc
+
+    offs, pos_padded = _upload_lut(lut2)
     return _dc.replace(
         dev, lut_offsets=offs, lut_positions=jnp.asarray(pos_padded)
     )
@@ -240,17 +254,19 @@ def prelim_search(
     ctx_offsets = qblock.context_offsets()
     ctx_lengths = [c.length for c in qblock.contexts]
 
+    loc_ranges = None       # per-context clamped -query_loc (a, b)
     if options.query_loc is not None:
         # -query_loc: statistics use the restricted range lengths (the
         # reference's BlastQueryInfo context lengths are range lengths)
         a0, b0 = options.query_loc
-        stat_lengths = []
+        loc_ranges = []
         for c in qblock.contexts:
             a = min(max(a0, 0), c.length)
             b = min(max(b0, a), c.length)
-            stat_lengths.append(b - a)
+            loc_ranges.append((a, b))
         params = derive_params(
-            options, stat_lengths, db.total_length, db.num_seqs
+            options, [b - a for a, b in loc_ranges],
+            db.total_length, db.num_seqs,
         )
     else:
         params = derive_params(
@@ -307,16 +323,13 @@ def prelim_search(
             masks = [
                 sorted(a + b) for a, b in zip(masks, rep_masks)
             ]
-    if options.query_loc is not None:
+    if loc_ranges is not None:
         # sentinel-fence the range: bases outside [start, stop) become
         # sentinels, so seeding skips them and every extension stops at
         # the range edge exactly like a context boundary -- coordinates
         # stay full-sequence, as the reference reports them
-        a0, b0 = options.query_loc
-        for c in qblock.contexts:
+        for c, (a, b) in zip(qblock.contexts, loc_ranges):
             L = c.length
-            a = min(max(a0, 0), L)
-            b = min(max(b0, a), L)
             lo, hi = (a, b) if c.frame >= 0 else (L - b, L - a)
             qblock.buffer[c.offset: c.offset + lo] = 15
             qblock.buffer[c.offset + hi: c.offset + L] = 15
@@ -388,28 +401,7 @@ def prelim_search(
         qcap *= 2
     qbuf_padded = np.full(qcap, 15, dtype=np.uint8)
     qbuf_padded[: len(qbuf)] = qbuf
-    positions = lut.positions if len(lut.positions) else np.zeros(1, np.int32)
-    pcap = 1024
-    while pcap < len(positions):
-        pcap *= 2
-    pos_padded = np.zeros(pcap, dtype=np.int32)
-    pos_padded[: len(positions)] = positions
-
-    # offsets table: at lut width 12 the dense table is 4^12+1 int32 =
-    # 67MB -- uploading it per batch costs more than the whole device
-    # stage over the tunnel. On accelerators, upload the O(n_positions)
-    # word codes instead and rebuild the table on device.
-    if (jax.default_backend() != "cpu"
-            and lut.position_words is not None):
-        from gblastn_tpu.engine.seeding import offsets_on_device
-
-        pw_padded = np.full(pcap, lut.table_size, dtype=np.int32)
-        pw_padded[: len(lut.positions)] = lut.position_words
-        lut_offsets_dev = offsets_on_device(
-            jnp.asarray(pw_padded), lut.table_size
-        )
-    else:
-        lut_offsets_dev = jnp.asarray(lut.counts_offsets)
+    lut_offsets_dev, pos_padded = _upload_lut(lut)
 
     m16 = device_matrix16(options.reward, options.penalty)
     qdev = jnp.asarray(qbuf_padded)

@@ -276,7 +276,10 @@ def two_hit_diag_filter(
         key = (int(oid[i]), int(diag[i]))
         if key != last_key:
             last_key = key
-            last_hit = 0
+            # virgin diagonal: last_hit = -window (s_BlastDiagClear,
+            # blast_extend.c:108), so the first hit always takes the
+            # first-hit branch even when s_end <= window
+            last_hit = -window
             flag = 0
         s = int(s_off[i])
         s_end = s + word_size
@@ -339,7 +342,8 @@ def two_hit_scan_range_filter(
         s = int(s_off[i])
         q = int(q_off[i])
         diag = s - q
-        last_hit, flag, _hl = state.get((o, diag), (0, 0, 0))
+        # virgin diagonal: last_hit = -window (blast_extend.c:108)
+        last_hit, flag, _hl = state.get((o, diag), (-window, 0, 0))
         s_end = s + word_size
         if s < last_hit:
             continue
@@ -786,6 +790,7 @@ def run_seeding_two_templates(
     reference scanner."""
     word_size = kw["word_size"]
     window_size = kw.get("window_size", 0)
+    scan_range = kw.get("scan_range", 0)
     raw1 = run_seeding(dev, disc_offsets=disc_offsets, _raw=True, **kw)
     raw2 = run_seeding(dev2, disc_offsets=disc_offsets2, _raw=True, **kw)
     cat = tuple(
@@ -796,6 +801,7 @@ def run_seeding_two_templates(
         cat[0], cat[1], cat[2], cat[3], cat[4], cat[5], cat[6],
         kw["word_cutoffs"], kw["subject_starts"], word_size,
         window_size=window_size, right_run=right_run,
+        scan_range=scan_range,
     )
 
 

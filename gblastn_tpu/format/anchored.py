@@ -80,6 +80,7 @@ class AnchoredWriter:
     dbname: str = ""
     db_num_seqs: int = 0
     db_length: int = 0
+    line_length: int = LINE          # -line_length
 
     def write_header(self) -> None:
         self.out.write(f"{self.program}\n\n\n")
@@ -207,8 +208,9 @@ class AnchoredWriter:
                             consumed.append(0)
                 rendered.append((sid, chars, consumed, s_first, s_step))
 
-            for b0 in range(0, len(columns), LINE):
-                block = columns[b0: b0 + LINE]
+            L = self.line_length
+            for b0 in range(0, len(columns), L):
+                block = columns[b0: b0 + L]
                 mtext = "".join(
                     master[p] if k == 0 else "-" for p, k in block
                 )
@@ -217,11 +219,11 @@ class AnchoredWriter:
                 emit_row(query_id, q_start_1, mtext,
                          block[0][0] + max(nq, 1))
                 for sid, chars, consumed, s_first, s_step in rendered:
-                    text = "".join(chars[b0: b0 + LINE])
+                    text = "".join(chars[b0: b0 + L])
                     if text.strip() == "":
                         continue
                     before = sum(consumed[:b0])
-                    in_block = sum(consumed[b0: b0 + LINE])
+                    in_block = sum(consumed[b0: b0 + L])
                     s_start = s_first + s_step * before
                     s_end = (
                         s_start + s_step * (in_block - 1)

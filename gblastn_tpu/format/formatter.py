@@ -243,6 +243,8 @@ def format_archive(
     out,
     outfmt: str = "6",
     db=None,                     # SequenceDB override (tests)
+    line_length: int = 60,
+    num_descriptions: int = 500,
 ) -> int:
     """Re-render an archive with any -outfmt. Non-tabular kinds (and
     sequence-dependent tabular fields) need the archived database; the
@@ -293,6 +295,8 @@ def format_archive(
         renderer = ResultRenderer(
             kind, parts[1:], out, db, options,
             dbname=arch.dbname, task=str(saved.get("task", "megablast")),
+            line_length=line_length,
+            num_descriptions=num_descriptions,
         )
         renderer.emit(results)
         renderer.finalize()
@@ -318,6 +322,11 @@ def format_archive(
         raise ValueError(
             "btop/qseq/sseq need the archived database "
             f"({arch.dbname!r}), which could not be opened"
+        )
+    if need_seqs and any(q.ncbi4na is None for q in arch.queries):
+        raise ValueError(
+            "btop/qseq/sseq need the query sequences, which this "
+            "archive does not embed"
         )
 
     by_query: dict[str, list] = {q.qid: [] for q in arch.queries}

@@ -88,6 +88,7 @@ class ResultRenderer:
                 flat=kind in (3, 4),
                 dbname=db.title or dbname,
                 db_num_seqs=db.num_seqs, db_length=db.total_length,
+                line_length=line_length,
             )
             self.anchored.write_header()
         else:

@@ -215,7 +215,7 @@ def fill_query_coverage(hits: list[TabularHit]) -> None:
 
 _COMP = str.maketrans("ACGTRYSWKMBDHVN-", "TGCAYRSWMKVHDBN-")
 
-OP_DEL, OP_SUB, OP_INS = 0, 3, 6
+from gblastn_tpu.hits import OP_DEL, OP_INS, OP_SUB  # noqa: E402
 
 
 def _aligned_strings(hit: TabularHit) -> tuple[str, str]:

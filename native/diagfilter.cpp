@@ -33,7 +33,12 @@ extern "C" int64_t gblastn_diag_filter(
             have_key = true;
             last_oid = oid[i];
             last_diag = diag;
-            last_hit = 0;
+            // virgin diagonals carry last_hit = -window
+            // (s_BlastDiagClear, blast_extend.c:108; equivalently
+            // diag_table->offset starts at window_size), so the first
+            // hit ALWAYS takes the first-hit branch even with
+            // s_end <= window
+            last_hit = -window;
             flag = 0;
         }
         const int64_t s = s_off[i];

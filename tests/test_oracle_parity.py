@@ -367,6 +367,56 @@ class TestOptionFlagsParity:
         n = len(orun.hsps)
         assert (n == 0) if sr == 0 else (n >= 8), (sr, n)
 
+    @pytest.mark.parametrize("task", ["blastn", "dc-megablast"])
+    def test_two_hit_at_subject_start(self, genome, tmp_path, task):
+        # matches at the very start of the subject (s <= window - word):
+        # virgin diagonals carry last_hit = -window (s_BlastDiagClear,
+        # blast_extend.c:108), so a lone first hit there is RECORDED,
+        # never saved -- regression for a replay that initialized
+        # last_hit = 0 and admitted those hits as second hits
+        from gblastn_tpu.params.options import (
+            blastn_options,
+            dc_megablast_options,
+        )
+
+        rng = np.random.default_rng(905)
+        # subject STARTS with the (mutated) match regions
+        frags = []
+        for i in range(4):
+            frag = mutate(rng, genome[i * 500 : i * 500 + 300],
+                          sub_rate=0.08)
+            frags.append((f"st{i}", frag))
+        subjects = [
+            (f"sub{i}", f + genome[20000 + i * 2000 : 22000 + i * 2000])
+            for i, (_r, f) in enumerate(frags)
+        ]
+        if task == "blastn":
+            opts = blastn_options(evalue=10.0, window_size=40)
+            okw = dict(task="blastn", evalue=10.0, window_size=40)
+        else:
+            opts = dc_megablast_options(evalue=10.0)
+            okw = dict(task="dc-megablast", evalue=10.0)
+        assert_parity(frags, subjects, opts, okw, tmp_path)
+
+    def test_lone_first_hit_at_subject_start_not_saved(self, tmp_path):
+        # the discriminative case: a LONE 16-base exact copy at the very
+        # start of the subject seeds one diagonal with no second hit;
+        # the old last_hit=0 init admitted it as a second hit and
+        # produced a spurious HSP, the reference records it and saves
+        # nothing
+        from gblastn_tpu.params.options import blastn_options
+
+        rng = np.random.default_rng(3)
+        q = rand_seq(rng, 300)
+        sub = q[100:116] + rand_seq(rng, 3000)
+        orun = assert_parity(
+            [("q", q)], [("s", sub)],
+            blastn_options(evalue=1000.0, window_size=40, dust=False),
+            dict(task="blastn", evalue=1000.0, window_size=40,
+                 dust="no"), tmp_path,
+        )
+        assert len(orun.hsps) == 0
+
     def test_min_raw_gapped_score(self, genome, tmp_path):
         from gblastn_tpu.params.options import megablast_options
 
