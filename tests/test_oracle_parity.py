@@ -722,3 +722,105 @@ class TestOptionSweepParity:
             dict(task="blastn", evalue=1.0, word_size=7),
             tmp_path,
         )
+
+
+class TestRandomComboParity:
+    """Randomized option-combination fuzz: each trial draws a valid
+    combo across task, scoring pair, word size, two-hit window,
+    off-diagonal range, dust, soft masking, and disc templates, builds
+    a fresh workload, and requires identical final HSPs from the
+    reference C core."""
+
+    def test_random_combos(self, genome, tmp_path):
+        from gblastn_tpu.params.options import (
+            blastn_options,
+            dc_megablast_options,
+            megablast_options,
+        )
+
+        rng = np.random.default_rng(20260818)
+        for trial in range(12):
+            task = ["megablast", "blastn", "dc-megablast"][
+                int(rng.integers(0, 3))
+            ]
+            window = int(rng.choice([0, 40, 24]))
+            scan_range = (
+                int(rng.choice([0, 2, 6])) if window else 0
+            )
+            dust = bool(rng.random() < 0.7)
+            soft = bool(rng.random() < 0.8)
+            kw = dict(evalue=float(rng.choice([1e-5, 1e-2, 1.0])))
+            okw = dict(evalue=kw["evalue"])
+            if dust:
+                if not soft:
+                    kw["mask_at_hash"] = False
+                    okw["soft_masking"] = "false"
+            else:
+                kw["dust"] = False
+                okw["dust"] = "no"
+            if task == "megablast":
+                r, p = [(1, -2), (1, -3)][int(rng.integers(0, 2))]
+                w = int(rng.choice([16, 20, 28]))
+                opts = megablast_options(
+                    reward=r, penalty=p, word_size=w,
+                    window_size=window,
+                    off_diagonal_range=scan_range, **kw,
+                )
+                okw.update(task="megablast", reward=r, penalty=p,
+                           word_size=w)
+            elif task == "blastn":
+                r, p, go, ge = [
+                    (2, -3, 5, 2), (1, -1, 3, 2), (4, -5, 4, 5),
+                    (2, -3, 4, 4),
+                ][int(rng.integers(0, 4))]
+                w = int(rng.choice([7, 11, 12]))
+                opts = blastn_options(
+                    reward=r, penalty=p, gap_open=go, gap_extend=ge,
+                    word_size=w, window_size=window,
+                    off_diagonal_range=scan_range, **kw,
+                )
+                okw.update(task="blastn", reward=r, penalty=p,
+                           gapopen=go, gapextend=ge, word_size=w)
+            else:
+                tlen = int(rng.choice([16, 18, 21]))
+                tt = ["coding", "optimal", "coding_and_optimal"][
+                    int(rng.integers(0, 3))
+                ]
+                wd = int(rng.choice([11, 12]))
+                opts = dc_megablast_options(
+                    word_size=wd, template_length=tlen,
+                    template_type=tt, window_size=window or 40,
+                    off_diagonal_range=scan_range, **kw,
+                )
+                okw.update(task="dc-megablast", word_size=wd,
+                           template_length=tlen, template_type=tt)
+            if window:
+                okw["window_size"] = window
+                opts = opts.replace(window_size=window)
+            if scan_range:
+                okw["scan_range"] = scan_range
+
+            nq = int(rng.integers(3, 7))
+            queries = []
+            for i in range(nq):
+                start = int(rng.integers(0, len(genome) - 1000))
+                ln = int(rng.integers(120, 800))
+                frag = mutate(
+                    rng, genome[start : start + ln],
+                    sub_rate=float(rng.uniform(0.0, 0.12)),
+                    indel_rate=float(rng.uniform(0.0, 0.01)),
+                )
+                if rng.random() < 0.5:
+                    frag = revcomp(frag)
+                queries.append((f"t{trial}q{i}", frag))
+            subjects = (
+                [("chr1", genome)]
+                if rng.random() < 0.5
+                else [("c1", genome[:20000]), ("c2", genome[20000:])]
+            )
+            try:
+                assert_parity(queries, subjects, opts, okw, tmp_path)
+            except AssertionError as e:
+                raise AssertionError(
+                    f"trial {trial} combo {okw}: {e}"
+                ) from e
