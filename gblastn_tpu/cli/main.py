@@ -89,6 +89,15 @@ def _add_blastn_args(p: argparse.ArgumentParser) -> None:
                    help="alignment line length (outfmt 0-4)")
     p.add_argument("-num_descriptions", type=int, default=500,
                    help="one-line summary count (outfmt 0-4)")
+    p.add_argument("-html", action="store_true",
+                   help="wrap report output in HTML (outfmt 0-4)")
+    p.add_argument("-parse_deflines", action="store_true",
+                   help="parse query/subject deflines (accepted for "
+                        "compatibility; ids are always the first "
+                        "defline token here)")
+    p.add_argument("-show_gis", action="store_true",
+                   help="show NCBI GIs in deflines (accepted for "
+                        "compatibility; local dbs carry no GIs)")
     p.add_argument("-query_loc", default=None,
                    help="location on the query sequence "
                         "(format: start-stop, 1-based inclusive)")
@@ -412,6 +421,11 @@ def run_blastn(argv) -> int:
     try:
         from gblastn_tpu.format.render import ResultRenderer
 
+        html = args.html and kind in (0, 1, 2, 3, 4)
+        if html:
+            # the classic -html wrapper (CBlastFormat HTML prologue)
+            out.write("<HTML>\n<HEAD><TITLE>BLAST Search Results"
+                      "</TITLE></HEAD>\n<BODY>\n<PRE>\n")
         renderer = ResultRenderer(
             kind, fields, out, db, options,
             dbname=args.db or args.subject or "", task=args.task,
@@ -486,6 +500,8 @@ def run_blastn(argv) -> int:
             if prev_handler is not None:
                 signal.signal(signal.SIGINT, prev_handler)
         renderer.finalize()
+        if html:
+            out.write("</PRE>\n</BODY>\n</HTML>\n")
         print(
             f"# {renderer.num_queries} queries in "
             f"{time.time() - t0:.2f}s",
