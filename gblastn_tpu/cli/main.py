@@ -117,6 +117,10 @@ def _add_blastn_args(p: argparse.ArgumentParser) -> None:
                         "seeding only; false: masked bases become N "
                         "for the whole search")
     p.add_argument("-window_masker_db", default=None)
+    p.add_argument("-window_masker_taxid", type=int, default=None,
+                   help="resolve the windowmasker statistics from "
+                        "$WINDOW_MASKER_PATH/<taxid>/wmasker.obinary "
+                        "(or .oascii), like the reference")
     p.add_argument("-filtering_db", default=None,
                    help="repeats database for query masking")
     p.add_argument("-seqidlist", default=None,
@@ -207,6 +211,23 @@ def _build_options(args):
         overrides["dust"] = args.dust in ("yes", "true", "T")
     if args.window_masker_db:
         overrides["window_masker_db"] = args.window_masker_db
+    elif args.window_masker_taxid is not None:
+        # WindowMaskerTaxidToDb (winmask_filter.cpp:428): try the
+        # binary unit counts first, then ascii, under
+        # $WINDOW_MASKER_PATH/<taxid>/
+        import os
+
+        base = Path(os.environ.get("WINDOW_MASKER_PATH", "."))
+        tdir = base / str(args.window_masker_taxid)
+        for name in ("wmasker.obinary", "wmasker.oascii"):
+            if (tdir / name).exists():
+                overrides["window_masker_db"] = str(tdir / name)
+                break
+        else:
+            raise SystemExit(
+                "BLAST options error: no windowmasker statistics for "
+                f"taxid {args.window_masker_taxid} under {base}"
+            )
     if str(args.soft_masking).lower() in ("false", "f", "no", "0"):
         overrides["mask_at_hash"] = False
     if args.filtering_db:

@@ -229,3 +229,44 @@ class TestStatFormats:
         res = search(q, db, opts)
         nhits = sum(len(l.hsps) for l in res.queries[0].hsplists)
         assert nhits == 0, "repeat query must be masked out"
+
+
+def test_window_masker_taxid_resolution(tmp_path, monkeypatch):
+    """-window_masker_taxid resolves $WINDOW_MASKER_PATH/<taxid>/
+    wmasker.obinary|oascii (WindowMaskerTaxidToDb, winmask_filter.cpp)
+    and behaves exactly like -window_masker_db with that file."""
+    import numpy as np
+
+    from gblastn_tpu.cli.main import main
+
+    rng = np.random.default_rng(8)
+    genome = "".join("ACGT"[i] for i in rng.integers(0, 4, 12000))
+    ref = tmp_path / "ref.fa"
+    ref.write_text(">c1 t\n" + genome + "\n")
+    db = tmp_path / "db"
+    assert main(["makedb", "-in", str(ref), "-out", str(db),
+                 "-title", "t"]) == 0
+    # build counts with the windowmasker app, store under <taxid>/
+    wmdir = tmp_path / "wm" / "9606"
+    wmdir.mkdir(parents=True)
+    counts = wmdir / "wmasker.oascii"
+    # the resolver matches by FILENAME; the loader sniffs the actual
+    # format, so ascii content under the oascii name is fine
+    assert main(["windowmasker", "-mk_counts", "-in", str(ref),
+                 "-out", str(counts), "-sformat", "binary"]) == 0
+    q = tmp_path / "q.fa"
+    q.write_text(">q\n" + genome[3000:3400] + "\n")
+    a = tmp_path / "a.tsv"
+    b = tmp_path / "b.tsv"
+    monkeypatch.setenv("WINDOW_MASKER_PATH", str(tmp_path / "wm"))
+    assert main(["blastn", "-query", str(q), "-db", str(db),
+                 "-window_masker_taxid", "9606", "-out", str(a),
+                 "-outfmt", "6"]) == 0
+    assert main(["blastn", "-query", str(q), "-db", str(db),
+                 "-window_masker_db", str(counts), "-out", str(b),
+                 "-outfmt", "6"]) == 0
+    assert a.read_text() == b.read_text()
+    # unknown taxid -> clean error
+    with __import__("pytest").raises(SystemExit):
+        main(["blastn", "-query", str(q), "-db", str(db),
+              "-window_masker_taxid", "1234"])
