@@ -472,8 +472,40 @@ def bench_gapped_kernel(db, qblock, rng):
         print(f"# gapped band-DP kernel: skipped ({e})", file=sys.stderr)
 
 
+def _device_probe_ok(timeout_s: float = 180.0) -> bool:
+    """Probe jax backend init in a SUBPROCESS with a timeout.
+
+    The axon tunnel has full-outage episodes where any backend init
+    blocks forever (CLAUDE.md); probing in-process would hang this
+    driver too. A dead probe lets bench exit with a JSON error line
+    instead of hanging the round."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            capture_output=True, timeout=timeout_s,
+        )
+        return r.returncode == 0 and b"ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> int:
     import os
+
+    if not _device_probe_ok():
+        print(
+            "# device backend init timed out (axon tunnel outage?); "
+            "no measurements possible", file=sys.stderr,
+        )
+        print(json.dumps({
+            "metric": "queries_per_sec_megablast_ecoli_4.6Mb",
+            "value": 0.0, "unit": "queries/sec", "vs_baseline": 0.0,
+            "error": "device backend init timed out (tunnel outage)",
+        }))
+        return 1
 
     from gblastn_tpu.utils.cache import enable_compilation_cache
 
