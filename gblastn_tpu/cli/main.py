@@ -54,7 +54,8 @@ def _add_blastn_args(p: argparse.ArgumentParser) -> None:
                    help="mask lowercase query letters")
     p.add_argument("-out", default="-", help="output file (default stdout)")
     p.add_argument("-task", default="megablast",
-                   choices=["megablast", "blastn", "dc-megablast"])
+                   choices=["megablast", "blastn", "dc-megablast",
+                            "blastn-short", "vecscreen"])
     p.add_argument("-template_type", default=None,
                    choices=["coding", "optimal", "coding_and_optimal"],
                    help="discontiguous template type (dc-megablast)")

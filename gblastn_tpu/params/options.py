@@ -21,6 +21,8 @@ class Task(str, Enum):
     MEGABLAST = "megablast"
     BLASTN = "blastn"
     DC_MEGABLAST = "dc-megablast"
+    BLASTN_SHORT = "blastn-short"
+    VECSCREEN = "vecscreen"
 
 
 class ExtensionMethod(str, Enum):
@@ -187,10 +189,33 @@ def dc_megablast_options(**overrides) -> SearchOptions:
     ).replace(**overrides)
 
 
+def blastn_short_options(**overrides) -> SearchOptions:
+    """blastn-short (blast_options_handle.cpp:305): blastn with word 7,
+    reward 1 / penalty -3, e-value 50, query filtering off -- tuned for
+    queries under 50 bases."""
+    return blastn_options(
+        word_size=7, reward=1, penalty=-3, evalue=50.0, dust=False,
+    ).replace(task=Task.BLASTN_SHORT, **overrides)
+
+
+def vecscreen_options(**overrides) -> SearchOptions:
+    """vecscreen (blast_options_handle.cpp:313, VSBlastOptionNew):
+    blastn with gap costs 3/3, reward 1 / penalty -5, e-value 700, and
+    a fixed 1.75e12 effective search space."""
+    return blastn_options(
+        reward=1, penalty=-5, gap_open=3, gap_extend=3, evalue=700.0,
+        searchsp_override=int(1.75e12),
+    ).replace(task=Task.VECSCREEN, **overrides)
+
+
 def options_for_task(task: str | Task, **overrides) -> SearchOptions:
     task = Task(task)
     if task is Task.MEGABLAST:
         return megablast_options(**overrides)
     if task is Task.DC_MEGABLAST:
         return dc_megablast_options(**overrides)
+    if task is Task.BLASTN_SHORT:
+        return blastn_short_options(**overrides)
+    if task is Task.VECSCREEN:
+        return vecscreen_options(**overrides)
     return blastn_options(**overrides)

@@ -724,6 +724,44 @@ class TestOptionSweepParity:
         )
 
 
+class TestTaskVariantsParity:
+    def test_blastn_short(self, genome, tmp_path):
+        # blastn-short: word 7, 1/-3, evalue 50, no dust -- short primers
+        from gblastn_tpu.params.options import blastn_short_options
+
+        rng = np.random.default_rng(906)
+        queries = []
+        for i in range(8):
+            start = int(rng.integers(0, len(genome) - 60))
+            ln = int(rng.integers(18, 45))
+            queries.append((f"p{i}", genome[start : start + ln]))
+        assert_parity(
+            queries, [("chr1", genome[:20000])],
+            blastn_short_options(),
+            dict(task="blastn", word_size=7, reward=1, penalty=-3,
+                 evalue=50, dust="no"), tmp_path,
+        )
+
+    def test_vecscreen(self, genome, tmp_path):
+        # vecscreen: 1/-5, gaps 3/3, evalue 700, searchsp 1.75e12
+        from gblastn_tpu.params.options import vecscreen_options
+
+        rng = np.random.default_rng(907)
+        queries = []
+        for i in range(4):
+            start = int(rng.integers(0, len(genome) - 400))
+            frag = mutate(rng, genome[start : start + 250],
+                          sub_rate=0.05)
+            queries.append((f"v{i}", frag))
+        assert_parity(
+            queries, [("chr1", genome)],
+            vecscreen_options(),
+            dict(task="blastn", reward=1, penalty=-5, gapopen=3,
+                 gapextend=3, evalue=700,
+                 searchsp=int(1.75e12)), tmp_path,
+        )
+
+
 class TestRandomComboParity:
     """Randomized option-combination fuzz: each trial draws a valid
     combo across task, scoring pair, word size, two-hit window,
