@@ -378,6 +378,73 @@ def bench_kernels(db, genome, rng):
     bench_gapped_kernel(db, qblock, rng)
 
 
+def bench_parity_smoke(db, genome, rng):
+    """On-TPU full-path equivalence: the Pallas-primary seeding pipeline
+    vs the fused XLA pipeline, end to end through search(), for
+    megablast and dc-megablast. A Mosaic miscompile or Pallas/XLA
+    semantic drift shows up here on REAL hardware (the CPU suite can
+    only run the kernels in interpret mode)."""
+    import os
+
+    import jax
+
+    from gblastn_tpu.engine.search import search
+    from gblastn_tpu.io.fasta import FastaRecord
+    from gblastn_tpu.params.options import (
+        dc_megablast_options,
+        megablast_options,
+    )
+
+    if jax.devices()[0].platform != "tpu":
+        print("# parity smoke: skipped (not on tpu)", file=sys.stderr)
+        return
+
+    reads = _sample_reads(rng, genome, 24, 1000, "ps")
+    wob = []
+    for r in _sample_reads(rng, genome, 12, 800, "pw"):
+        seq = list(r.sequence)
+        for p2 in range(2, len(seq), 3):
+            if rng.random() < 0.3:
+                seq[p2] = "ACGT"[("ACGT".index(seq[p2]) + 1
+                                  + int(rng.integers(0, 3))) % 4]
+        wob.append(FastaRecord(r.seq_id, "", "".join(seq)))
+
+    def rows(res):
+        out = []
+        for q in res.queries:
+            for lst in q.hsplists:
+                for h in lst.hsps:
+                    out.append((
+                        res.qblock.ids[q.query_index], lst.oid,
+                        h.q_off, h.q_end, h.s_off, h.s_end, h.score,
+                        h.num_ident, round(h.bit_score, 6),
+                    ))
+        return out
+
+    cases = [
+        ("megablast", megablast_options(evalue=1e-5), reads),
+        ("dc-megablast", dc_megablast_options(evalue=1e-5), wob),
+    ]
+    for name, opts, recs in cases:
+        a = rows(search(recs, db, opts))
+        os.environ["GBLASTN_TPU_FORCE_XLA"] = "1"
+        try:
+            b = rows(search(recs, db, opts))
+        finally:
+            del os.environ["GBLASTN_TPU_FORCE_XLA"]
+        verdict = "IDENTICAL" if a == b else "MISMATCH"
+        print(
+            f"# parity smoke {name}: pallas-vs-xla {verdict} "
+            f"({len(a)} vs {len(b)} HSPs)", file=sys.stderr,
+        )
+        if a != b:
+            print(json.dumps({
+                "metric": f"parity_smoke_{name}",
+                "value": 0, "unit": "bool",
+                "error": "pallas/xla output mismatch on TPU",
+            }), file=sys.stderr)
+
+
 def bench_gapped_kernel(db, qblock, rng):
     """Banded gapped-DP kernel: GCUPS rate + on-TPU parity smoke vs the
     NumPy oracle (a Mosaic miscompile fails loudly here, not silently
@@ -515,6 +582,10 @@ def main() -> int:
     qps = bench_config1(db, genome, rng)
 
     bench_kernels(db, genome, rng)
+    try:
+        bench_parity_smoke(db, genome, rng)
+    except Exception as e:
+        print(f"# parity smoke failed: {e}", file=sys.stderr)
 
     budget = float(os.environ.get("GBLASTN_BENCH_BUDGET_S", "540"))
     if time.time() - t_all < budget:

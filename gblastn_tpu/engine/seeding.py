@@ -626,6 +626,9 @@ def run_seeding(
     pallas_primary = (
         dev.pallas_subject is not None
         and next(iter(dev.subject2.devices())).platform == "tpu"
+        # debug/parity knob: force the fused XLA pipeline on TPU (the
+        # bench parity smoke diffs both paths on real hardware)
+        and not _os.environ.get("GBLASTN_TPU_FORCE_XLA")
     )
     if subject_lengths is not None:
         subject_ends = subject_starts + subject_lengths
