@@ -31,7 +31,6 @@ import numpy as np
 
 from gblastn_tpu.ops.seeding import (
     mini_extend,
-    scan_block,
     seeding_pipeline,
     ungapped_extend,
 )
