@@ -483,6 +483,27 @@ def prelim_search(
         mask_starts[: len(db_mask_ivs)] = db_mask_ivs[:, 0]
         mask_ends[: len(db_mask_ivs)] = db_mask_ivs[:, 1]
 
+    # approximate-ungapped gate data (s_NuclUngappedExtend semantics):
+    # the replays demote exact-passing seeds whose byte-quantized score
+    # misses the reduced cutoff, as the reference does for word >= 11
+    from gblastn_tpu.params.derived import nucl_score_table_packed
+
+    approx_ctx = {
+        "query": qbuf_padded,
+        "concat_end": len(qblock.buffer) - 1,
+        "packed": db.packed,
+        "subject_ends": np.asarray(db.starts)
+        + np.asarray(db.lengths),
+        "x_dropoffs": x_dropoffs,
+        "reduced": np.array(
+            [params.contexts[c].reduced_nucl_cutoff
+             for c in range(n_ctx)], np.int64,
+        ),
+        "table": nucl_score_table_packed(
+            options.reward, options.penalty
+        ),
+    }
+
     device_gapped = None   # banded-DP rejection filter (device path only)
     if db_index is not None and (n_shards > 1 or use_stream):
         _warn_once(
@@ -515,6 +536,7 @@ def prelim_search(
                 window_size=options.window_size,
                 scan_range=options.off_diagonal_range,
                 mask_intervals=db_mask_ivs,
+                approx_ctx=approx_ctx,
             )
     elif use_stream:
         from gblastn_tpu.engine.stream import run_seeding_streamed
@@ -536,6 +558,7 @@ def prelim_search(
                 cmax=cmax,
                 window_size=options.window_size,
                 scan_range=options.off_diagonal_range,
+                approx_ctx=approx_ctx,
                 block_bases=int(os.environ.get(
                     "GBLASTN_TPU_BLOCK_BASES", str(1 << 27)
                 )),
@@ -633,6 +656,7 @@ def prelim_search(
             scan_range=options.off_diagonal_range,
             mask_starts=mask_starts,
             mask_ends=mask_ends,
+            approx_ctx=approx_ctx,
         )
         with slog.time("device.seeding"):
             if lut2 is not None:

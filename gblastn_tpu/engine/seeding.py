@@ -115,6 +115,7 @@ def sort_by_score_order(
 def _native_diag_filter(
     q_off, s_off, oid, order, word_size, window,
     ung_s_start, ung_length, ung_score, cutoff, right_run,
+    diag_mask=0,
 ):
     """Run the native replay loop; None if the native lib is absent."""
     from gblastn_tpu.native import get_lib
@@ -139,12 +140,30 @@ def _native_diag_filter(
         q32.ctypes.data, s32.ctypes.data, o32.ctypes.data,
         ord64.ctypes.data, ctypes.c_int64(n),
         ctypes.c_int64(word_size), ctypes.c_int64(window),
+        ctypes.c_int64(diag_mask),
         us32.ctypes.data, ul32.ctypes.data,
         sc32.ctypes.data, cu32.ctypes.data,
         rr32.ctypes.data if rr32 is not None else None,
         saved.ctypes.data,
     )
     return saved.astype(bool)
+
+
+def diag_table_mask(concat_qlen: int, window_size: int) -> int:
+    """Diagonal-key mask replicating the reference's container choice:
+    blastn-family searches with concatenated query length > 8000 use the
+    exact eDiagHash container (mask 0 here = exact diagonals); smaller
+    ones use the pow2 eDiagArray whose masked indexing ALIASES diagonals
+    that differ by diag_array_length (BlastExtendWordNew,
+    blast_extend.c:57 + kQueryLenForHashTable, blast_parameters.c:174).
+    Aliased state is observable: a hit can be suppressed by the explored
+    area of a far-away diagonal in the same congruence class."""
+    if concat_qlen > 8000:
+        return 0
+    L = 1
+    while L < concat_qlen + window_size:
+        L <<= 1
+    return L - 1
 
 
 def one_hit_diag_filter(
@@ -157,6 +176,7 @@ def one_hit_diag_filter(
     ung_score: np.ndarray,
     cutoff: np.ndarray,
     use_native: bool = True,
+    diag_mask: int = 0,
 ) -> np.ndarray:
     """Sequential per-diagonal replay; returns boolean 'saved' mask.
 
@@ -174,11 +194,16 @@ def one_hit_diag_filter(
     if n == 0:
         return saved
     diag = s_off.astype(np.int64) - q_off.astype(np.int64)
-    order = np.lexsort((s_off, diag, oid))
+    if diag_mask:
+        diag = diag & diag_mask
+    # q tiebreak: aliased diagonals can carry two hits at one subject
+    # position; the scan emits them in ascending-q chain order
+    order = np.lexsort((q_off, s_off, diag, oid))
     if use_native:
         native = _native_diag_filter(
             q_off, s_off, oid, order, word_size, 0,
             ung_s_start, ung_length, ung_score, cutoff, None,
+            diag_mask,
         )
         if native is not None:
             return native
@@ -245,6 +270,7 @@ def two_hit_diag_filter(
     cutoff: np.ndarray,
     right_run: np.ndarray,
     use_native: bool = True,
+    diag_mask: int = 0,
 ) -> np.ndarray:
     """Two-hit per-diagonal replay for window_size > 0
     (s_BlastnDiagTableExtendInitialHit, na_ungapped.c:612-755 with the
@@ -260,11 +286,14 @@ def two_hit_diag_filter(
     if n == 0:
         return saved
     diag = s_off.astype(np.int64) - q_off.astype(np.int64)
-    order = np.lexsort((s_off, diag, oid))
+    if diag_mask:
+        diag = diag & diag_mask
+    order = np.lexsort((q_off, s_off, diag, oid))
     if use_native:
         native = _native_diag_filter(
             q_off, s_off, oid, order, word_size, window,
             ung_s_start, ung_length, ung_score, cutoff, right_run,
+            diag_mask,
         )
         if native is not None:
             return native
@@ -315,6 +344,7 @@ def two_hit_scan_range_filter(
     ung_score: np.ndarray,
     cutoff: np.ndarray,
     right_run: np.ndarray,
+    diag_mask: int = 0,
 ) -> np.ndarray:
     """Two-hit replay with the off-diagonal probe
     (-off_diagonal_range > 0): s_BlastnDiagTableExtendInitialHit
@@ -341,6 +371,8 @@ def two_hit_scan_range_filter(
         s = int(s_off[i])
         q = int(q_off[i])
         diag = s - q
+        if diag_mask:
+            diag = diag & diag_mask
         # virgin diagonal: last_hit = -window (blast_extend.c:108)
         last_hit, flag, _hl = state.get((o, diag), (-window, 0, 0))
         s_end = s + word_size
@@ -358,13 +390,19 @@ def two_hit_scan_range_filter(
                 s_a = s + word_size - window
                 s_b = s_end - 2 * word_size
                 for delta in range(1, delta_max + 1):
-                    st = state.get((o, diag + delta))
+                    st = state.get(
+                        (o, (diag + delta) & diag_mask if diag_mask
+                         else diag + delta)
+                    )
                     if (st and st[2]
                             and st[0] - delta >= s_a
                             and st[0] - st[2] <= s_b):
                         off_found = True
                         break
-                    st = state.get((o, diag - delta))
+                    st = state.get(
+                        (o, (diag - delta) & diag_mask if diag_mask
+                         else diag - delta)
+                    )
                     if (st and st[2]
                             and st[0] >= s_a
                             and st[0] - st[2] + delta <= s_b):
@@ -575,6 +613,7 @@ def run_seeding(
     mask_starts: np.ndarray | None = None,  # int32[M] sorted, padded
     mask_ends: np.ndarray | None = None,    # (db soft-mask intervals)
     disc_offsets: tuple[int, ...] | None = None,  # disc-mb template
+    approx_ctx: dict | None = None,
     _raw: bool = False,   # return pre-replay hit arrays (two templates)
 ) -> InitHits:
     """Full seeding pass over one subject buffer; returns saved init hits.
@@ -773,6 +812,8 @@ def run_seeding(
         word_cutoffs, subject_starts, word_size,
         window_size=window_size, right_run=right_run,
         scan_range=scan_range,
+        concat_qlen=int(context_offsets[n_ctx]) - 2,
+        approx_ctx=approx_ctx,
     )
 
 
@@ -799,11 +840,14 @@ def run_seeding_two_templates(
         np.concatenate([a, b]) for a, b in zip(raw1, raw2)
     )
     right_run = np.zeros(len(cat[0]), np.int32)   # word == lut word
+    n_ctx2 = len(kw["word_cutoffs"])
     return _finish_init_hits(
         cat[0], cat[1], cat[2], cat[3], cat[4], cat[5], cat[6],
         kw["word_cutoffs"], kw["subject_starts"], word_size,
         window_size=window_size, right_run=right_run,
         scan_range=scan_range,
+        concat_qlen=int(kw["context_offsets"][n_ctx2]) - 2,
+        approx_ctx=kw.get("approx_ctx"),
     )
 
 
@@ -811,6 +855,8 @@ def _finish_init_hits(
     q_np, s_np, ctx, ug_q, ug_s, ug_len, ug_score,
     word_cutoffs, subject_starts, word_size,
     window_size: int = 0, right_run=None, scan_range: int = 0,
+    concat_qlen: int = 1 << 30,   # > 8000 -> exact (hash) diagonals
+    approx_ctx: dict | None = None,   # approximate-ungapped gate data
 ) -> InitHits:
     """Host finishing: per-context cutoffs, oid mapping, one- or
     two-hit diagonal replay, final score ordering.
@@ -832,6 +878,56 @@ def _finish_init_hits(
     len32 = ug_len.astype(np.int32)
     score32 = ug_score.astype(np.int32)
 
+    # the reference scores ungapped extensions APPROXIMATELY first for
+    # word lengths >= 11 (s_NuclUngappedExtend, na_ungapped.c:263) and
+    # only rescored exactly above the reduced cutoff; a seed whose
+    # byte-quantized score stays below it keeps the low approximate
+    # score and fails the cutoff even when its exact score passes.
+    # Substitute the approximate data for those seeds so the replay
+    # (and any off-diagonal save) behaves bit-identically.
+    if approx_ctx is not None and word_size >= 11:
+        need = score32 >= cutoff
+        if window_size > 0 and scan_range > 0:
+            # the off-diagonal probe can save below-cutoff seeds, so
+            # every seed's ungapped data must be reference-accurate
+            need = np.ones(len(q_np), dtype=bool)
+        if need.any():
+            from gblastn_tpu.engine.approx import compute_approx_info
+
+            sub_st = np.asarray(subject_starts, np.int64)[oid]
+            sub_en = np.asarray(approx_ctx["subject_ends"],
+                                np.int64)[oid]
+            demote, a_sc, a_q, a_s, a_r = compute_approx_info(
+                approx_ctx["query"], approx_ctx["concat_end"],
+                approx_ctx["packed"], sub_st, sub_en,
+                np.asarray(q_np, np.int64), np.asarray(s_np, np.int64),
+                ctx, approx_ctx["x_dropoffs"], approx_ctx["reduced"],
+                approx_ctx["table"], need,
+            )
+            if demote.any():
+                ext = (
+                    right_run.astype(np.int64)
+                    if right_run is not None else 0
+                )
+                sme = np.asarray(s_np, np.int64) + word_size + ext
+                ug_q = np.asarray(ug_q).copy()
+                ug_s = np.asarray(ug_s).copy()
+                ug_len = np.asarray(ug_len).copy()
+                ug_score = np.asarray(ug_score).copy()
+                d = demote
+                ug_q[d] = a_q[d]
+                ug_s[d] = a_s[d]
+                ug_len[d] = np.maximum(
+                    sme[d] - a_s[d], a_r[d] - a_q[d] + 1
+                )
+                ug_score[d] = a_sc[d]
+                ug_s_loc = (
+                    ug_s.astype(np.int64) - base
+                ).astype(np.int32)
+                len32 = ug_len.astype(np.int32)
+                score32 = ug_score.astype(np.int32)
+
+    dmask = diag_table_mask(concat_qlen, window_size)
     with slog.time("host.diag_filter"):
         if window_size > 0 and scan_range > 0:
             saved = two_hit_scan_range_filter(
@@ -839,16 +935,18 @@ def _finish_init_hits(
                 ug_s_loc, len32, score32, cutoff,
                 right_run if right_run is not None
                 else np.zeros(len(q_np), np.int32),
+                diag_mask=dmask,
             )
         elif window_size > 0:
             saved = two_hit_diag_filter(
                 q32, s_loc, oid, word_size, window_size,
                 ug_s_loc, len32, score32, cutoff, right_run,
+                diag_mask=dmask,
             )
         else:
             saved = one_hit_diag_filter(
                 q32, s_loc, oid, word_size, ug_s_loc, len32, score32,
-                cutoff,
+                cutoff, diag_mask=dmask,
             )
     keep = np.nonzero(saved)[0]
     order = sort_by_score_order(
@@ -885,6 +983,7 @@ def run_seeding_sharded(
     window_size: int = 0,
     scan_range: int = 0,
     mask_intervals: np.ndarray | None = None,
+    approx_ctx: dict | None = None,
 ) -> InitHits:
     """Multi-chip seeding over a DB-sharded device mesh
     (gblastn_tpu.parallel.dist), then the same host finishing as the
@@ -941,4 +1040,5 @@ def run_seeding_sharded(
         word_cutoffs, subject_starts, word_size,
         window_size=window_size, right_run=right_run,
         scan_range=scan_range,
+        concat_qlen=int(context_offsets[n_ctx]) - 2,
     )

@@ -349,6 +349,7 @@ def run_seeding_streamed(
     use_pallas: bool | None = None,
     mask_intervals: np.ndarray | None = None,  # int64[n, 2] absolute
     disc_offsets: tuple[int, ...] | None = None,
+    approx_ctx: dict | None = None,
 ) -> InitHits:
     """Streamed seeding over the whole database; same InitHits contract
     as engine.seeding.run_seeding (asserted equal in tests)."""
@@ -602,4 +603,6 @@ def run_seeding_streamed(
         word_cutoffs, db.starts, word_size,
         window_size=window_size, right_run=right_run,
         scan_range=scan_range,
+        concat_qlen=int(context_offsets[n_ctx]) - 2,
+        approx_ctx=approx_ctx,
     )

@@ -185,6 +185,7 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # q,s,oid
         ctypes.c_void_p, ctypes.c_int64,      # order, n
         ctypes.c_int64, ctypes.c_int64,       # word_size, window
+        ctypes.c_int64,                       # diag_mask (0 = exact)
         ctypes.c_void_p, ctypes.c_void_p,     # ung_s_start, ung_length
         ctypes.c_void_p, ctypes.c_void_p,     # ung_score, cutoff
         ctypes.c_void_p,                      # right_run (or NULL)

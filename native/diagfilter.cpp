@@ -11,10 +11,14 @@
 
 #include <cstdint>
 
+// diag_mask: 0 = exact diagonals (the eDiagHash container); nonzero =
+// the eDiagArray pow2 mask, which ALIASES diagonals in the same
+// congruence class (blast_extend.c:57; engaged for concatenated query
+// length <= 8000, blast_parameters.c:174).
 extern "C" int64_t gblastn_diag_filter(
     const int32_t* q_off, const int32_t* s_off, const int32_t* oid,
     const int64_t* order, int64_t n,
-    int64_t word_size, int64_t window,
+    int64_t word_size, int64_t window, int64_t diag_mask,
     const int32_t* ung_s_start, const int32_t* ung_length,
     const int32_t* ung_score, const int32_t* cutoff,
     const int32_t* right_run,   // used only when window > 0
@@ -28,7 +32,8 @@ extern "C" int64_t gblastn_diag_filter(
     int flag = 0;
     for (int64_t k = 0; k < n; ++k) {
         const int64_t i = order[k];
-        const int64_t diag = (int64_t)s_off[i] - (int64_t)q_off[i];
+        int64_t diag = (int64_t)s_off[i] - (int64_t)q_off[i];
+        if (diag_mask) diag &= diag_mask;
         if (!have_key || oid[i] != last_oid || diag != last_diag) {
             have_key = true;
             last_oid = oid[i];

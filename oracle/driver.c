@@ -596,6 +596,41 @@ int main(int argc, char** argv) {
     BlastDiagnostics* diagnostics = Blast_DiagnosticsInit();
     BlastHSPResults* results = NULL;
 
+    /* Optional per-context cutoff dump: replicate the engine's own
+     * parameter construction (BLAST_PreliminarySearchEngine,
+     * blast_engine.c:1147) without disturbing the search. */
+    if (getenv("GBLASTN_ORACLE_DUMP_CUTOFFS")) {
+        BlastExtensionParameters* xp = NULL;
+        BlastHitSavingParameters* hp = NULL;
+        BlastInitialWordParameters* wp = NULL;
+        BlastEffectiveLengthsParameters* ep = NULL;
+        /* effective lengths first (BLAST_GapAlignSetUp order) */
+        BlastEffectiveLengthsParametersNew(
+            eff_opts, BlastSeqSrcGetTotLen(seq_src),
+            BlastSeqSrcGetNumSeqs(seq_src), &ep);
+        BLAST_CalcEffLengths(kProgram, score_opts, ep, sbp, qinfo, NULL);
+        BlastExtensionParametersNew(kProgram, ext_opts, sbp, qinfo, &xp);
+        BlastHitSavingParametersNew(kProgram, hit_opts, sbp, qinfo,
+                                    (Int4) BlastSeqSrcGetAvgSeqLen(seq_src),
+                                    &hp);
+        BlastInitialWordParametersNew(kProgram, word_opts, hp,
+                                      lookup_wrap, sbp, qinfo,
+                                      BlastSeqSrcGetAvgSeqLen(seq_src),
+                                      &wp);
+        Int4 c;
+        for (c = qinfo->first_context; c <= qinfo->last_context; c++) {
+            printf("CTXCUT\t%d\t%d\t%d\t%d\t%d\n", (int) c,
+                   (int) wp->cutoffs[c].cutoff_score,
+                   (int) wp->cutoffs[c].x_dropoff,
+                   (int) wp->cutoffs[c].reduced_nucl_cutoff_score,
+                   (int) hp->cutoffs[c].cutoff_score);
+        }
+        wp = BlastInitialWordParametersFree(wp);
+        hp = BlastHitSavingParametersFree(hp);
+        xp = BlastExtensionParametersFree(xp);
+        ep = BlastEffectiveLengthsParametersFree(ep);
+    }
+
     Int4 status = Blast_RunFullSearch(
         kProgram, qblk, qinfo, seq_src, sbp, score_opts, lookup_wrap,
         word_opts, ext_opts, hit_opts, eff_opts, psi_opts, db_opts,

@@ -724,6 +724,54 @@ class TestOptionSweepParity:
         )
 
 
+class TestApproxUngappedGate:
+    """The reference's approximate ungapped scoring
+    (s_NuclUngappedExtend, na_ungapped.c:263): for word >= 11, hits are
+    scored four bases at a time off the packed subject and only
+    rescored exactly above the reduced cutoff (0.9 x word cutoff,
+    blast_parameters.c:412). A marginal hit lives or dies by its byte
+    alignment -- observable output behavior this test pins both ways."""
+
+    @pytest.mark.parametrize("seed,expect", [(4, 0), (0, 1)])
+    def test_marginal_hit_byte_alignment(self, tmp_path, seed, expect):
+        rng = np.random.default_rng(seed)
+        g = rand_seq(rng, 30000)
+        q = rand_seq(rng, 500)
+        pos = int(rng.integers(100, 29000))
+        sub = g[:pos] + q[200:213] + g[pos:]   # lone exact 13-mer
+        orun = assert_parity(
+            [("q", q)], [("s", sub)],
+            __import__(
+                "gblastn_tpu.params.options", fromlist=["x"]
+            ).blastn_options(evalue=1.0, word_size=12, dust=False),
+            dict(task="blastn", evalue=1.0, word_size=12, dust="no"),
+            tmp_path,
+        )
+        assert len(orun.hsps) == expect
+
+    def test_diag_array_aliasing(self, genome, tmp_path):
+        # small batches use the pow2 diagonal ARRAY whose masked index
+        # aliases far-apart diagonals (blast_extend.c:57); the replay
+        # must reproduce the suppression (kQueryLenForHashTable 8000)
+        rng = np.random.default_rng(888111)
+        queries = []
+        for i in range(6):
+            start = int(rng.integers(0, len(genome) - 1000))
+            ln = int(rng.integers(200, 700))
+            queries.append(
+                (f"al{i}", mutate(rng, genome[start : start + ln],
+                                  sub_rate=0.08, indel_rate=0.004))
+            )
+        assert_parity(
+            queries, [("chr1", genome)],
+            __import__(
+                "gblastn_tpu.params.options", fromlist=["x"]
+            ).blastn_options(evalue=1.0, word_size=12, dust=False),
+            dict(task="blastn", evalue=1.0, word_size=12, dust="no"),
+            tmp_path,
+        )
+
+
 class TestTaskVariantsParity:
     def test_blastn_short(self, genome, tmp_path):
         # blastn-short: word 7, 1/-3, evalue 50, no dust -- short primers
