@@ -69,6 +69,45 @@ def run_ungapped_prelim(
     return out
 
 
+def reevaluate_with_ambiguities_ungapped(
+    hsp: HSP, q: np.ndarray, s: np.ndarray, matrix: np.ndarray,
+    cutoff_score: int,
+) -> bool:
+    """Blast_HSPReevaluateWithAmbiguitiesUngapped (blast_hits.c:547):
+    one best-scoring-section walk over the true bases -- NO flanking
+    exact-match extension (unlike the gapped variant) -- against the
+    context's WORD-level cutoff. Returns True to delete."""
+    qi, si = hsp.q_off, hsp.s_off
+    n = hsp.q_end - hsp.q_off
+    score = 0
+    sum_ = 0
+    best_q_start = best_q_end = qi
+    best_s_start = best_s_end = si
+    cur_q, cur_s = qi, si
+    for _ in range(n):
+        sum_ += int(matrix[int(q[qi]) & 0x0F, int(s[si])])
+        qi += 1
+        si += 1
+        if sum_ < 0:
+            sum_ = 0
+            cur_q, cur_s = qi, si
+            if score < cutoff_score:
+                best_q_start = best_q_end = qi
+                best_s_start = best_s_end = si
+                score = 0
+        elif sum_ > score:
+            score = sum_
+            best_q_end, best_s_end = qi, si
+            best_q_start, best_s_start = cur_q, cur_s
+    # s_UpdateReevaluatedHSPUngapped (blast_hits.c:535)
+    hsp.score = score
+    if score < cutoff_score:
+        return True
+    hsp.q_off, hsp.q_end = best_q_start, best_q_end
+    hsp.s_off, hsp.s_end = best_s_start, best_s_end
+    return False
+
+
 def finish_ungapped_hsplist(
     lst: HSPList,
     qblock,
@@ -77,36 +116,26 @@ def finish_ungapped_hsplist(
     params,
     subject_length: int,
 ) -> None:
-    """Traceback-stage finishing for ungapped HSPs: re-score against
-    the true subject (Blast_HSPListReevaluateUngapped's role, realized
-    through the same best-section walk with a single substitution run),
-    re-link, reap, identities and bit scores."""
-    from gblastn_tpu.hits import OP_SUB
-    from gblastn_tpu.traceback.stage import (
-        reevaluate_with_ambiguities_gapped,
-    )
-
-    opts = params.options
+    """Traceback-stage finishing for ungapped HSPs
+    (Blast_HSPListReevaluateUngapped, blast_hits.c:2305): re-score
+    against the true subject with the WORD-level cutoff, re-link, reap,
+    identities and bit scores."""
     kept: list[HSP] = []
     for h in lst.hsps:
         ctx_info = qblock.contexts[h.context]
         q = qblock.buffer[
             ctx_info.offset: ctx_info.offset + ctx_info.length
         ]
-        h.edit_script = [(OP_SUB, h.q_end - h.q_off)]
         cp = params.contexts[h.context]
-        deleted = reevaluate_with_ambiguities_gapped(
-            h, q, subject, matrix, cp.cutoff_score,
-            opts.reward, opts.penalty, 0, 0,
-        )
-        h.edit_script = None
-        if deleted:
+        if reevaluate_with_ambiguities_ungapped(
+            h, q, subject, matrix, cp.word_cutoff_score,
+        ):
             continue
         h.num_ident, _ = num_identities(q, subject, h)
         kept.append(h)
     kept = _link_and_reap(kept, params, subject_length)
     lst.hsps = kept
-    reap_by_evalue(lst, opts.evalue)
+    reap_by_evalue(lst, params.options.evalue)
     if lst.hsps:
         get_bit_scores(lst, params.kbp_gap)
         lst.best_evalue = min(h.evalue for h in lst.hsps)

@@ -52,26 +52,46 @@ def _karlin_p_to_e(p: float) -> float:
     return -math.log1p(-p)
 
 
-def _romberg(f, a: float, b: float, eps: float, itmin: int = 1,
-             max_iter: int = 20) -> float:
-    """Romberg integration (role of BLAST_RombergIntegrate,
-    ncbi_math.c)."""
-    r = [[0.0] * (max_iter + 1) for _ in range(max_iter + 1)]
-    h = b - a
-    r[0][0] = 0.5 * h * (f(a) + f(b))
-    for i in range(1, max_iter + 1):
+_MAX_DIAGS = 20
+
+
+def _romberg(f, p: float, q: float, eps: float, itmin: int = 1,
+             epsit: int = 0) -> float:
+    """Exact port of BLAST_RombergIntegrate (ncbi_math.c:351): rolled
+    extrapolation array, same-row convergence test (|R(i,i)-R(i,i-1)|
+    against eps), HUGE_VAL (inf) on non-convergence within MAX_DIAGS.
+    Bit parity of linked sum e-values depends on matching this
+    stopping rule exactly."""
+    itmin = min(max(1, itmin), _MAX_DIAGS - 1)
+    epsit = min(max(epsit, 1), 3)
+    epsck = itmin - epsit
+
+    romb = [0.0] * _MAX_DIAGS
+    npts = 1
+    h = q - p
+    romb[0] = 0.5 * h * (f(p) + f(q))
+    epsit_cnt = 0
+    for i in range(1, _MAX_DIAGS):
+        s = 0.0
+        x = p + 0.5 * h
+        for _ in range(npts):
+            s += f(x)
+            x += h
+        romb[i] = 0.5 * (romb[i - 1] + h * s)
+        n = 4
+        for j in range(i - 1, -1, -1):
+            romb[j] = (n * romb[j + 1] - romb[j]) / (n - 1)
+            n *= 4
+        if i > epsck:
+            if abs(romb[1] - romb[0]) > eps * abs(romb[0]):
+                epsit_cnt = 0
+            else:
+                epsit_cnt += 1
+                if i >= itmin and epsit_cnt >= epsit:
+                    return romb[0]
+        npts *= 2
         h *= 0.5
-        s = sum(f(a + (2 * k - 1) * h) for k in range(1, 2 ** (i - 1) + 1))
-        r[i][0] = 0.5 * r[i - 1][0] + h * s
-        for j in range(1, i + 1):
-            r[i][j] = r[i][j - 1] + (
-                r[i][j - 1] - r[i - 1][j - 1]
-            ) / (4 ** j - 1)
-        if i >= itmin and abs(r[i][i] - r[i - 1][i - 1]) <= eps * abs(
-            r[i][i]
-        ) + 1e-300:
-            return r[i][i]
-    return r[max_iter][max_iter]
+    return math.inf
 
 
 def _sum_p_calc(r: int, s: float) -> float:
@@ -130,9 +150,19 @@ def _sum_p_calc(r: int, s: float) -> float:
 
     def inner(sv: float) -> float:
         mx = sv / r + 3.0 if sv > 0.0 else 3.0
-        return _romberg(lambda x: outer(x, sv), 0.0, mx, 0.002)
+        return _romberg(lambda x: outer(x, sv), 0.0, mx, 0.002, itmin=1)
 
-    d = _romberg(inner, s, t, 0.002, itmin=1 if s >= mean else 2)
+    # the reference refines with increasing itmin while the result
+    # stays below 0.4 (s_BlastSumPCalc retry loop, blast_stat.c:4295)
+    itmin = 1 if s >= mean else 2
+    while True:
+        d = _romberg(inner, s, t, 0.002, itmin=itmin)
+        if math.isinf(d):
+            return d
+        stop = not (s < mean and d < 0.4 and itmin < 4)
+        itmin += 1
+        if stop:
+            break
     return d if d < 1.0 else 1.0
 
 

@@ -724,6 +724,54 @@ class TestOptionSweepParity:
         )
 
 
+class TestUngappedLinkingParity:
+    """-ungapped sum-statistics: the linked groups, the below-cutoff
+    HSPs rescued by linking, and the 5+-member Romberg sum-P path must
+    all match the reference."""
+
+    def test_ungapped_fuzz(self, genome, tmp_path):
+        from gblastn_tpu.params.options import (
+            blastn_options,
+            megablast_options,
+        )
+
+        rng = np.random.default_rng(31337)
+        for trial in range(8):
+            task = ["megablast", "blastn"][int(rng.integers(0, 2))]
+            window = int(rng.choice([0, 40]))
+            ev = float(rng.choice([1e-5, 1e-2, 1.0, 10.0]))
+            kw = dict(evalue=ev, gapped=False, window_size=window)
+            okw = dict(task=task, evalue=ev, ungapped=True)
+            if window:
+                okw["window_size"] = window
+            if task == "megablast":
+                opts = megablast_options(**kw)
+            else:
+                w = int(rng.choice([7, 11, 12]))
+                opts = blastn_options(word_size=w, **kw)
+                okw["word_size"] = w
+            queries = []
+            for i in range(int(rng.integers(3, 6))):
+                start = int(rng.integers(0, len(genome) - 1000))
+                ln = int(rng.integers(120, 700))
+                frag = mutate(
+                    rng, genome[start : start + ln],
+                    sub_rate=float(rng.uniform(0, 0.1)),
+                    indel_rate=float(rng.uniform(0, 0.01)),
+                )
+                if rng.random() < 0.5:
+                    frag = revcomp(frag)
+                queries.append((f"u{trial}q{i}", frag))
+            subjects = (
+                [("chr1", genome)] if rng.random() < 0.5
+                else [("c1", genome[:20000]), ("c2", genome[20000:])]
+            )
+            try:
+                assert_parity(queries, subjects, opts, okw, tmp_path)
+            except AssertionError as e:
+                raise AssertionError(f"trial {trial} {okw}: {e}") from e
+
+
 class TestApproxUngappedGate:
     """The reference's approximate ungapped scoring
     (s_NuclUngappedExtend, na_ungapped.c:263): for word >= 11, hits are
