@@ -407,8 +407,11 @@ def _query_offset_key(h: HSP):
 
 
 def _query_end_key(h: HSP):
-    """s_QueryEndCompareHSPs (blast_hits.c:2102)."""
-    return (h.context, h.q_end, h.s_end, -h.score, h.q_off, h.s_off)
+    """s_QueryEndCompareHSPs (blast_hits.c:2102): ties break by
+    DECREASING score, then DECREASING start offsets ("the shortest
+    range means the largest sequence offset must come first"), so the
+    shortest duplicate survives intact and the longer one is cut."""
+    return (h.context, h.q_end, h.s_end, -h.score, -h.q_off, -h.s_off)
 
 
 def purge_common_endpoints(hsps: list[HSP], purge: bool) -> list[HSP]:

@@ -391,6 +391,7 @@ typedef struct Args {
     int no_greedy;           /* 1 = force DP extension (megablast) */
     Int4 min_raw_gapped_score;  /* 0 = derive from evalue */
     Int4 scan_range;         /* off-diagonal probe range (two-hit) */
+    double perc_identity;    /* 0 = off */
     Int8 searchsp;           /* 0 = none */
     double xdrop_ungap, xdrop_gap, xdrop_gap_final; /* <0 = default */
     Int4 min_diag_separation; /* -1 = task default */
@@ -432,6 +433,7 @@ static Args parse_args(int argc, char** argv) {
         else if (!strcmp(k, "-no_greedy")) { a.no_greedy = 1; }
         else if (!strcmp(k, "-min_raw_gapped_score")) { a.min_raw_gapped_score = atoi(v); i++; }
         else if (!strcmp(k, "-scan_range")) { a.scan_range = atoi(v); i++; }
+        else if (!strcmp(k, "-perc_identity")) { a.perc_identity = atof(v); i++; }
         else if (!strcmp(k, "-searchsp")) { a.searchsp = atoll(v); i++; }
         else if (!strcmp(k, "-xdrop_ungap")) { a.xdrop_ungap = atof(v); i++; }
         else if (!strcmp(k, "-xdrop_gap")) { a.xdrop_gap = atof(v); i++; }
@@ -515,6 +517,8 @@ int main(int argc, char** argv) {
                                0 /* culling_limit */, min_diag_separation);
     if (a.min_raw_gapped_score)
         hit_opts->cutoff_score = a.min_raw_gapped_score;
+    if (a.perc_identity > 0)
+        hit_opts->percent_identity = a.perc_identity;
     query_opts->strand_option = 3; /* eNa_strand_both */
     if (a.dust) {
         SBlastFilterOptionsNew(&query_opts->filtering_options, eDust);

@@ -724,6 +724,105 @@ class TestOptionSweepParity:
         )
 
 
+class TestHostileWorkloadParity:
+    """Hostile inputs: long N runs, low-complexity repeats, duplicated
+    segments, tiny subjects, equal-score duplicate HSPs sharing an
+    endpoint (the purge's descending-offset tie-break). Seed 2024
+    caught the common-endpoint cut keeping the wrong duplicate."""
+
+    def test_hostile_fuzz(self, tmp_path):
+        from gblastn_tpu.params.options import (
+            blastn_options,
+            dc_megablast_options,
+            megablast_options,
+        )
+
+        B = "ACGT"
+        rng = np.random.default_rng(2024)
+
+        def hostile_seq(n):
+            out = []
+            while len(out) < n:
+                r = rng.random()
+                if r < 0.08:
+                    out.extend("N" * int(rng.integers(1, 30)))
+                elif r < 0.16:
+                    unit = "".join(
+                        B[i] for i in
+                        rng.integers(0, 4, int(rng.integers(1, 3)))
+                    )
+                    out.extend(unit * int(rng.integers(10, 40)))
+                else:
+                    out.extend(
+                        B[i] for i in
+                        rng.integers(0, 4, int(rng.integers(20, 200)))
+                    )
+            return "".join(out[:n])
+
+        comp = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+        for trial in range(10):
+            glen = int(rng.integers(2000, 40000))
+            genome2 = hostile_seq(glen)
+            if rng.random() < 0.5 and glen > 4000:
+                a = int(rng.integers(0, glen - 2000))
+                genome2 = (genome2[:glen - 1500] + genome2[a:a + 800]
+                           + genome2[glen - 700:])[:glen]
+            task = int(rng.integers(0, 3))
+            ev = float(rng.choice([1e-3, 1.0, 10.0]))
+            pid = float(rng.choice([0.0, 90.0, 98.0]))
+            okw = dict(evalue=ev)
+            if pid:
+                okw["perc_identity"] = pid
+            if task == 0:
+                opts = megablast_options(evalue=ev, percent_identity=pid)
+                okw["task"] = "megablast"
+            elif task == 1:
+                w = int(rng.choice([7, 11]))
+                win = int(rng.choice([0, 40]))
+                opts = blastn_options(
+                    evalue=ev, percent_identity=pid, word_size=w,
+                    window_size=win,
+                )
+                okw.update(task="blastn", word_size=w)
+                if win:
+                    okw["window_size"] = win
+            else:
+                opts = dc_megablast_options(
+                    evalue=ev, percent_identity=pid
+                )
+                okw["task"] = "dc-megablast"
+            queries = []
+            for i in range(int(rng.integers(2, 5))):
+                if rng.random() < 0.3:
+                    q = hostile_seq(int(rng.integers(60, 400)))
+                else:
+                    start = int(rng.integers(0, max(glen - 900, 1)))
+                    ln = int(rng.integers(60, min(800, glen - start)))
+                    seg = genome2[start: start + ln]
+                    out = []
+                    for c in seg:
+                        r2 = rng.random()
+                        if c != "N" and r2 < 0.1:
+                            c = B[(B.index(c) + 1
+                                   + int(rng.integers(0, 3))) % 4]
+                        if r2 > 0.995:
+                            continue
+                        out.append(c)
+                    q = "".join(out)
+                if rng.random() < 0.5:
+                    q = "".join(comp[c] for c in reversed(q))
+                queries.append((f"h{trial}q{i}", q))
+            subjects = [("chr1", genome2)]
+            if rng.random() < 0.4:
+                subjects.append(
+                    ("tiny", hostile_seq(int(rng.integers(5, 40))))
+                )
+            try:
+                assert_parity(queries, subjects, opts, okw, tmp_path)
+            except AssertionError as e:
+                raise AssertionError(f"trial {trial} {okw}: {e}") from e
+
+
 class TestUngappedLinkingParity:
     """-ungapped sum-statistics: the linked groups, the below-cutoff
     HSPs rescued by linking, and the 5+-member Romberg sum-P path must
