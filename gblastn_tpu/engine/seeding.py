@@ -886,11 +886,11 @@ def _finish_init_hits(
     # Substitute the approximate data for those seeds so the replay
     # (and any off-diagonal save) behaves bit-identically.
     if approx_ctx is not None and word_size >= 11:
+        # only cutoff-passing seeds can be demoted (failed seeds push
+        # last_hit from the seed end either way); below-cutoff seeds
+        # saved via the off-diagonal probe get their reference-accurate
+        # (approximate) data substituted after the replay
         need = score32 >= cutoff
-        if window_size > 0 and scan_range > 0:
-            # the off-diagonal probe can save below-cutoff seeds, so
-            # every seed's ungapped data must be reference-accurate
-            need = np.ones(len(q_np), dtype=bool)
         if need.any():
             from gblastn_tpu.engine.approx import compute_approx_info
 
@@ -948,6 +948,47 @@ def _finish_init_hits(
                 q32, s_loc, oid, word_size, ug_s_loc, len32, score32,
                 cutoff, diag_mask=dmask,
             )
+    if (approx_ctx is not None and word_size >= 11
+            and window_size > 0 and scan_range > 0):
+        # the off-diagonal probe saves below-cutoff seeds with the
+        # reference's ungapped data -- approximate unless the byte
+        # score reached the reduced cutoff (na_ungapped.c:732). The
+        # replay's last_hit for such a save uses the exact end; the
+        # divergence window is a saved-below-cutoff hit followed by
+        # another hit inside the approx/exact end gap on one diagonal.
+        sub2 = saved & (score32 < cutoff)
+        if sub2.any():
+            from gblastn_tpu.engine.approx import compute_approx_info
+
+            sub_st2 = np.asarray(subject_starts, np.int64)[oid]
+            sub_en2 = np.asarray(
+                approx_ctx["subject_ends"], np.int64
+            )[oid]
+            dem2, a2_sc, a2_q, a2_s, a2_r = compute_approx_info(
+                approx_ctx["query"], approx_ctx["concat_end"],
+                approx_ctx["packed"], sub_st2, sub_en2,
+                np.asarray(q_np, np.int64), np.asarray(s_np, np.int64),
+                ctx, approx_ctx["x_dropoffs"], approx_ctx["reduced"],
+                approx_ctx["table"], sub2,
+            )
+            d2 = sub2 & dem2
+            if d2.any():
+                ext2 = (
+                    right_run.astype(np.int64)
+                    if right_run is not None else 0
+                )
+                sme2 = np.asarray(s_np, np.int64) + word_size + ext2
+                ug_q = np.asarray(ug_q).copy()
+                ug_s = np.asarray(ug_s).copy()
+                ug_len = np.asarray(ug_len).copy()
+                ug_score = np.asarray(ug_score).copy()
+                ug_q[d2] = a2_q[d2]
+                ug_s[d2] = a2_s[d2]
+                ug_len[d2] = np.maximum(
+                    sme2[d2] - a2_s[d2], a2_r[d2] - a2_q[d2] + 1
+                )
+                ug_score[d2] = a2_sc[d2]
+
     keep = np.nonzero(saved)[0]
     order = sort_by_score_order(
         ug_score[keep], ug_s[keep], ug_len[keep], ug_q[keep]
@@ -1041,4 +1082,5 @@ def run_seeding_sharded(
         window_size=window_size, right_run=right_run,
         scan_range=scan_range,
         concat_qlen=int(context_offsets[n_ctx]) - 2,
+        approx_ctx=approx_ctx,
     )

@@ -15,7 +15,7 @@ import numpy as np
 
 from gblastn_tpu.hits import HSP, HSPList, get_bit_scores, reap_by_evalue
 from gblastn_tpu.linking import even_gap_link_hsps
-from gblastn_tpu.traceback.stage import num_identities
+from gblastn_tpu.traceback.stage import hsp_test, num_identities
 from gblastn_tpu.utils.profiling import slog
 
 
@@ -131,7 +131,14 @@ def finish_ungapped_hsplist(
             h, q, subject, matrix, cp.word_cutoff_score,
         ):
             continue
-        h.num_ident, _ = num_identities(q, subject, h)
+        # identities count against the UNMASKED letters; the identity/
+        # length filter follows (blast_hits.c:2396-2406)
+        q_nomask = qblock.display_buffer[
+            ctx_info.offset: ctx_info.offset + ctx_info.length
+        ]
+        h.num_ident, align_len = num_identities(q_nomask, subject, h)
+        if hsp_test(h, align_len, params.options.percent_identity):
+            continue
         kept.append(h)
     kept = _link_and_reap(kept, params, subject_length)
     lst.hsps = kept

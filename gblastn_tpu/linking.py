@@ -69,13 +69,20 @@ def _romberg(f, p: float, q: float, eps: float, itmin: int = 1,
     romb = [0.0] * _MAX_DIAGS
     npts = 1
     h = q - p
-    romb[0] = 0.5 * h * (f(p) + f(q))
+    y0, y1 = f(p), f(q)
+    if math.isinf(y0) or math.isinf(y1):
+        return math.inf
+    romb[0] = 0.5 * h * (y0 + y1)
     epsit_cnt = 0
     for i in range(1, _MAX_DIAGS):
         s = 0.0
         x = p + 0.5 * h
         for _ in range(npts):
-            s += f(x)
+            y = f(x)
+            if math.isinf(y):
+                # HUGE_VAL short-circuit (ncbi_math.c:375-389)
+                return math.inf
+            s += y
             x += h
         romb[i] = 0.5 * (romb[i - 1] + h * s)
         n = 4

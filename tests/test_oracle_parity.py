@@ -870,6 +870,47 @@ class TestUngappedLinkingParity:
             except AssertionError as e:
                 raise AssertionError(f"trial {trial} {okw}: {e}") from e
 
+    def test_ungapped_perc_identity(self, genome, tmp_path):
+        # -ungapped + -perc_identity: the identity/length filter runs
+        # inside the ungapped finisher (blast_hits.c:2396-2406) against
+        # the UNMASKED query letters
+        from gblastn_tpu.params.options import (
+            blastn_options,
+            megablast_options,
+        )
+
+        rng = np.random.default_rng(777)
+        for trial in range(6):
+            task = ["megablast", "blastn"][trial % 2]
+            pid = float(rng.choice([85.0, 92.0, 97.0]))
+            okw = dict(
+                task=task, evalue=10.0, ungapped=True, perc_identity=pid
+            )
+            kw = dict(evalue=10.0, gapped=False, percent_identity=pid)
+            if task == "megablast":
+                opts = megablast_options(**kw)
+            else:
+                opts = blastn_options(word_size=11, **kw)
+                okw["word_size"] = 11
+            queries = []
+            for i in range(3):
+                start = int(rng.integers(0, len(genome) - 1000))
+                ln = int(rng.integers(150, 600))
+                frag = mutate(
+                    rng, genome[start : start + ln],
+                    sub_rate=float(rng.uniform(0.02, 0.15)),
+                    indel_rate=0.0,
+                )
+                if rng.random() < 0.5:
+                    frag = revcomp(frag)
+                queries.append((f"up{trial}q{i}", frag))
+            try:
+                assert_parity(
+                    queries, [("chr1", genome)], opts, okw, tmp_path
+                )
+            except AssertionError as e:
+                raise AssertionError(f"trial {trial} {okw}: {e}") from e
+
 
 class TestApproxUngappedGate:
     """The reference's approximate ungapped scoring
