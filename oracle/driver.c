@@ -210,15 +210,19 @@ static void s_SetContext(BlastQueryInfo* qinfo, Uint4 index, Uint4 length) {
         qinfo->contexts[index].is_valid = FALSE;
 }
 
-static void s_SetupQueries(const FastaSet* queries, BlastQueryInfo** qinfo_out,
+static void s_SetupQueries(const FastaSet* queries, Int4 strand,
+                           BlastQueryInfo** qinfo_out,
                            BLAST_SequenceBlk** qblk_out) {
     Int4 i;
     BlastQueryInfo* qinfo = BlastQueryInfoNew(eBlastTypeBlastn, queries->count);
     Uint4 max_length = 0;
     for (i = 0; i < queries->count; i++) {
         Uint4 len = (Uint4) queries->seqs[i].length;
-        s_SetContext(qinfo, 2 * i, len);      /* plus strand */
-        s_SetContext(qinfo, 2 * i + 1, len);  /* minus strand */
+        /* strand restriction: the excluded strand's context gets length
+         * 0 and is_valid FALSE (SetupQueryInfo_OMF for eNa_strand_plus/
+         * minus, blast_setup_cxx.cpp) */
+        s_SetContext(qinfo, 2 * i, (strand & 1) ? len : 0);
+        s_SetContext(qinfo, 2 * i + 1, (strand & 2) ? len : 0);
         if (len > max_length) max_length = len;
     }
     qinfo->max_length = max_length;
@@ -227,17 +231,16 @@ static void s_SetupQueries(const FastaSet* queries, BlastQueryInfo** qinfo_out,
     Uint1* buf = (Uint1*) calloc(buflen + 1, 1);
     const Uint1 kSentinel = 15; /* blastna sentinel (eBlastEncodingNucleotide) */
     buf[0] = kSentinel;
-    for (i = 0; i < queries->count; i++) {
-        const FastaSeq* fs = &queries->seqs[i];
-        Int4 o_plus = qinfo->contexts[2 * i].query_offset;
-        Int4 o_minus = qinfo->contexts[2 * i + 1].query_offset;
+    for (i = 0; i < 2 * queries->count; i++) {
+        Uint4 len = qinfo->contexts[i].query_length;
+        if (len == 0) continue;
+        const FastaSeq* fs = &queries->seqs[i / 2];
+        Int4 off = qinfo->contexts[i].query_offset;
         /* buffer layout: query_offset indexes into (buf+1); each context is
          * preceded and followed by a sentinel byte (SetupQueries_OMF) */
-        buf[o_plus] = kSentinel;
-        s_FillBlastna(fs, 0, buf + o_plus + 1);
-        buf[o_minus] = kSentinel;
-        s_FillBlastna(fs, 1, buf + o_minus + 1);
-        buf[o_minus + fs->length + 1] = kSentinel;
+        buf[off] = kSentinel;
+        s_FillBlastna(fs, i & 1, buf + off + 1);
+        buf[off + (Int4) len + 1] = kSentinel;
     }
     BLAST_SequenceBlk* qblk = NULL;
     if (BlastSeqBlkNew(&qblk) < 0) die("query seq blk");
@@ -397,6 +400,7 @@ typedef struct Args {
     Int4 min_diag_separation; /* -1 = task default */
     Int4 template_length;    /* 0 = contiguous */
     Int4 template_type;      /* 0 coding, 1 optimal, 2 both */
+    Int4 strand;             /* eNa_strand: 1 plus, 2 minus, 3 both */
     const char* qmask;       /* query mask intervals file (see below) */
 } Args;
 
@@ -412,6 +416,7 @@ static Args parse_args(int argc, char** argv) {
     a.mask_at_hash = 1;
     a.xdrop_ungap = -1; a.xdrop_gap = -1; a.xdrop_gap_final = -1;
     a.min_diag_separation = -1;
+    a.strand = 3;
     int i;
     for (i = 1; i < argc; i++) {
         const char* k = argv[i];
@@ -443,6 +448,11 @@ static Args parse_args(int argc, char** argv) {
         else if (!strcmp(k, "-template_type")) {
             a.template_type = !strcmp(v, "optimal") ? 1 :
                               !strcmp(v, "coding_and_optimal") ? 2 : 0;
+            i++;
+        }
+        else if (!strcmp(k, "-strand")) {
+            a.strand = !strcmp(v, "plus") ? 1 :
+                       !strcmp(v, "minus") ? 2 : 3;
             i++;
         }
         else if (!strcmp(k, "-qmask")) { a.qmask = v; i++; }
@@ -519,7 +529,7 @@ int main(int argc, char** argv) {
         hit_opts->cutoff_score = a.min_raw_gapped_score;
     if (a.perc_identity > 0)
         hit_opts->percent_identity = a.perc_identity;
-    query_opts->strand_option = 3; /* eNa_strand_both */
+    query_opts->strand_option = a.strand;
     if (a.dust) {
         SBlastFilterOptionsNew(&query_opts->filtering_options, eDust);
         query_opts->filtering_options->mask_at_hash =
@@ -533,7 +543,7 @@ int main(int argc, char** argv) {
     /* --- query setup ------------------------------------------------ */
     BlastQueryInfo* qinfo = NULL;
     BLAST_SequenceBlk* qblk = NULL;
-    s_SetupQueries(&queries, &qinfo, &qblk);
+    s_SetupQueries(&queries, a.strand, &qinfo, &qblk);
 
     /* Query masking locations (the reference computes dust in its C++
      * api layer — dust_filter.cpp:Blast_FindDustFilterLoc — and injects

@@ -148,11 +148,17 @@ def parse_oracle_output(text: str) -> OracleRun:
     return run
 
 
-def engine_hsp_key(qi: int, oid: int, hsp) -> tuple:
-    """Comparison key for one of OUR engine's final HSPs."""
+def engine_hsp_key(qi: int, oid: int, hsp, strand: str = "both") -> tuple:
+    """Comparison key for one of OUR engine's final HSPs.
+
+    Under -strand restriction our engine compresses to one context per
+    query while the oracle keeps the 2-per-query numbering with the
+    excluded context invalid, so the strand bit comes from the option.
+    """
     return (
         qi,
-        hsp.context % 2,
+        (hsp.context % 2) if strand == "both"
+        else (0 if strand == "plus" else 1),
         oid,
         hsp.q_off,
         hsp.q_end,

@@ -71,7 +71,9 @@ def run_engine(queries, subjects, options):
     for q in res.queries:
         for lst in q.hsplists:
             for h in lst.hsps:
-                k = engine_hsp_key(q.query_index, lst.oid, h)
+                k = engine_hsp_key(
+                    q.query_index, lst.oid, h, strand=options.strand
+                )
                 keys.append(k)
                 evd[k] = (h.evalue, h.bit_score)
     return keys, evd
@@ -998,6 +1000,44 @@ class TestTaskVariantsParity:
         )
 
 
+class TestStrandParity:
+    """-strand plus/minus: the excluded strand's context is absent from
+    our query block while the oracle keeps 2-per-query numbering with
+    the excluded context invalid (SetupQueryInfo_OMF); results must
+    match on every task."""
+
+    def test_strand_restriction(self, genome, tmp_path):
+        from gblastn_tpu.params.options import (
+            dc_megablast_options,
+            megablast_options,
+        )
+
+        rng = np.random.default_rng(606)
+        queries = []
+        for i in range(6):
+            start = int(rng.integers(0, len(genome) - 800))
+            frag = mutate(rng, genome[start : start + 450],
+                          sub_rate=0.05, indel_rate=0.004)
+            if i % 2:
+                frag = revcomp(frag)
+            queries.append((f"st{i}", frag))
+        for strand in ("plus", "minus"):
+            for task in ("megablast", "blastn", "dc-megablast"):
+                if task == "megablast":
+                    opts = megablast_options(evalue=1.0, strand=strand)
+                elif task == "blastn":
+                    opts = blastn_options(evalue=1.0, strand=strand)
+                else:
+                    opts = dc_megablast_options(
+                        evalue=1.0, strand=strand
+                    )
+                assert_parity(
+                    queries, [("chr1", genome)], opts,
+                    dict(task=task, evalue=1.0, strand=strand),
+                    tmp_path,
+                )
+
+
 class TestRandomComboParity:
     """Randomized option-combination fuzz: each trial draws a valid
     combo across task, scoring pair, word size, two-hit window,
@@ -1025,6 +1065,17 @@ class TestRandomComboParity:
             soft = bool(rng.random() < 0.8)
             kw = dict(evalue=float(rng.choice([1e-5, 1e-2, 1.0])))
             okw = dict(evalue=kw["evalue"])
+            strand = str(rng.choice(["both", "both", "plus", "minus"]))
+            if strand != "both":
+                kw["strand"] = strand
+                okw["strand"] = strand
+            if rng.random() < 0.3:
+                xd = float(rng.choice([10.0, 30.0]))
+                kw["x_dropoff_ungapped"] = xd
+                okw["xdrop_ungap"] = int(xd)
+            if rng.random() < 0.2:
+                kw["searchsp_override"] = 10**7
+                okw["searchsp"] = 10**7
             if dust:
                 if not soft:
                     kw["mask_at_hash"] = False
