@@ -35,6 +35,7 @@ import numpy as np
 from gblastn_tpu.io.fasta import (
     BATCH_SIZE_BLASTN,
     BATCH_SIZE_MEGABLAST,
+    FastaRecord,
     batch_records,
     parse_fasta,
 )
@@ -102,6 +103,9 @@ def _add_blastn_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-query_loc", default=None,
                    help="location on the query sequence "
                         "(format: start-stop, 1-based inclusive)")
+    p.add_argument("-subject_loc", default=None,
+                   help="location on the subject sequence, bl2seq mode "
+                        "only (format: start-stop, 1-based inclusive)")
     p.add_argument("-strand", default="both",
                    choices=["both", "plus", "minus"])
     p.add_argument("-perc_identity", type=float, default=0.0)
@@ -385,11 +389,51 @@ def run_blastn(argv) -> int:
         Path(args.export_search_strategy).write_text(
             to_text("Blast4-request", request)
         )
+    subj_shift = None     # per-oid coordinate shift under -subject_loc
+    display_db = None     # full-length db for rendering (slen, bases)
     if args.subject:
         if args.db:
             raise SystemExit("use either -db or -subject, not both")
-        db = SequenceDB.from_fasta(args.subject, title=args.subject)
+        if args.subject_loc:
+            # -subject_loc (bl2seq only): the engine searches the
+            # sliced subject -- stats, cutoffs, and the packed-byte
+            # phase of the approximate ungapped gate all see the range
+            # length, as the reference's SetupSubjects does for an
+            # interval Seq-loc -- and final coordinates are remapped to
+            # the full sequence (s_RemapToSubjectLoc,
+            # blast_seqalign.cpp:1276)
+            try:
+                s, _, e = args.subject_loc.partition("-")
+                start, stop = int(s), int(e)
+                if start < 1 or stop < start:
+                    raise ValueError
+            except ValueError:
+                raise SystemExit(
+                    "BLAST options error: -subject_loc must be "
+                    "start-stop (1-based, start <= stop)"
+                )
+            recs = list(parse_fasta(args.subject))
+            display_db = SequenceDB.from_records(
+                recs, title=args.subject
+            )
+            subj_shift = []
+            sliced = []
+            for rec in recs:
+                a = min(start - 1, len(rec.sequence))
+                b = min(stop, len(rec.sequence))
+                subj_shift.append(a)
+                sliced.append(
+                    FastaRecord(rec.seq_id, rec.title,
+                                rec.sequence[a:b])
+                )
+            db = SequenceDB.from_records(sliced, title=args.subject)
+        else:
+            db = SequenceDB.from_fasta(args.subject, title=args.subject)
     elif args.db:
+        if args.subject_loc:
+            raise SystemExit(
+                "BLAST options error: -subject_loc requires -subject"
+            )
         db = SequenceDB.load(args.db)
     else:
         raise SystemExit("one of -db or -subject is required")
@@ -449,7 +493,7 @@ def run_blastn(argv) -> int:
             out.write("<HTML>\n<HEAD><TITLE>BLAST Search Results"
                       "</TITLE></HEAD>\n<BODY>\n<PRE>\n")
         renderer = ResultRenderer(
-            kind, fields, out, db, options,
+            kind, fields, out, display_db or db, options,
             dbname=args.db or args.subject or "", task=args.task,
             line_length=args.line_length,
             num_descriptions=args.num_descriptions,
@@ -462,6 +506,14 @@ def run_blastn(argv) -> int:
         t0 = time.time()
 
         def emit(results):
+            if subj_shift is not None:
+                for q in results.queries:
+                    for lst in q.hsplists:
+                        off = subj_shift[lst.oid]
+                        if off:
+                            for h in lst.hsps:
+                                h.s_off += off
+                                h.s_end += off
             renderer.emit(results)
 
         def all_batches():

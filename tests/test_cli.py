@@ -281,3 +281,42 @@ def test_query_loc_restriction(setup, tmp_path):
     assert len(rows3) == 1
     assert rows3[0][1] == "1" and rows3[0][2] == "300"
     assert rows3[0][3] == "9300" and rows3[0][4] == "9001"
+
+
+def test_subject_loc_restriction(setup, tmp_path):
+    # -subject_loc (bl2seq): search only the range, report full-subject
+    # coordinates and full slen, statistics from the range length --
+    # identical e-values/bit scores to searching the slice directly
+    genome_line = (setup / "db.fa").read_text().splitlines()
+    genome = "".join(genome_line[1:])
+    q = tmp_path / "q.fa"
+    q.write_text(
+        ">in\n" + genome[6000:6400] + "\n"
+        ">outr\n" + genome[12000:12300] + "\n"
+    )
+    s = tmp_path / "s.fa"
+    s.write_text(">subj\n" + genome + "\n")
+    fmt = "6 qseqid sstart send evalue bitscore slen"
+    out = tmp_path / "sl.tsv"
+    assert main(["blastn", "-query", str(q), "-subject", str(s),
+                 "-subject_loc", "5001-10000", "-out", str(out),
+                 "-outfmt", fmt]) == 0
+    rows = [l.split("\t") for l in out.read_text().splitlines()]
+    assert {r[0] for r in rows} == {"in"}       # outr is out of range
+    assert rows[0][1] == "6001" and rows[0][2] == "6400"
+    assert rows[0][5] == str(len(genome))       # slen = full length
+
+    # statistics match a direct bl2seq search of the slice
+    ss = tmp_path / "slice.fa"
+    ss.write_text(">subj\n" + genome[5000:10000] + "\n")
+    out2 = tmp_path / "sl2.tsv"
+    assert main(["blastn", "-query", str(q), "-subject", str(ss),
+                 "-out", str(out2), "-outfmt", fmt]) == 0
+    rows2 = [l.split("\t") for l in out2.read_text().splitlines()]
+    assert len(rows2) == 1
+    assert rows[0][3:5] == rows2[0][3:5]        # evalue + bit score
+
+    # -subject_loc with -db is a usage error
+    with pytest.raises(SystemExit):
+        main(["blastn", "-query", str(q), "-db", str(setup / "db"),
+              "-subject_loc", "1-10"])
