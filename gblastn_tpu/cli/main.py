@@ -128,6 +128,13 @@ def _add_blastn_args(p: argparse.ArgumentParser) -> None:
                         "(or .oascii), like the reference")
     p.add_argument("-filtering_db", default=None,
                    help="repeats database for query masking")
+    p.add_argument("-gilist", default=None,
+                   help="restrict the search to database sequences "
+                        "whose deflines carry a GI in this list "
+                        "(NCBI text or binary GI list)")
+    p.add_argument("-negative_gilist", default=None,
+                   help="exclude database sequences whose deflines "
+                        "carry a GI in this list")
     p.add_argument("-seqidlist", default=None,
                    help="restrict the search to database sequences "
                         "whose ids are listed in this file")
@@ -437,10 +444,34 @@ def run_blastn(argv) -> int:
         db = SequenceDB.load(args.db)
     else:
         raise SystemExit("one of -db or -subject is required")
-    if args.seqidlist and args.negative_seqidlist:
+    id_restrictions = [
+        f for f in ("gilist", "negative_gilist", "seqidlist",
+                    "negative_seqidlist")
+        if getattr(args, f)
+    ]
+    if len(id_restrictions) > 1:
         raise SystemExit(
-            "use either -seqidlist or -negative_seqidlist, not both"
+            "BLAST options error: use only one of -gilist, "
+            "-negative_gilist, -seqidlist, -negative_seqidlist"
         )
+    if args.gilist or args.negative_gilist:
+        from gblastn_tpu.io.seqdb import read_gi_list, seq_id_gi
+
+        try:
+            gis = read_gi_list(args.gilist or args.negative_gilist)
+        except ValueError as e:
+            raise SystemExit(f"BLAST options error: {e}")
+        negative = args.negative_gilist is not None
+        keep = [
+            i for i, sid in enumerate(db.ids)
+            if ((g := seq_id_gi(sid)) is not None and g in gis)
+            != negative
+        ]
+        if not keep:
+            raise SystemExit(
+                "gilist restriction removes every database sequence"
+            )
+        db = db.subset_oids(keep)
     if args.seqidlist or args.negative_seqidlist:
         listed = {
             ln.strip()

@@ -536,3 +536,45 @@ class SequenceDB:
         # remembered so -use_index can find the default <db>.tix.npz
         db._source_path = str(path)
         return db
+
+
+def read_gi_list(path) -> set[int]:
+    """Read an NCBI GI list, text or binary.
+
+    Text: one GI per line, '#' comments (SeqDB_ReadMemoryGiList,
+    seqdbcommon.cpp:852). Binary: Int4 -1 marker, big-endian count,
+    then big-endian Int4 GIs (s_SeqDB_IsBinaryGiList,
+    seqdbcommon.cpp:821: first byte 0xFF = binary, leading digit or
+    '#' = text).
+    """
+    data = Path(path).read_bytes()
+    if not data:
+        raise ValueError(f"GI list {path} is empty")
+    first = data[:1]
+    if first.isdigit() or first in (b"#", b"\n", b" "):
+        gis: set[int] = set()
+        for line in data.decode("ascii", "replace").splitlines():
+            line = line.split("#", 1)[0].strip()
+            if line:
+                gis.add(int(line))
+        return gis
+    if len(data) >= 8 and data[0] == 0xFF:
+        marker = int.from_bytes(data[:4], "big", signed=True)
+        count = int.from_bytes(data[4:8], "big")
+        body = data[8:]
+        if marker != -1 or count * 4 != len(body):
+            raise ValueError(f"{path} is not a valid binary GI file")
+        return {
+            int.from_bytes(body[i: i + 4], "big")
+            for i in range(0, len(body), 4)
+        }
+    raise ValueError(f"{path} is not a valid GI list")
+
+
+def seq_id_gi(seq_id: str) -> int | None:
+    """The GI embedded in a bar-separated Seq-id string, or None."""
+    parts = seq_id.split("|")
+    for i, p in enumerate(parts[:-1]):
+        if p == "gi" and parts[i + 1].isdigit():
+            return int(parts[i + 1])
+    return None

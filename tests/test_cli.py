@@ -320,3 +320,53 @@ def test_subject_loc_restriction(setup, tmp_path):
     with pytest.raises(SystemExit):
         main(["blastn", "-query", str(q), "-db", str(setup / "db"),
               "-subject_loc", "1-10"])
+
+
+def test_gilist_restriction(setup, tmp_path):
+    # -gilist / -negative_gilist: GI-keyed oid restriction, text and
+    # NCBI binary list formats (seqdbcommon.cpp:821)
+    genome_line = (setup / "db.fa").read_text().splitlines()
+    genome = "".join(genome_line[1:])
+    s = tmp_path / "gidb.fa"
+    s.write_text(
+        ">gi|101|gb|AA1.1| first\n" + genome[:8000] + "\n"
+        ">gi|202|gb|BB1.1| second\n" + genome[8000:16000] + "\n"
+        ">plain third\n" + genome[16000:] + "\n"
+    )
+    dbp = tmp_path / "gidb"
+    assert main(["makedb", "-in", str(s), "-out", str(dbp),
+                 "-title", "g"]) == 0
+    q = tmp_path / "q.fa"
+    q.write_text(
+        ">a\n" + genome[2000:2400] + "\n"
+        ">b\n" + genome[10000:10400] + "\n"
+        ">c\n" + genome[18000:18400] + "\n"
+    )
+
+    lst = tmp_path / "gis.txt"
+    lst.write_text("# keep the first subject\n101\n")
+    out = tmp_path / "gi.tsv"
+    assert main(["blastn", "-query", str(q), "-db", str(dbp),
+                 "-gilist", str(lst), "-out", str(out),
+                 "-outfmt", "6 qseqid sseqid"]) == 0
+    rows = [l.split("\t") for l in out.read_text().splitlines()]
+    assert rows and {r[1] for r in rows} == {"gi|101|gb|AA1.1|"}
+
+    # binary list format: -1 marker, big-endian count, big-endian GIs
+    blst = tmp_path / "gis.bgl"
+    blst.write_bytes(
+        (-1).to_bytes(4, "big", signed=True)
+        + (2).to_bytes(4, "big")
+        + (101).to_bytes(4, "big") + (202).to_bytes(4, "big")
+    )
+    out2 = tmp_path / "gineg.tsv"
+    assert main(["blastn", "-query", str(q), "-db", str(dbp),
+                 "-negative_gilist", str(blst), "-out", str(out2),
+                 "-outfmt", "6 qseqid sseqid"]) == 0
+    rows2 = [l.split("\t") for l in out2.read_text().splitlines()]
+    assert rows2 and {r[1] for r in rows2} == {"plain"}
+
+    # only one id restriction at a time
+    with pytest.raises(SystemExit):
+        main(["blastn", "-query", str(q), "-db", str(dbp),
+              "-gilist", str(lst), "-seqidlist", str(lst)])
