@@ -78,6 +78,9 @@ def _add_blastn_args(p: argparse.ArgumentParser) -> None:
                         "scanning the database")
     p.add_argument("-index_name", default=None,
                    help="database index path (default: <db>.tix.npz)")
+    p.add_argument("-old_style_index", default=None,
+                   help="accepted for compatibility (this framework "
+                        "has one index format)")
     p.add_argument("-version", action="version",
                    version="blastn: 2.2.28+ (gblastn-tpu 0.1.0)")
     p.add_argument("-reward", type=int, default=0)
@@ -171,11 +174,13 @@ def _add_blastn_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-gpu_id", type=int, default=0, help="alias of -tpu_id")
     p.add_argument("-tpu_id", type=int, default=0)
     p.add_argument("-mode", type=int, default=1, choices=[0, 1, 2])
-    # pipeline stage thread counts (G-BLASTN flags)
-    p.add_argument("-prepare_thread", type=int, default=1)
-    p.add_argument("-prelim_thread", type=int, default=1)
-    p.add_argument("-trace_thread", type=int, default=2)
-    p.add_argument("-print_thread", type=int, default=1)
+    # pipeline stage thread counts (G-BLASTN flags; reference
+    # spellings from cmdline_flags.cpp:228-237 accepted as aliases)
+    p.add_argument("-prepare_thread", "-pre_t_num", type=int, default=1)
+    p.add_argument("-prelim_thread", "-prelim_t_num", type=int,
+                   default=1)
+    p.add_argument("-trace_thread", "-trace_t_num", type=int, default=2)
+    p.add_argument("-print_thread", "-print_t_num", type=int, default=1)
     p.add_argument("-logfile", default=None,
                    help="write the stage timing report here")
     p.add_argument("-export_search_strategy", default=None,
