@@ -233,6 +233,33 @@ def test_production_sharded_disc_matches_single(monkeypatch):
     assert sharded == single
 
 
+def test_production_sharded_approx_gate_matches_single(monkeypatch):
+    """The approximate-ungapped gate (s_NuclUngappedExtend demotions,
+    na_ungapped.c:263) must run identically on the sharded path: a
+    marginal lone 13-mer whose byte-quantized score stays below the
+    reduced cutoff is dropped on both paths (the sharded driver forgot
+    to forward approx_ctx once -- this pins the fix)."""
+    from gblastn_tpu.params.options import blastn_options
+
+    bases = "ACGT"
+    for seed, expect_hits in ((4, 0), (0, 1)):
+        rng = np.random.default_rng(seed)
+        g = "".join(bases[i] for i in rng.integers(0, 4, 30000))
+        q = "".join(bases[i] for i in rng.integers(0, 4, 500))
+        pos = int(rng.integers(100, 29000))
+        sub = g[:pos] + q[200:213] + g[pos:]   # lone exact 13-mer
+        queries = [FastaRecord("q", "", q)]
+        records = [FastaRecord("s", "", sub)]
+        options = blastn_options(evalue=1.0, word_size=12, dust=False)
+
+        monkeypatch.delenv("GBLASTN_TPU_SHARDS", raising=False)
+        single = _search_rows(queries, records, options)
+        monkeypatch.setenv("GBLASTN_TPU_SHARDS", "8")
+        sharded = _search_rows(queries, records, options)
+        assert len(single) == expect_hits      # oracle-pinned outcome
+        assert sharded == single
+
+
 def test_graft_entry_single_and_multichip():
     import __graft_entry__ as ge
 
