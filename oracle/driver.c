@@ -477,11 +477,13 @@ int main(int argc, char** argv) {
     Int4 gapopen = (a.gapopen != INT4_MAX) ? a.gapopen : (is_megablast && !is_dc ? 0 : 5);
     Int4 gapextend = (a.gapextend != INT4_MAX) ? a.gapextend : (is_megablast && !is_dc ? 0 : 2);
     Int4 window_size = (a.window_size >= 0) ? a.window_size : (is_dc ? 40 : 0);
-    /* greedy iff megablast-style linear gap costs (blast_nucl_options.cpp
-     * SetMBGappedExtensionDefaults; the CLI picks greedy whenever
-     * gapopen==gapextend==0 for megablast) */
-    int greedy = is_megablast && gapopen == 0 && gapextend == 0
-                 && !a.no_greedy;
+    /* greedy for plain megablast regardless of gap costs -- the CLI's
+     * CMegaBlastOptionsHandle sets eGreedyScoreOnly/eGreedyTbck
+     * (blast_nucl_options.cpp:155 SetMBGappedExtensionDefaults) and no
+     * flag but -no_greedy changes it (blast_args.cpp:605); non-zero
+     * costs run the AFFINE greedy (BLAST_AffineGreedyAlign).
+     * dc-megablast is DP (disc_nucl_options.cpp:77) */
+    int greedy = is_megablast && !is_dc && !a.no_greedy;
     double xdrop_ungap = (a.xdrop_ungap >= 0) ? a.xdrop_ungap : 20;   /* BLAST_UNGAPPED_X_DROPOFF_NUCL */
     double xdrop_gap = (a.xdrop_gap >= 0) ? a.xdrop_gap : (greedy ? 25 : 30);
     double xdrop_gap_final = (a.xdrop_gap_final >= 0) ? a.xdrop_gap_final : 100;

@@ -1000,6 +1000,41 @@ class TestTaskVariantsParity:
         )
 
 
+class TestAffineGreedyParity:
+    """Plain megablast keeps GREEDY extension even with non-zero gap
+    costs (CMegaBlastOptionsHandle eGreedyScoreOnly regardless of
+    costs, blast_nucl_options.cpp:155; only -no_greedy switches to DP,
+    blast_args.cpp:605) -- the engine then runs the AFFINE greedy
+    (BLAST_AffineGreedyAlign). Found by soak fuzz: the affine-greedy
+    path picks different (sometimes lower-scoring) gap placements than
+    DP, so misclassifying the algorithm diverges."""
+
+    def test_megablast_affine_gap_costs(self, genome, tmp_path):
+        rng = np.random.default_rng(991)
+        for r, p, go, ge, w in (
+            (1, -4, 2, 2, 36), (2, -5, 4, 4, 16), (1, -2, 3, 2, 28),
+        ):
+            queries = []
+            for i in range(4):
+                start = int(rng.integers(0, len(genome) - 1200))
+                ln = int(rng.integers(300, 900))
+                frag = mutate(rng, genome[start : start + ln],
+                              sub_rate=0.06, indel_rate=0.012)
+                if i % 2:
+                    frag = revcomp(frag)
+                queries.append((f"ag{r}{p}q{i}", frag))
+            assert_parity(
+                queries, [("chr1", genome)],
+                megablast_options(
+                    evalue=10.0, reward=r, penalty=p, gap_open=go,
+                    gap_extend=ge, word_size=w,
+                ),
+                dict(task="megablast", evalue=10.0, reward=r,
+                     penalty=p, gapopen=go, gapextend=ge, word_size=w),
+                tmp_path,
+            )
+
+
 class TestStrandParity:
     """-strand plus/minus: the excluded strand's context is absent from
     our query block while the oracle keeps 2-per-query numbering with
