@@ -351,6 +351,16 @@ def run_blastn(argv) -> int:
     options = _build_options(args)
     try:
         options.validate()
+        if options.gapped:
+            # fail fast on unsupported gap-cost/scoring combos, with
+            # the reference's own message (BLAST_PrintAllowedValues,
+            # blast_stat.c) instead of a late traceback
+            from gblastn_tpu.stats.tables import gapped_karlin_block
+
+            gapped_karlin_block(
+                options.reward, options.penalty,
+                options.gap_open, options.gap_extend,
+            )
     except ValueError as e:
         print(f"BLAST options error: {e}", file=sys.stderr)
         return 1
