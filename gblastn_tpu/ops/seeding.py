@@ -26,10 +26,15 @@ negative sentinel so the X-drop terminates exactly at sequence/pad bounds.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# presence-vector scan pre-filter (GBLASTN_TPU_NO_PV=1 disables; read
+# when a scan variant compiles, so A/B needs a fresh process)
+_USE_PV = os.environ.get("GBLASTN_TPU_NO_PV", "") == ""
 
 NEG_BIG = -(1 << 24)  # sentinel score; large but safe against int32 overflow
 
@@ -47,7 +52,7 @@ def unpack_2na_device(packed: jnp.ndarray) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "scan_step", "lut_word", "word_size", "cmax", "n_scan",
-        "hit_cap", "pos_base_static", "disc_offsets",
+        "hit_cap", "pos_base_static", "disc_offsets", "use_pv",
     ),
 )
 def scan_block(
@@ -68,6 +73,7 @@ def scan_block(
     mask_ends=None,               # int32[M] sorted soft-mask ends
     pos_base_static: int | None = None,  # static pos_base (fast path)
     disc_offsets: tuple[int, ...] | None = None,  # disc-mb template
+    use_pv: bool | None = None,   # None = GBLASTN_TPU_NO_PV default
 ):
     """Scan subject at stride positions; resolve CSR seeds.
 
@@ -163,10 +169,15 @@ def scan_block(
             valid_word = valid_word & (pos < pos_end)
         words = jnp.where(valid_word, words, 0)
 
-    start = lut_offsets[words]
-    count = lut_offsets[words + 1] - start
-    count = jnp.where(valid_word, count, 0)
+    if use_pv is None:
+        use_pv = _USE_PV
+    table_size = lut_offsets.shape[0] - 1
+    pv_path = bool(
+        use_pv and hit_cap and table_size % 32 == 0
+        and table_size >= 4096
+    )
 
+    soft_masked = None
     if mask_starts is not None:
         # word at pos overlaps a masked interval iff the first interval
         # ending after pos starts before pos + span
@@ -177,23 +188,60 @@ def scan_block(
         soft_masked = (
             (mask_starts[j] < pos + span) & (mask_ends[j] > pos)
         )
-        count = jnp.where(soft_masked, 0, count)
 
-    if hit_cap:
-        # compact PV-positive positions to hit_cap slots
-        n_hit = (count > 0).sum()
+    if pv_path:
+        # presence-vector probe first (the reference GPU's PV texture,
+        # gpu_blastn_mb_scan_kernel_v3.cuh:26): the bit-packed presence
+        # table is derived from the CSR offsets with ONE linear pass
+        # (4^w/32 int32, 2MB at width 12), so the n_scan random probes
+        # touch a 32x smaller table and the two offset gathers into the
+        # dense 4^w table run only on the compacted hits
+        present = lut_offsets[1:] > lut_offsets[:-1]
+        bits = present.reshape(table_size // 32, 32).astype(jnp.int32)
+        pv = (bits << jax.lax.broadcasted_iota(
+            jnp.int32, (1, 32), 1
+        )).sum(axis=1, dtype=jnp.int32)
+        hit = valid_word & (
+            ((pv[words >> 5] >> (words & 31)) & 1) == 1
+        )
+        if soft_masked is not None:
+            hit = hit & ~soft_masked
+        n_hit = hit.sum()
         hit_idx = jnp.nonzero(
-            count > 0, size=hit_cap, fill_value=n_scan - 1
+            hit, size=hit_cap, fill_value=n_scan - 1
         )[0]
         fill = jax.lax.broadcasted_iota(
             jnp.int32, (hit_cap,), 0
         ) < jnp.minimum(n_hit, hit_cap)
         pos = jnp.where(fill, pos[hit_idx], 0)
-        start = jnp.where(fill, start[hit_idx], 0)
-        count = jnp.where(fill, count[hit_idx], 0)
+        words_c = jnp.where(fill, words[hit_idx], 0)
+        start = jnp.where(fill, lut_offsets[words_c], 0)
+        count = jnp.where(
+            fill, lut_offsets[words_c + 1] - lut_offsets[words_c], 0
+        )
         overflow_hits = jnp.maximum(n_hit - hit_cap, 0)
     else:
-        overflow_hits = jnp.zeros((), jnp.int32)
+        start = lut_offsets[words]
+        count = lut_offsets[words + 1] - start
+        count = jnp.where(valid_word, count, 0)
+        if soft_masked is not None:
+            count = jnp.where(soft_masked, 0, count)
+
+        if hit_cap:
+            # compact PV-positive positions to hit_cap slots
+            n_hit = (count > 0).sum()
+            hit_idx = jnp.nonzero(
+                count > 0, size=hit_cap, fill_value=n_scan - 1
+            )[0]
+            fill = jax.lax.broadcasted_iota(
+                jnp.int32, (hit_cap,), 0
+            ) < jnp.minimum(n_hit, hit_cap)
+            pos = jnp.where(fill, pos[hit_idx], 0)
+            start = jnp.where(fill, start[hit_idx], 0)
+            count = jnp.where(fill, count[hit_idx], 0)
+            overflow_hits = jnp.maximum(n_hit - hit_cap, 0)
+        else:
+            overflow_hits = jnp.zeros((), jnp.int32)
 
     # fan out to cmax slots per (compacted) scan position
     slot = jnp.arange(cmax, dtype=jnp.int32)

@@ -604,3 +604,49 @@ class TestPackSeeds:
             ctx_cap - 1,
         )
         np.testing.assert_array_equal(ctx, expect_ctx)
+
+
+class TestScanPVPath:
+    """The presence-vector probe (gpu_blastn_mb_scan_kernel_v3.cuh:26
+    role) must return exactly the dense-gather path's outputs --
+    positions, starts, counts, fan-out, and overflow -- including with
+    subject soft-mask intervals and at hit_cap overflow."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_pv_equals_dense(self, seed):
+        rng = np.random.default_rng(seed)
+        q = _rand_seq(rng, 3000)
+        s = (_rand_seq(rng, 1500) + q[100:400] + _rand_seq(rng, 800)
+             + q[2000:2300] + _rand_seq(rng, 1000))
+        qb, db, lut = _setup(rng, [q], [s], word_size=12, lut_word=6)
+        sub2 = db.unpacked().astype(np.int8)
+        valid = db.valid_mask()
+        n_scan = (len(sub2) - lut.lut_word_size) // lut.scan_step + 1
+
+        mask_cases = [None]
+        m0 = np.asarray(
+            sorted(int(rng.integers(0, len(sub2) - 60)) for _ in range(4))
+        )
+        mask_cases.append((m0.astype(np.int32),
+                           (m0 + 50).astype(np.int32)))
+        for masks in mask_cases:
+            for hit_cap in (1024, 8):       # 8 forces overflow
+                kw = dict(
+                    scan_step=lut.scan_step, lut_word=lut.lut_word_size,
+                    word_size=lut.word_size, cmax=16, n_scan=n_scan,
+                    hit_cap=hit_cap, pos_base_static=0,
+                )
+                if masks is not None:
+                    kw["mask_starts"] = jnp.asarray(masks[0])
+                    kw["mask_ends"] = jnp.asarray(masks[1])
+                args = (
+                    jnp.asarray(sub2), jnp.asarray(valid),
+                    jnp.asarray(lut.counts_offsets),
+                    jnp.asarray(lut.positions),
+                )
+                a = scan_block(*args, use_pv=True, **kw)
+                b = scan_block(*args, use_pv=False, **kw)
+                for x, y in zip(a, b):
+                    np.testing.assert_array_equal(
+                        np.asarray(x), np.asarray(y)
+                    )
