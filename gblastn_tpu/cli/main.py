@@ -647,8 +647,10 @@ def run_makedb(argv) -> int:
     p.add_argument("-out", required=True, help="output database directory")
     p.add_argument("-title", default="")
     p.add_argument("-blastdb_version", type=int, default=0,
-                   help="4 = also write an NCBI v4 volume "
-                        "(<out>.nin/.nhr/.nsq) next to the native db")
+                   help="4 or 5 = also write an NCBI volume "
+                        "(<out>.nin/.nhr/.nsq) next to the native db; "
+                        "prefer 4 for NCBI-tool interop (our v5 volumes "
+                        "omit the LMDB id sidecar)")
     p.add_argument("-mask_data", default=None,
                    help="comma-separated interval mask files "
                         "(dustmasker/windowmasker/convert2blastmask "
@@ -683,14 +685,15 @@ def run_makedb(argv) -> int:
                 file=sys.stderr,
             )
     db.save(args.out)
-    if args.blastdb_version == 4:
+    if args.blastdb_version in (4, 5):
         from gblastn_tpu.io.fasta import parse_fasta
         from gblastn_tpu.io.ncbidb import write_volume
 
         write_volume(args.out, list(parse_fasta(args.input)),
-                     title=args.title or args.input)
+                     title=args.title or args.input,
+                     version=args.blastdb_version)
     elif args.blastdb_version:
-        p.error("only -blastdb_version 4 is supported")
+        p.error("only -blastdb_version 4 or 5 is supported")
     info = db.info()
     print(
         f"Built database {args.out}: {info.num_seqs} sequences, "

@@ -20,6 +20,13 @@ Format sources (reference documentation, transcribed not copied):
   (src/serial/objostrasnb.cpp:1000-1046,1206) with indefinite lengths;
 * alias file — seqdb_reader/alias_files.txt: text key/value lines,
   DBLIST aggregation and TITLE override.
+
+Versions: v4 (the reference's own format, BLAST 2.2.28) and v5 (modern
+NCBI DBs; post-dates the reference).  A v5 volume's .nhr/.nsq are
+byte-identical to v4; the .nin header inserts the LMDB id-index file
+name ahead of the title.  The LMDB sidecar (.ndb etc.) only serves
+id->oid lookup, which this reader performs by defline scan instead, so
+v5 databases load without it.
 """
 from __future__ import annotations
 
@@ -233,32 +240,36 @@ def encode_defline_set(seq_id: str, title: str, taxid: int = 0) -> bytes:
 
 # ----------------------------------------------------------------- index file
 
-def parse_index(path) -> dict:
-    buf = Path(path).read_bytes()
-    version, seqtype = struct.unpack_from(">ii", buf, 0)
-    if seqtype != 0:
-        raise ValueError(f"{path}: protein volume (this engine is "
-                         "nucleotide-only, like G-BLASTN)")
-    off = 8
-    tlen, = struct.unpack_from(">i", buf, off)
-    off += 4
-    title = buf[off: off + tlen].decode("ascii", "replace")
-    off += tlen
-    dlen, = struct.unpack_from(">i", buf, off)
-    off += 4
-    date = buf[off: off + dlen].rstrip(b"\x00").decode("ascii", "replace")
-    off += dlen
+def _parse_index_body(buf: bytes, off: int, n_strings: int) -> dict:
+    """Parse the string fields + counts + offset arrays of a .nin file
+    starting at ``off``.  v4 has two strings (title, date); v5 inserts
+    the LMDB file name ahead of them (three strings total).  Raises
+    ValueError when the remaining bytes do not hold exactly the three
+    ``num + 1``-entry offset arrays, which lets the caller probe
+    layouts safely."""
+    strings: list[str] = []
+    for _ in range(n_strings):
+        slen, = struct.unpack_from(">i", buf, off)
+        off += 4
+        if slen < 0 or off + slen > len(buf):
+            raise ValueError("string field out of bounds")
+        strings.append(
+            buf[off: off + slen].rstrip(b"\x00").decode("ascii", "replace")
+        )
+        off += slen
     num, = struct.unpack_from(">i", buf, off)
     off += 4
     total, = struct.unpack_from("<q", buf, off)  # the Int8X quirk
     off += 8
     maxlen, = struct.unpack_from(">i", buf, off)
     off += 4
+    if num < 0 or len(buf) - off != 12 * (num + 1):
+        raise ValueError("offset arrays do not fill the file")
     arr = np.frombuffer(buf, dtype=">u4", count=3 * (num + 1), offset=off)
     return {
-        "version": version,
-        "title": title,
-        "date": date,
+        "lmdb": strings[0] if n_strings == 3 else "",
+        "title": strings[-2],
+        "date": strings[-1],
         "num": num,
         "total": total,
         "maxlen": maxlen,
@@ -266,6 +277,31 @@ def parse_index(path) -> dict:
         "seq": arr[num + 1: 2 * (num + 1)].astype(np.int64),
         "amb": arr[2 * (num + 1):].astype(np.int64),
     }
+
+
+def parse_index(path) -> dict:
+    buf = Path(path).read_bytes()
+    version, seqtype = struct.unpack_from(">ii", buf, 0)
+    if version not in (4, 5):
+        raise ValueError(f"{path}: unsupported BLAST db version {version}")
+    if seqtype != 0:
+        raise ValueError(f"{path}: protein volume (this engine is "
+                         "nucleotide-only, like G-BLASTN)")
+    if version == 5:
+        # v5 = v4 plus the LMDB id-index file name ahead of the title;
+        # probe that layout first and fall back to the v4 field order
+        # (self-validating: the offset arrays must fill the file)
+        for n_strings in (3, 2):
+            try:
+                idx = _parse_index_body(buf, 8, n_strings)
+                break
+            except (ValueError, struct.error):
+                if n_strings == 2:
+                    raise
+    else:
+        idx = _parse_index_body(buf, 8, 2)
+    idx["version"] = version
+    return idx
 
 
 def _apply_ambiguities(codes: np.ndarray, amb: bytes) -> None:
@@ -377,9 +413,16 @@ def load_ncbi_db(prefix):
 # ----------------------------------------------------------------- writer
 
 def write_volume(prefix, records, title: str = "",
-                 date: str = "Jan 1, 2026  12:00 AM") -> None:
+                 date: str = "Jan 1, 2026  12:00 AM",
+                 version: int = 4) -> None:
     """Write records (FastaRecord or (id, title, blastna codes)) as an
-    NCBI v4 nucleotide volume: .nin + .nhr + .nsq."""
+    NCBI nucleotide volume: .nin + .nhr + .nsq.
+
+    ``version`` 4 (default, fully interoperable) or 5.  A v5 volume's
+    data files are identical to v4; its index carries the name of an
+    LMDB id-index file (``<db>.ndb``) ahead of the title.  We do not
+    emit the LMDB sidecar -- our own reader resolves ids by defline
+    scan -- so v4 is the export format NCBI tools should be given."""
     from gblastn_tpu.io.encoding import (
         BLASTNA_TO_NCBI4NA,
         blastna_to_2na,
@@ -446,12 +489,18 @@ def write_volume(prefix, records, title: str = "",
         seq_parts.append(amb_blob)
         seq_off.append(amb_off[-1] + len(amb_blob))
 
+    if version not in (4, 5):
+        raise ValueError(f"unsupported BLAST db version {version}")
     num = len(hdr_off) - 1
+    lb = (Path(prefix).name + ".ndb").encode("ascii") if version == 5 \
+        else b""
     tb = title.encode("ascii")
     db = date.encode("ascii")
     # String#: NUL-pad so the fields after it land 4-byte aligned
-    db += b"\x00" * ((-(len(tb) + len(db))) % 4)
-    head = struct.pack(">ii", 4, 0)
+    db += b"\x00" * ((-(len(lb) + len(tb) + len(db))) % 4)
+    head = struct.pack(">ii", version, 0)
+    if version == 5:
+        head += struct.pack(">i", len(lb)) + lb
     head += struct.pack(">i", len(tb)) + tb
     head += struct.pack(">i", len(db)) + db
     head += struct.pack(">i", num)

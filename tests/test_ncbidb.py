@@ -151,3 +151,56 @@ def test_seqdb_load_fallback_and_search(tmp_path):
     h = res.queries[0].hsplists[0].hsps[0]
     assert h.num_ident == 400
     assert h.s_off == 11000 and h.s_end == 11400
+
+
+def test_v5_round_trip(tmp_path, vol):
+    """A v5 volume (LMDB name field in the .nin header) reads back
+    identically to its v4 twin, including ambiguity restoration."""
+    _, seqs = vol
+    recs = [FastaRecord(i, t, s.encode()) for i, t, s in seqs]
+    write_volume(tmp_path / "v5vol", recs, title="v5 volume", version=5)
+    idx = parse_index((tmp_path / "v5vol").with_suffix(".nin"))
+    assert idx["version"] == 5
+    assert idx["lmdb"] == "v5vol.ndb"
+    assert idx["title"] == "v5 volume"
+    assert idx["num"] == 4
+    got = list(read_volume_records(tmp_path / "v5vol"))
+    for (sid, title, codes), (eid, etitle, eseq) in zip(got, seqs):
+        assert sid == eid and title == etitle
+        assert blastna_to_seq(codes) == eseq
+
+
+def test_v5_header_without_lmdb_string(tmp_path, vol):
+    """Defensive layout probe: a version-5 header laid out exactly like
+    v4 (no LMDB string) still parses -- the reader validates the field
+    layout against the offset-array length instead of trusting it."""
+    prefix, seqs = vol
+    nin = prefix.with_suffix(".nin").read_bytes()
+    hacked = struct.pack(">i", 5) + nin[4:]
+    (tmp_path / "h.nin").write_bytes(hacked)
+    idx = parse_index(tmp_path / "h.nin")
+    assert idx["version"] == 5 and idx["lmdb"] == ""
+    assert idx["num"] == 4
+    assert idx["title"] == "test volume"
+
+
+def test_v5_search_end_to_end(tmp_path):
+    """Search straight through a v5 database path."""
+    rng = np.random.default_rng(77)
+    genome = rand_seq(rng, 20000)
+    write_volume(
+        tmp_path / "g5", [FastaRecord("chr5", "five", genome.encode())],
+        title="v5 genome", version=5,
+    )
+    db = SequenceDB.load(tmp_path / "g5")
+    assert db.ids == ["chr5"]
+
+    from gblastn_tpu.engine.search import search
+    from gblastn_tpu.params.options import megablast_options
+
+    res = search(
+        [FastaRecord("q", "", genome[4000:4300].encode())],
+        db, megablast_options(),
+    )
+    h = res.queries[0].hsplists[0].hsps[0]
+    assert h.s_off == 4000 and h.s_end == 4300
