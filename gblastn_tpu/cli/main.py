@@ -189,6 +189,22 @@ def _add_blastn_args(p: argparse.ArgumentParser) -> None:
                    help="recover a saved search request")
 
 
+def _parse_loc(flag: str, text: str) -> tuple[int, int]:
+    """Parse a 1-based 'start-stop' range flag (-query_loc,
+    -subject_loc); SystemExit with an options error on bad input."""
+    try:
+        s, _, e = text.partition("-")
+        start, stop = int(s), int(e)
+        if start < 1 or stop < start:
+            raise ValueError
+    except ValueError:
+        raise SystemExit(
+            f"BLAST options error: {flag} must be start-stop "
+            "(1-based, start <= stop)"
+        )
+    return start, stop
+
+
 def _build_options(args):
     overrides = {}
     if args.word_size:
@@ -254,16 +270,7 @@ def _build_options(args):
     if args.off_diagonal_range:
         overrides["off_diagonal_range"] = args.off_diagonal_range
     if args.query_loc:
-        try:
-            s, _, e = args.query_loc.partition("-")
-            start, stop = int(s), int(e)
-            if start < 1 or stop < start:
-                raise ValueError
-        except ValueError:
-            raise SystemExit(
-                "BLAST options error: -query_loc must be start-stop "
-                "(1-based, start <= stop)"
-            )
+        start, stop = _parse_loc("-query_loc", args.query_loc)
         overrides["query_loc"] = (start - 1, stop)
     if args.db_soft_mask is not None:
         overrides["db_soft_mask"] = args.db_soft_mask
@@ -424,16 +431,7 @@ def run_blastn(argv) -> int:
             # interval Seq-loc -- and final coordinates are remapped to
             # the full sequence (s_RemapToSubjectLoc,
             # blast_seqalign.cpp:1276)
-            try:
-                s, _, e = args.subject_loc.partition("-")
-                start, stop = int(s), int(e)
-                if start < 1 or stop < start:
-                    raise ValueError
-            except ValueError:
-                raise SystemExit(
-                    "BLAST options error: -subject_loc must be "
-                    "start-stop (1-based, start <= stop)"
-                )
+            start, stop = _parse_loc("-subject_loc", args.subject_loc)
             recs = list(parse_fasta(args.subject))
             display_db = SequenceDB.from_records(
                 recs, title=args.subject
@@ -443,6 +441,15 @@ def run_blastn(argv) -> int:
             for rec in recs:
                 a = min(start - 1, len(rec.sequence))
                 b = min(stop, len(rec.sequence))
+                if a >= b:
+                    # reference CBlastOptions validation rejects an
+                    # interval outside the sequence; don't search an
+                    # empty slice silently
+                    raise SystemExit(
+                        "BLAST options error: -subject_loc "
+                        f"{args.subject_loc} is outside subject "
+                        f"'{rec.seq_id}' (length {len(rec.sequence)})"
+                    )
                 subj_shift.append(a)
                 sliced.append(
                     FastaRecord(rec.seq_id, rec.title,
@@ -468,6 +475,15 @@ def run_blastn(argv) -> int:
         raise SystemExit(
             "BLAST options error: use only one of -gilist, "
             "-negative_gilist, -seqidlist, -negative_seqidlist"
+        )
+    if id_restrictions and args.subject:
+        # the reference declares these incompatible with -subject
+        # (blast_args.cpp SetArgumentDescriptions dependencies); with
+        # -subject_loc a subset_oids here would also desync the
+        # display db / coordinate shifts
+        raise SystemExit(
+            f"BLAST options error: -{id_restrictions[0]} requires "
+            "-db (incompatible with -subject)"
         )
     if args.gilist or args.negative_gilist:
         from gblastn_tpu.io.seqdb import read_gi_list, seq_id_gi

@@ -550,15 +550,9 @@ def read_gi_list(path) -> set[int]:
     data = Path(path).read_bytes()
     if not data:
         raise ValueError(f"GI list {path} is empty")
-    first = data[:1]
-    if first.isdigit() or first in (b"#", b"\n", b" "):
-        gis: set[int] = set()
-        for line in data.decode("ascii", "replace").splitlines():
-            line = line.split("#", 1)[0].strip()
-            if line:
-                gis.add(int(line))
-        return gis
-    if len(data) >= 8 and data[0] == 0xFF:
+    if data[0] == 0xFF:
+        if len(data) < 8:
+            raise ValueError(f"{path} is not a valid binary GI file")
         marker = int.from_bytes(data[:4], "big", signed=True)
         count = int.from_bytes(data[4:8], "big")
         body = data[8:]
@@ -568,7 +562,21 @@ def read_gi_list(path) -> set[int]:
             int.from_bytes(body[i: i + 4], "big")
             for i in range(0, len(body), 4)
         }
-    raise ValueError(f"{path} is not a valid GI list")
+    # anything without the binary marker is text, as in the reference
+    # (tolerates BOM / CRLF / arbitrary leading whitespace)
+    gis: set[int] = set()
+    text = data.decode("utf-8-sig", "replace")
+    for line in text.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line:
+            continue
+        try:
+            gis.add(int(line))
+        except ValueError:
+            raise ValueError(
+                f"{path} is not a valid GI list: bad line {line!r}"
+            )
+    return gis
 
 
 def seq_id_gi(seq_id: str) -> int | None:

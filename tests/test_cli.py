@@ -370,3 +370,49 @@ def test_gilist_restriction(setup, tmp_path):
     with pytest.raises(SystemExit):
         main(["blastn", "-query", str(q), "-db", str(dbp),
               "-gilist", str(lst), "-seqidlist", str(lst)])
+
+
+def test_subject_loc_out_of_range_errors(setup, tmp_path):
+    # a -subject_loc entirely past the subject's end is an options
+    # error, not a silent empty search
+    genome_line = (setup / "db.fa").read_text().splitlines()
+    genome = "".join(genome_line[1:])
+    q = tmp_path / "q.fa"
+    q.write_text(">q\n" + genome[100:400] + "\n")
+    s = tmp_path / "s.fa"
+    s.write_text(">subj\n" + genome[:5000] + "\n")
+    with pytest.raises(SystemExit, match="outside subject"):
+        main(["blastn", "-query", str(q), "-subject", str(s),
+              "-subject_loc", "90001-95000"])
+
+
+def test_id_restriction_requires_db(setup, tmp_path):
+    # the reference declares -gilist/-seqidlist incompatible with
+    # -subject; combined with -subject_loc a subset would also desync
+    # the display db
+    genome_line = (setup / "db.fa").read_text().splitlines()
+    genome = "".join(genome_line[1:])
+    q = tmp_path / "q.fa"
+    q.write_text(">q\n" + genome[100:400] + "\n")
+    s = tmp_path / "s.fa"
+    s.write_text(">subj\n" + genome[:5000] + "\n")
+    lst = tmp_path / "ids.txt"
+    lst.write_text("subj\n")
+    with pytest.raises(SystemExit, match="requires\\s+-db"):
+        main(["blastn", "-query", str(q), "-subject", str(s),
+              "-seqidlist", str(lst)])
+
+
+def test_gi_list_tolerant_text_forms(tmp_path):
+    # CRLF, leading blank lines, tabs, and a UTF-8 BOM are all text GI
+    # lists (the reference classifies everything without the 0xFF
+    # binary marker as text, seqdbcommon.cpp:821)
+    from gblastn_tpu.io.seqdb import read_gi_list
+
+    p = tmp_path / "gis.txt"
+    p.write_bytes(b"\xef\xbb\xbf\r\n\t101\r\n  202 # trailing\r\n")
+    assert read_gi_list(p) == {101, 202}
+    bad = tmp_path / "bad.txt"
+    bad.write_bytes(b"101\nnot-a-gi\n")
+    with pytest.raises(ValueError, match="bad line"):
+        read_gi_list(bad)

@@ -9,7 +9,10 @@ production search with slog stage timers and FRESH content per rep
 axon-tunnel-performance).
 
 Run on TPU:   python tools/prof_scan.py
-Run on CPU:   JAX_PLATFORMS=cpu python tools/prof_scan.py  (sanity only)
+Run on CPU:   PYTHONPATH= JAX_PLATFORMS=cpu python tools/prof_scan.py
+(sanity only; the PYTHONPATH= drops the axon site dir -- the tunnel
+plugin otherwise registers itself regardless of JAX_PLATFORMS, see
+CLAUDE.md "Environment facts")
 """
 from __future__ import annotations
 
@@ -46,11 +49,15 @@ def make_workload(seed):
     return db, reads
 
 
-def timed(fn, *args, reps=REPS):
-    jax.block_until_ready(fn(*args))          # compile
+def timed(fn, variants, *fixed, reps=REPS):
+    """Mean ms/call over ``reps`` calls, each on a DIFFERENT first
+    argument (``variants[k]``): the axon tunnel serves repeat calls on
+    identical buffers from a result cache in <1 ms, so same-buffer
+    loops measure nothing (memory: axon-tunnel-performance)."""
+    jax.block_until_ready(fn(variants[0], *fixed))      # compile
     t0 = time.perf_counter()
-    for _ in range(reps):
-        jax.block_until_ready(fn(*args))
+    for k in range(reps):
+        jax.block_until_ready(fn(variants[1 + k], *fixed))
     return (time.perf_counter() - t0) / reps * 1e3
 
 
@@ -70,7 +77,14 @@ def micro_stages(db, reads):
     lut = build_lookup_table(qblock.buffer, locations, WORD)
     total = int(db.starts[-1] + db.lengths[-1])
     codes = unpack_2na(np.asarray(db.packed), total)
-    subject2 = jnp.asarray(codes & 3, jnp.int8)
+    # one subject variant per timed rep: +k (mod 4) rewrites every
+    # base, defeating the tunnel's identical-buffer result cache while
+    # keeping the same shape/statistics
+    subjects = [
+        jnp.asarray((codes.astype(np.int16) + k) & 3, jnp.int8)
+        for k in range(REPS + 1)
+    ]
+    subject2 = subjects[0]
     loff = jnp.asarray(lut.counts_offsets)
     lut_word = lut.lut_word_size
     scan_step = WORD - lut_word + 1
@@ -95,11 +109,12 @@ def micro_stages(db, reads):
 
     print(f"scan positions: {n_scan}  lut_word: {lut_word} "
           f"stride: {scan_step}")
-    print(f"A words-only        {timed(jax.jit(words_only), subject2):8.2f} ms")
+    print(f"A words-only        "
+          f"{timed(jax.jit(words_only), subjects):8.2f} ms")
     print(f"B +offset gather    "
-          f"{timed(jax.jit(words_gather), subject2, loff):8.2f} ms")
+          f"{timed(jax.jit(words_gather), subjects, loff):8.2f} ms")
     print(f"C +nonzero compact  "
-          f"{timed(jax.jit(words_compact), subject2, loff):8.2f} ms")
+          f"{timed(jax.jit(words_compact), subjects, loff):8.2f} ms")
 
 
 def full_search_reps():
