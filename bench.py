@@ -571,6 +571,11 @@ def main() -> int:
             "metric": "queries_per_sec_megablast_ecoli_4.6Mb",
             "value": 0.0, "unit": "queries/sec", "vs_baseline": 0.0,
             "error": "device backend init timed out (tunnel outage)",
+            # last completed on-TPU measurement for context (see
+            # BASELINE.md "Measured (round 2)"); NOT this run's value
+            "last_measured": {"date": "2026-08-17", "config1_qps": 308,
+                              "config2_blastn_qps": 38,
+                              "config3_streamed_qps": 19},
         }))
         return 1
 

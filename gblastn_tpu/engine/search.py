@@ -412,6 +412,10 @@ def prelim_search(
     cmax = 4
     while cmax < max(lut.max_positions_per_word, 1):
         cmax *= 2
+    if lut2 is not None:
+        # two-template disc: both templates run at the wider capacity
+        while cmax < max(lut2.max_positions_per_word, 1):
+            cmax *= 2
 
     import os
 
@@ -440,17 +444,6 @@ def prelim_search(
         and stream_env != "0"
         and (stream_env == "1" or db.padded_length > stream_threshold)
     )
-    if (options.template_length
-            and options.template_type == "coding_and_optimal"
-            and (use_stream or n_shards > 1)):
-        # the two-template raw-hit merge runs device-resident only
-        _warn_once(
-            db, "disc-path",
-            "two-template discontiguous megablast uses the "
-            "device-resident scan; falling back for this search",
-        )
-        use_stream = False
-        n_shards = 1
     # database-side masking (-db_soft_mask / -db_hard_mask): masked
     # subject ranges are excluded from scanning; hard masking also
     # renders them as N on the host re-evaluation path (masksubj.inl
@@ -521,51 +514,112 @@ def prelim_search(
         if mesh is None or mesh.devices.size != n_shards:
             mesh = make_mesh(n_shards)
             db._mesh_cache = mesh
+        shard_kw = dict(
+            word_size=lut.word_size,
+            subject_starts=db.starts,
+            subject_lengths=db.lengths,
+            context_offsets=ctx_offsets,
+            word_cutoffs=word_cutoffs,
+            x_dropoffs=x_dropoffs,
+            cmax=cmax,
+            window_size=options.window_size,
+            scan_range=options.off_diagonal_range,
+            mask_intervals=db_mask_ivs,
+            approx_ctx=approx_ctx,
+        )
+        shard_args = (
+            mesh, db.unpacked().astype(np.int8), db.valid_mask(),
+            qbuf_padded,
+        )
+        m16_shard = device_matrix16(options.reward, options.penalty)
         with slog.time("device.seeding"):
-            init = run_seeding_sharded(
-                mesh, db.unpacked().astype(np.int8), db.valid_mask(),
-                qbuf_padded, lut,
-                device_matrix16(options.reward, options.penalty),
-                word_size=lut.word_size,
-                subject_starts=db.starts,
-                subject_lengths=db.lengths,
-                context_offsets=ctx_offsets,
-                word_cutoffs=word_cutoffs,
-                x_dropoffs=x_dropoffs,
-                cmax=cmax,
-                window_size=options.window_size,
-                scan_range=options.off_diagonal_range,
-                mask_intervals=db_mask_ivs,
-                approx_ctx=approx_ctx,
-            )
+            if lut2 is not None:
+                from gblastn_tpu.engine.seeding import (
+                    merge_two_template_raw,
+                )
+
+                raw1 = run_seeding_sharded(
+                    *shard_args, lut, m16_shard, _raw=True, **shard_kw,
+                )
+                raw2 = run_seeding_sharded(
+                    *shard_args, lut2, m16_shard, _raw=True, **shard_kw,
+                )
+                init = merge_two_template_raw(
+                    raw1, raw2,
+                    word_cutoffs=word_cutoffs,
+                    subject_starts=db.starts,
+                    word_size=lut.word_size,
+                    window_size=options.window_size,
+                    scan_range=options.off_diagonal_range,
+                    context_offsets=ctx_offsets,
+                    approx_ctx=approx_ctx,
+                )
+            else:
+                init = run_seeding_sharded(
+                    *shard_args, lut, m16_shard, **shard_kw,
+                )
     elif use_stream:
         from gblastn_tpu.engine.stream import run_seeding_streamed
 
+        stream_kw = dict(
+            query_dev=qdev,
+            query_host=qbuf_padded,
+            matrix16=m16,
+            context_offsets=ctx_offsets,
+            word_cutoffs=word_cutoffs,
+            x_dropoffs=x_dropoffs,
+            word_size=lut.word_size,
+            lut_word=lut.lut_word_size,
+            scan_step=lut.scan_step,
+            cmax=cmax,
+            window_size=options.window_size,
+            scan_range=options.off_diagonal_range,
+            approx_ctx=approx_ctx,
+            block_bases=int(os.environ.get(
+                "GBLASTN_TPU_BLOCK_BASES", str(1 << 27)
+            )),
+            halo=int(os.environ.get("GBLASTN_TPU_BLOCK_HALO", "4096")),
+            mask_intervals=db_mask_ivs,
+        )
         with slog.time("device.seeding"):
-            init = run_seeding_streamed(
-                db,
-                query_dev=qdev,
-                query_host=qbuf_padded,
-                lut_offsets_dev=lut_offsets_dev,
-                lut_positions_dev=jnp.asarray(pos_padded),
-                matrix16=m16,
-                context_offsets=ctx_offsets,
-                word_cutoffs=word_cutoffs,
-                x_dropoffs=x_dropoffs,
-                word_size=lut.word_size,
-                lut_word=lut.lut_word_size,
-                scan_step=lut.scan_step,
-                cmax=cmax,
-                window_size=options.window_size,
-                scan_range=options.off_diagonal_range,
-                approx_ctx=approx_ctx,
-                block_bases=int(os.environ.get(
-                    "GBLASTN_TPU_BLOCK_BASES", str(1 << 27)
-                )),
-                halo=int(os.environ.get("GBLASTN_TPU_BLOCK_HALO", "4096")),
-                mask_intervals=db_mask_ivs,
-                disc_offsets=lut.disc_offsets,
-            )
+            if lut2 is not None:
+                from gblastn_tpu.engine.seeding import (
+                    merge_two_template_raw,
+                )
+
+                offs2, pos2 = _upload_lut(lut2)
+                raw1 = run_seeding_streamed(
+                    db,
+                    lut_offsets_dev=lut_offsets_dev,
+                    lut_positions_dev=jnp.asarray(pos_padded),
+                    disc_offsets=lut.disc_offsets,
+                    _raw=True, **stream_kw,
+                )
+                raw2 = run_seeding_streamed(
+                    db,
+                    lut_offsets_dev=offs2,
+                    lut_positions_dev=jnp.asarray(pos2),
+                    disc_offsets=lut2.disc_offsets,
+                    _raw=True, **stream_kw,
+                )
+                init = merge_two_template_raw(
+                    raw1, raw2,
+                    word_cutoffs=word_cutoffs,
+                    subject_starts=db.starts,
+                    word_size=lut.word_size,
+                    window_size=options.window_size,
+                    scan_range=options.off_diagonal_range,
+                    context_offsets=ctx_offsets,
+                    approx_ctx=approx_ctx,
+                )
+            else:
+                init = run_seeding_streamed(
+                    db,
+                    lut_offsets_dev=lut_offsets_dev,
+                    lut_positions_dev=jnp.asarray(pos_padded),
+                    disc_offsets=lut.disc_offsets,
+                    **stream_kw,
+                )
     else:
         # the subject arrays are per-database and immutable: upload once
         # and cache on the db object (the role of G-BLASTN's per-oid
@@ -665,10 +719,6 @@ def prelim_search(
                 )
 
                 dev2 = _second_template_dev(dev, lut2)
-                cmax2 = 4
-                while cmax2 < max(lut2.max_positions_per_word, 1):
-                    cmax2 *= 2
-                seed_kw["cmax"] = max(cmax, cmax2)
                 init = run_seeding_two_templates(
                     dev, dev2, lut.disc_offsets, lut2.disc_offsets,
                     **seed_kw,

@@ -831,23 +831,39 @@ def run_seeding_two_templates(
     duplicates (a hit found by both templates) fall inside the explored
     area and are skipped, exactly as the second table's chain is in the
     reference scanner."""
-    word_size = kw["word_size"]
-    window_size = kw.get("window_size", 0)
-    scan_range = kw.get("scan_range", 0)
     raw1 = run_seeding(dev, disc_offsets=disc_offsets, _raw=True, **kw)
     raw2 = run_seeding(dev2, disc_offsets=disc_offsets2, _raw=True, **kw)
+    return merge_two_template_raw(
+        raw1, raw2,
+        word_cutoffs=kw["word_cutoffs"],
+        subject_starts=kw["subject_starts"],
+        word_size=kw["word_size"],
+        window_size=kw.get("window_size", 0),
+        scan_range=kw.get("scan_range", 0),
+        context_offsets=kw["context_offsets"],
+        approx_ctx=kw.get("approx_ctx"),
+    )
+
+
+def merge_two_template_raw(
+    raw1, raw2, *, word_cutoffs, subject_starts, word_size,
+    window_size, scan_range, context_offsets, approx_ctx,
+) -> InitHits:
+    """Merge the two templates' raw hit tuples (run_seeding /
+    run_seeding_streamed / run_seeding_sharded with ``_raw=True``) and
+    run the shared host finishing (diagonal replay, score order)."""
     cat = tuple(
         np.concatenate([a, b]) for a, b in zip(raw1, raw2)
     )
     right_run = np.zeros(len(cat[0]), np.int32)   # word == lut word
-    n_ctx2 = len(kw["word_cutoffs"])
+    n_ctx2 = len(word_cutoffs)
     return _finish_init_hits(
         cat[0], cat[1], cat[2], cat[3], cat[4], cat[5], cat[6],
-        kw["word_cutoffs"], kw["subject_starts"], word_size,
+        word_cutoffs, subject_starts, word_size,
         window_size=window_size, right_run=right_run,
         scan_range=scan_range,
-        concat_qlen=int(kw["context_offsets"][n_ctx2]) - 2,
-        approx_ctx=kw.get("approx_ctx"),
+        concat_qlen=int(context_offsets[n_ctx2]) - 2,
+        approx_ctx=approx_ctx,
     )
 
 
@@ -1025,6 +1041,7 @@ def run_seeding_sharded(
     scan_range: int = 0,
     mask_intervals: np.ndarray | None = None,
     approx_ctx: dict | None = None,
+    _raw: bool = False,   # return pre-replay hit arrays (two templates)
 ) -> InitHits:
     """Multi-chip seeding over a DB-sharded device mesh
     (gblastn_tpu.parallel.dist), then the same host finishing as the
@@ -1062,7 +1079,16 @@ def run_seeding_sharded(
     slog.diagnostics.init_extends += len(q_off)
     if len(q_off) == 0:
         z = np.zeros(0, dtype=np.int32)
+        if _raw:
+            return (z,) * 7
         return InitHits(z, z, z, z, z, z, z, z)
+    if _raw:
+        # caller merges hits from another pass (second disc template)
+        # before the diagonal replay (run_seeding_two_templates)
+        return (
+            q_off, s_off, np.clip(ctx, 0, n_ctx - 1),
+            ug_q, ug_s, ug_len, ug_score,
+        )
     right_run = None
     if window_size > 0:
         if lut.lut_word_size >= word_size or lut.disc_offsets is not None:

@@ -350,6 +350,7 @@ def run_seeding_streamed(
     mask_intervals: np.ndarray | None = None,  # int64[n, 2] absolute
     disc_offsets: tuple[int, ...] | None = None,
     approx_ctx: dict | None = None,
+    _raw: bool = False,   # return pre-replay hit arrays (two templates)
 ) -> InitHits:
     """Streamed seeding over the whole database; same InitHits contract
     as engine.seeding.run_seeding (asserted equal in tests)."""
@@ -535,6 +536,8 @@ def run_seeding_streamed(
     blocks = [b for b in per_block if b is not None]
     if not blocks:
         z = np.zeros(0, dtype=np.int32)
+        if _raw:
+            return (z,) * 7
         return InitHits(z, z, z, z, z, z, z, z)
 
     def cat(key, base=None):
@@ -588,6 +591,13 @@ def run_seeding_streamed(
             ulen[tidx] = e_len
             uscore[tidx] = e_score
 
+    if _raw:
+        # caller merges hits from another pass (second disc template)
+        # before the diagonal replay (run_seeding_two_templates)
+        return (
+            qs.astype(np.int64), ss_g, np.clip(ctx, 0, n_ctx - 1),
+            uq, us_g, ulen, uscore,
+        )
     right_run = None
     if window_size > 0:
         if lut_word >= word_size or disc_offsets is not None:

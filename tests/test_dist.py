@@ -267,3 +267,40 @@ def test_graft_entry_single_and_multichip():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     ge.dryrun_multichip(8)
+
+
+def test_production_sharded_two_template_matches_single(monkeypatch):
+    """coding_and_optimal (two-template) dc-megablast on the sharded
+    path: both templates scan every shard and the raw hit sets merge
+    before the diagonal replay, equal to the single-buffer path."""
+    from gblastn_tpu.params.options import dc_megablast_options
+
+    rng = np.random.default_rng(303)
+    bases = "ACGT"
+    genome = "".join(bases[i] for i in rng.integers(0, 4, 40000))
+
+    def wobble(seg, seed):
+        r = np.random.default_rng(seed)
+        out = list(seg)
+        for pp in range(2, len(out), 3):
+            if r.random() < 0.4:
+                out[pp] = bases[
+                    (bases.index(out[pp]) + 1 + r.integers(0, 3)) % 4
+                ]
+        return "".join(out)
+
+    queries = [
+        FastaRecord("d1", "", wobble(genome[14700:15400], 1)),
+        FastaRecord("d2", "", wobble(genome[30000:30500], 2)),
+    ]
+    records = [FastaRecord("g", "", genome)]
+    options = dc_megablast_options(
+        evalue=1e-3, template_type="coding_and_optimal",
+    )
+
+    monkeypatch.delenv("GBLASTN_TPU_SHARDS", raising=False)
+    single = _search_rows(queries, records, options)
+    monkeypatch.setenv("GBLASTN_TPU_SHARDS", "8")
+    sharded = _search_rows(queries, records, options)
+    assert len(single) >= 2
+    assert sharded == single

@@ -350,3 +350,58 @@ def test_streamed_matches_resident_disc(problem):
     )
     assert len(ref) > 0
     assert _as_rows(ref) == _as_rows(got)
+
+
+def test_search_end_to_end_streamed_two_template(monkeypatch):
+    """coding_and_optimal (two-template) dc-megablast with forced
+    streaming: two streamed passes, raw hits merged before the replay,
+    byte-identical to the device-resident two-template path."""
+    from gblastn_tpu.engine.search import search
+    from gblastn_tpu.params.options import dc_megablast_options
+
+    def rows(res):
+        out = []
+        for q in res.queries:
+            for lst in q.hsplists:
+                for h in lst.hsps:
+                    out.append((
+                        q.query_index, lst.oid, h.context,
+                        h.q_off, h.q_end, h.s_off, h.s_end,
+                        h.score, float(h.evalue), h.num_ident,
+                    ))
+        return out
+
+    rng = np.random.default_rng(71)
+    genome = _rand_seq(rng, 24000)
+
+    def wobble(seg, seed):
+        r = np.random.default_rng(seed)
+        out = list(seg)
+        for pp in range(2, len(out), 3):
+            if r.random() < 0.4:
+                out[pp] = "ACGT"[
+                    ("ACGT".index(out[pp]) + 1 + r.integers(0, 3)) % 4
+                ]
+        return "".join(out)
+
+    reads = [
+        FastaRecord("d1", "", wobble(genome[3000:3700], 1).encode()),
+        FastaRecord("d2", "", wobble(genome[19000:19500], 2).encode()),
+    ]
+    db = SequenceDB.from_records(
+        [FastaRecord("chr", "", genome.encode())]
+    )
+    opts = dc_megablast_options(
+        evalue=1e-3, template_type="coding_and_optimal",
+    )
+    ref = search(reads, db, opts)
+
+    monkeypatch.setenv("GBLASTN_TPU_STREAM", "1")
+    monkeypatch.setenv("GBLASTN_TPU_BLOCK_BASES", "4096")
+    monkeypatch.setenv("GBLASTN_TPU_BLOCK_HALO", "512")
+    db2 = SequenceDB.from_records(
+        [FastaRecord("chr", "", genome.encode())]
+    )
+    got = search(reads, db2, opts)
+    assert rows(ref)
+    assert rows(got) == rows(ref)
