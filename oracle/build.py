@@ -44,7 +44,7 @@ def _fingerprint() -> str:
     h = hashlib.sha256()
     h.update((HERE / "driver.c").read_bytes())
     h.update((HERE / "shim" / "ncbiconf.h").read_bytes())
-    h.update(b"v1")
+    h.update(b"v2-ndebug")
     return h.hexdigest()[:16]
 
 
@@ -61,11 +61,24 @@ def ensure_oracle(quiet: bool = True) -> Path:
         return exe
 
     CACHE_DIR.mkdir(parents=True, exist_ok=True)
-    objdir = CACHE_DIR / "obj"
+    # key the object cache on the fingerprint so cflags changes (e.g.
+    # the NDEBUG switch) can never link against stale objects
+    objdir = CACHE_DIR / f"obj-{_fingerprint()}"
     objdir.mkdir(exist_ok=True)
 
     cflags = [
         "-O2",
+        # Production NCBI-BLAST ships Release builds (NDEBUG), and the
+        # parity target is what users run. Without NDEBUG the debug-only
+        # ASSERT at greedy_align.c:1206 aborts on legal inputs where an
+        # indel pair is cheaper than a mismatch (e.g. reward/penalty
+        # 2/-7 with gap costs 2/2 -- a supported combination,
+        # blast_stat.c blastn_values_2_7): the affine greedy traceback
+        # emits a zero-length substitution run there, which
+        # GapPrelimEditBlockAdd handles as a no-op. Release blastn
+        # produces well-defined output on such inputs (pinned by
+        # tests/test_oracle_parity.py::test_cheap_gap_greedy_traceback).
+        "-DNDEBUG",
         "-fcommon",
         f"-I{HERE / 'shim'}",
         f"-I{REFERENCE_INCLUDE}",

@@ -1035,6 +1035,40 @@ class TestAffineGreedyParity:
             )
 
 
+class TestCheapGapGreedyTraceback:
+    """reward/penalty 2/-7 with gap costs 2/2 (a supported combination,
+    blast_stat.c blastn_values_2_7) makes an indel PAIR cheaper than a
+    mismatch in the affine greedy: the traceback can emit a zero-length
+    substitution run, which trips a debug-only ASSERT
+    (greedy_align.c:1206) but is a well-defined no-op in Release builds
+    (GapPrelimEditBlockAdd with num 0). Production blastn ships Release;
+    the oracle is built with -DNDEBUG to match (oracle/build.py). Found
+    by soak fuzz (seed 424242 trial 381)."""
+
+    def test_cheap_gap_greedy_traceback(self, tmp_path):
+        q = (
+            "TCGGTAAACAAGCGCTTGTTGGCCAGGGGATAATATTCGAGTTACGCTCATACAATTCTA"
+            "GATCGTGACGGCGAATTTTATCCCACGAAATTTTAACATGGGTCCTCCTGCGCTCTGTGT"
+        )
+        s = (
+            "CGGTAGGCTGCCCAGATTGCGACGAGATCAAGCGAGTTACATGGTGATCGCGAATCTTCC"
+            "AAAGTGTTGCTCTCTAAACAAACGCTTGTCGGCCAGGGGATAATATTGGAGTTACGCCTC"
+            "GTACAATCCGAGATCGTGACGGCGAATTTTATGCCAAGAAATATTAACATGGGTCCTCCT"
+            "ACGCTCTCTGTAGGATTCGTTCACTACGGCCCCCTGTGTGAGGTCAGGTA"
+        )
+        assert_parity(
+            [("q", q)], [("s", s)],
+            megablast_options(
+                evalue=1.0, strand="plus", window_size=40, reward=2,
+                penalty=-7, gap_open=2, gap_extend=2, word_size=12,
+            ),
+            dict(task="megablast", evalue=1.0, strand="plus",
+                 window_size=40, reward=2, penalty=-7, gapopen=2,
+                 gapextend=2, word_size=12),
+            tmp_path,
+        )
+
+
 class TestStrandParity:
     """-strand plus/minus: the excluded strand's context is absent from
     our query block while the oracle keeps 2-per-query numbering with
