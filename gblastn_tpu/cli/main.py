@@ -814,9 +814,9 @@ def run_windowmasker(argv) -> int:
     p.add_argument("-t_low", type=int, default=0)
     p.add_argument("-outfmt", default="interval")
     p.add_argument("-sformat", default="ascii",
-                   choices=["ascii", "binary"],
+                   choices=["ascii", "binary", "oascii", "obinary"],
                    help="counts statistics format for -mk_counts "
-                        "(all four NCBI formats load)")
+                        "(all four NCBI formats load and write)")
     args = p.parse_args(argv)
 
     from gblastn_tpu.io.encoding import seq_to_blastna
@@ -835,10 +835,12 @@ def run_windowmasker(argv) -> int:
             seqs, unit_size=args.unit,
             t_high_override=args.t_high, t_low_override=args.t_low,
         )
-        if args.sformat == "binary":
-            stats.save_binary(args.out)
-        else:
-            stats.save_ascii(args.out)
+        save = {
+            "binary": stats.save_binary,
+            "oascii": stats.save_oascii,
+            "obinary": stats.save_obinary,
+        }.get(args.sformat, stats.save_ascii)
+        save(args.out)
         print(
             f"windowmasker: unit={stats.unit_size} t_low={stats.t_low} "
             f"t_extend={stats.t_extend} t_threshold={stats.t_threshold} "

@@ -174,6 +174,84 @@ class WindowMaskerStats:
             t_high=t_high,
         )
 
+    def _to_hash_tables(self):
+        """Encode the optimized hash container (inverse of
+        _from_hash_tables; layout: seq_masker_uset_hash.cpp:72-110).
+
+        Parameters: roff = 0 (remainder is the unit's high bits only),
+        k chosen so the remainder fits the 7 bits available in a
+        collision-table uint16 entry (count takes the low 9). Counts
+        cap at 0xFFF direct / 0x1FF in collision lists, as in the
+        reference container. Returns (k, roff, bc, ht, vt)."""
+        u2 = 2 * self.unit_size
+        R = min(7, max(u2 - 1, 0))
+        k = u2 - R
+        key = (self.units & np.uint64((1 << k) - 1)).astype(np.int64)
+        rem = (self.units >> np.uint64(k)).astype(np.int64)
+        order = np.argsort(key, kind="stable")
+        key_s, rem_s = key[order], rem[order]
+        cnt_s = self.counts.astype(np.int64)[order]
+        uniq, start, bucket = np.unique(
+            key_s, return_index=True, return_counts=True
+        )
+        max_bucket = int(bucket.max()) if len(bucket) else 0
+        bc = 2
+        while (1 << bc) - 1 < max_bucket and bc < 12:
+            bc += 1
+        if (1 << bc) - 1 < max_bucket:
+            # direct entries store a 12-bit count above bc, so bc is
+            # capped at 12 (bc + 12 <= 24, remainder sits at bit 24)
+            raise ValueError(
+                f"bucket of {max_bucket} units does not fit bc={bc}"
+            )
+        ht = np.zeros(1 << k, dtype=np.uint32)
+        vt: list[int] = []
+        for j, ky in enumerate(uniq):
+            s, n = int(start[j]), int(bucket[j])
+            if n == 1:
+                c = min(int(cnt_s[s]), 0xFFF)
+                ht[ky] = (int(rem_s[s]) << 24) | (c << bc) | 1
+            else:
+                idx = len(vt)
+                if (idx << bc) >> bc != idx:
+                    raise ValueError("values table overflows the index")
+                ht[ky] = np.uint32((idx << bc) | n)
+                for t in range(s, s + n):
+                    c = min(int(cnt_s[t]), 0x1FF)
+                    vt.append((int(rem_s[t]) << 9) | c)
+        return k, 0, bc, ht, np.asarray(vt, dtype=np.uint16)
+
+    def save_obinary(self, path) -> None:
+        """NCBI 'obinary' optimized format, format word 1 (no cache
+        bit array) -- the exact inverse of load_obinary."""
+        k, roff, bc, ht, vt = self._to_hash_tables()
+        head = np.asarray(
+            [1, self.unit_size, len(vt), k, roff, bc,
+             self.t_low, self.t_extend, self.t_threshold, self.t_high],
+            dtype="<u4",
+        )
+        Path(path).write_bytes(
+            head.tobytes()
+            + ht.astype("<u4").tobytes()
+            + vt.astype("<u2").tobytes()
+        )
+
+    def save_oascii(self, path) -> None:
+        """NCBI 'oascii' optimized format (first four bytes 'AAAA', the
+        factory's sniff key) -- the exact inverse of load_oascii."""
+        k, roff, bc, ht, vt = self._to_hash_tables()
+        with open(path, "w") as f:
+            f.write("AAAA\n")
+            f.write(f"{self.unit_size}\n")
+            f.write(f"{len(vt)} {k} {roff} {bc}\n")
+            for t in (self.t_low, self.t_extend, self.t_threshold,
+                      self.t_high):
+                f.write(f"{t}\n")
+            for h in ht:
+                f.write(f"{int(h)}\n")
+            for v in vt:
+                f.write(f"{int(v)}\n")
+
     @classmethod
     def load_obinary(cls, path) -> "WindowMaskerStats":
         """NCBI 'obinary' optimized format (seq_masker_istat_obinary

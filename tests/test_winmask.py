@@ -270,3 +270,54 @@ def test_window_masker_taxid_resolution(tmp_path, monkeypatch):
     with __import__("pytest").raises(SystemExit):
         main(["blastn", "-query", str(q), "-db", str(db),
               "-window_masker_taxid", "1234"])
+
+
+class TestOptimizedWriters:
+    """save_oascii / save_obinary round-trip through the factory
+    (inverse of seq_masker_istat_{oascii,obinary}.cpp readers)."""
+
+    def _check(self, stats, loaded):
+        assert loaded.unit_size == stats.unit_size
+        np.testing.assert_array_equal(loaded.units, stats.units)
+        np.testing.assert_array_equal(
+            loaded.counts, np.minimum(stats.counts, 0x1FF)
+        )
+        assert (
+            loaded.t_low, loaded.t_extend, loaded.t_threshold,
+            loaded.t_high,
+        ) == (
+            stats.t_low, stats.t_extend, stats.t_threshold,
+            stats.t_high,
+        )
+
+    def test_obinary_roundtrip(self, repeat_genome, tmp_path):
+        genome, _ = repeat_genome
+        stats = generate_counts([seq_to_blastna(genome)])
+        path = tmp_path / "w.obinary"
+        stats.save_obinary(path)
+        self._check(stats, WindowMaskerStats.load(path))
+
+    def test_oascii_roundtrip(self, repeat_genome, tmp_path):
+        genome, _ = repeat_genome
+        stats = generate_counts([seq_to_blastna(genome)])
+        path = tmp_path / "w.oascii"
+        stats.save_oascii(path)
+        # the factory sniffs the 'AAAA' magic
+        self._check(stats, WindowMaskerStats.load(path))
+
+    def test_windowmasker_cli_sformat_optimized(
+        self, repeat_genome, tmp_path
+    ):
+        from gblastn_tpu.cli.main import main
+
+        genome, _ = repeat_genome
+        fa = tmp_path / "g.fa"
+        fa.write_text(">g\n" + genome + "\n")
+        for fmt in ("oascii", "obinary"):
+            out = tmp_path / f"w.{fmt}"
+            assert main([
+                "windowmasker", "-in", str(fa), "-mk_counts",
+                "-out", str(out), "-sformat", fmt,
+            ]) == 0
+            loaded = WindowMaskerStats.load(out)
+            assert len(loaded.units) > 0
