@@ -1145,6 +1145,17 @@ class TestRandomComboParity:
             if rng.random() < 0.2:
                 kw["searchsp_override"] = 10**7
                 okw["searchsp"] = 10**7
+            if rng.random() < 0.2:
+                xg = float(rng.choice([15.0, 40.0]))
+                kw["gap_x_dropoff"] = xg
+                okw["xdrop_gap"] = int(xg)
+            if rng.random() < 0.15:
+                hs = int(rng.choice([1, 5]))
+                kw["hitlist_size"] = hs
+                okw["hitlist_size"] = hs
+            if rng.random() < 0.15:
+                kw["cutoff_score"] = 50
+                okw["min_raw_gapped_score"] = 50
             if dust:
                 if not soft:
                     kw["mask_at_hash"] = False
