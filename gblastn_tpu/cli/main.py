@@ -1006,9 +1006,15 @@ def run_blastdbcmd(argv) -> int:
     p.add_argument("-info", action="store_true")
     p.add_argument("-entry", default=None,
                    help="comma-separated sequence ids, or 'all'")
+    p.add_argument("-entry_batch", default=None,
+                   help="file with one sequence id per line")
     p.add_argument("-range", dest="range_", default=None,
                    help="1-based inclusive range a-b")
     p.add_argument("-strand", default="plus", choices=["plus", "minus"])
+    p.add_argument("-outfmt", default="%f",
+                   help="output format: %%f FASTA (default), or a "
+                        "line per sequence with %%a id, %%t title, "
+                        "%%l length, %%o oid, %%g gi, %%s sequence")
     p.add_argument("-out", default="-")
     args = p.parse_args(argv)
 
@@ -1020,7 +1026,7 @@ def run_blastdbcmd(argv) -> int:
     db = SequenceDB.load(args.db)
     out = sys.stdout if args.out == "-" else open(args.out, "w")
     try:
-        if args.info or not args.entry:
+        if args.info or not (args.entry or args.entry_batch):
             info = db.info()
             out.write(f"Database: {info.title}\n")
             out.write(
@@ -1038,13 +1044,22 @@ def run_blastdbcmd(argv) -> int:
                         f"{algo:>12}  {m.program:<18}  {m.options}\n"
                     )
             return 0
+        ids: list[str] = []
+        if args.entry:
+            ids.extend(args.entry.split(","))
+        if args.entry_batch:
+            ids.extend(
+                ln.strip()
+                for ln in Path(args.entry_batch).read_text().splitlines()
+                if ln.strip()
+            )
         if args.entry == "all":
-            oids = range(db.num_seqs)
+            oids = list(range(db.num_seqs))
         else:
             # O(log n) per id via the sorted index (ISAM role)
             oids = []
             missing = []
-            for sid in args.entry.split(","):
+            for sid in ids:
                 oid = db.oid_of_id(sid)
                 if oid is None:
                     missing.append(sid)
@@ -1056,6 +1071,8 @@ def run_blastdbcmd(argv) -> int:
                     file=sys.stderr,
                 )
                 return 1
+        from gblastn_tpu.io.seqdb import seq_id_gi
+
         for oid in oids:
             seq = db.get_sequence_blastna(oid)
             lo, hi = 1, len(seq)
@@ -1065,11 +1082,30 @@ def run_blastdbcmd(argv) -> int:
             seq = seq[lo - 1: hi]
             if args.strand == "minus":
                 seq = reverse_complement_blastna(seq)
-            title = (db.ids[oid] + " " + db.titles[oid]).strip()
-            out.write(f">{title}\n")
-            text = blastna_to_seq(seq)
-            for i in range(0, len(text), 80):
-                out.write(text[i: i + 80] + "\n")
+            if args.outfmt == "%f":
+                title = (db.ids[oid] + " " + db.titles[oid]).strip()
+                out.write(f">{title}\n")
+                text = blastna_to_seq(seq)
+                for i in range(0, len(text), 80):
+                    out.write(text[i: i + 80] + "\n")
+            else:
+                # custom format line (blastdbcmd.cpp x_ProcessEntry
+                # %-specifier substitution)
+                gi = seq_id_gi(db.ids[oid])
+                line = args.outfmt
+                subs = {
+                    "%a": db.ids[oid],
+                    "%i": db.ids[oid],
+                    "%t": db.titles[oid] or "N/A",
+                    "%l": str(int(db.lengths[oid])),
+                    "%o": str(oid),
+                    "%g": str(gi) if gi is not None else "N/A",
+                    "%s": blastna_to_seq(seq),
+                }
+                line = line.replace("%%", "\x00")
+                for k, v in subs.items():
+                    line = line.replace(k, v)
+                out.write(line.replace("\x00", "%") + "\n")
         return 0
     finally:
         if out is not sys.stdout:

@@ -416,3 +416,30 @@ def test_gi_list_tolerant_text_forms(tmp_path):
     bad.write_bytes(b"101\nnot-a-gi\n")
     with pytest.raises(ValueError, match="bad line"):
         read_gi_list(bad)
+
+
+def test_blastdbcmd_entry_batch_and_outfmt(setup, tmp_path, capsys):
+    # -entry_batch file of ids + -outfmt %-specifiers
+    # (blastdbcmd.cpp x_ProcessEntry format substitution)
+    genome_line = (setup / "db.fa").read_text().splitlines()
+    genome = "".join(genome_line[1:])
+    s = tmp_path / "m.fa"
+    s.write_text(
+        ">s1 first\n" + genome[:900] + "\n"
+        ">s2 second\n" + genome[900:2100] + "\n"
+        ">s3 third\n" + genome[2100:2400] + "\n"
+    )
+    dbp = tmp_path / "mdb"
+    assert main(["makedb", "-in", str(s), "-out", str(dbp)]) == 0
+    batch = tmp_path / "ids.txt"
+    batch.write_text("s3\ns1\n")
+    assert main(["blastdbcmd", "-db", str(dbp), "-entry_batch",
+                 str(batch), "-outfmt", "%a %l %t"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out == ["s3 300 third", "s1 900 first"]
+
+    # %s with -range and 100%% escape
+    assert main(["blastdbcmd", "-db", str(dbp), "-entry", "s2",
+                 "-range", "1-10", "-outfmt", "%a:%s 100%%"]) == 0
+    out2 = capsys.readouterr().out.strip()
+    assert out2 == f"s2:{genome[900:910]} 100%"
