@@ -50,7 +50,9 @@ def _compile() -> Path | None:
     lib_path = _build_dir() / _LIB_BASENAME
     if not _needs_rebuild(lib_path, sources):
         return lib_path
-    tmp = lib_path.with_suffix(".so.tmp")
+    # per-process tmp name: concurrent builders (pytest + bench) must not
+    # clobber each other's output before their own os.replace
+    tmp = lib_path.with_suffix(f".so.tmp.{os.getpid()}")
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
         "-o", str(tmp), *[str(s) for s in sources],
@@ -59,12 +61,15 @@ def _compile() -> Path | None:
         subprocess.run(
             cmd, check=True, capture_output=True, timeout=300
         )
+        os.replace(tmp, lib_path)
     except (subprocess.CalledProcessError, OSError,
             subprocess.TimeoutExpired) as e:
+        tmp.unlink(missing_ok=True)
+        if lib_path.exists():          # a concurrent builder won the race
+            return lib_path
         print(f"gblastn_tpu: native build failed ({e}); "
               "using Python fallback", file=sys.stderr)
         return None
-    os.replace(tmp, lib_path)
     return lib_path
 
 
