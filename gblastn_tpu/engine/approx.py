@@ -117,6 +117,7 @@ def compute_approx_info(
     reduced: np.ndarray,     # per-context reduced cutoffs
     table: np.ndarray,
     need: np.ndarray,        # bool[n] seeds to evaluate
+    use_native: bool | None = None,
 ):
     """Per-seed approximate-path verdicts for the diag replays.
 
@@ -131,6 +132,33 @@ def compute_approx_info(
     a_q = np.zeros(n, np.int64)
     a_s = np.zeros(n, np.int64)
     a_r = np.zeros(n, np.int64)
+    if use_native is not False:
+        from gblastn_tpu.native import get_lib
+
+        lib = get_lib()
+        if lib is not None:
+            qa = np.ascontiguousarray(query, np.uint8)
+            pa = np.ascontiguousarray(packed, np.uint8)
+            ta = np.ascontiguousarray(table, np.int32)
+            sst = np.ascontiguousarray(sub_start, np.int64)
+            sen = np.ascontiguousarray(sub_end, np.int64)
+            qo = np.ascontiguousarray(q_off, np.int64)
+            so = np.ascontiguousarray(s_off, np.int64)
+            cx = np.ascontiguousarray(ctx, np.int32)
+            xd = np.ascontiguousarray(x_dropoffs, np.int32)
+            rd = np.ascontiguousarray(reduced, np.int64)
+            ne = np.ascontiguousarray(need, np.uint8)
+            dm = np.zeros(n, np.uint8)
+            lib.gblastn_approx_ungapped(
+                qa.ctypes.data, concat_end, pa.ctypes.data,
+                ta.ctypes.data, n,
+                sst.ctypes.data, sen.ctypes.data,
+                qo.ctypes.data, so.ctypes.data, cx.ctypes.data,
+                xd.ctypes.data, rd.ctypes.data, ne.ctypes.data,
+                dm.ctypes.data, a_score.ctypes.data, a_q.ctypes.data,
+                a_s.ctypes.data, a_r.ctypes.data,
+            )
+            return dm.astype(bool), a_score, a_q, a_s, a_r
     for i in np.nonzero(need)[0]:
         c = int(ctx[i])
         sc, qs, ss, qr = approx_ungapped_one(

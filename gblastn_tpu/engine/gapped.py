@@ -122,12 +122,23 @@ def build_device_gapped(
     margin = int(os.environ.get("GBLASTN_TPU_GAPPED_MARGIN", "0")) or (
         16 * dbl
     )
+    # bucket the query buffer to a pow2 length so the padded-operand
+    # shapes (and hence the compiled prep + kernel programs) are stable
+    # across batches; the raw length varies with every batch and would
+    # recompile ~7s of programs per search. Pad bytes are sentinels
+    # (NEG matrix row) and sit outside every band's q_hi bound anyway.
+    qbuf = np.asarray(qblock.buffer)
+    qcap = 1024
+    while qcap < len(qbuf):
+        qcap *= 2
+    qpad = np.full(qcap, 15, np.uint8)
+    qpad[: len(qbuf)] = qbuf
     return DeviceGappedData(
-        query_ops=prepare_gapped_query(jnp.asarray(qblock.buffer), rows),
+        query_ops=prepare_gapped_query(jnp.asarray(qpad), rows),
         subject_ops=subject_ops,
         table64=jnp.asarray(make_table64(matrix)),
         rows=rows, dbl=dbl, gap_open=go, gap_extend=ge, x_drop=xd,
-        margin=margin, q_len=len(qblock.buffer), s_len=s_len,
+        margin=margin, q_len=qcap, s_len=s_len,
         interpret=interpret,
     )
 

@@ -727,9 +727,20 @@ def prelim_search(
                 init = run_seeding(
                     dev, disc_offsets=lut.disc_offsets, **seed_kw,
                 )
-        device_gapped = _build_gapped_filter(
-            qblock, params, db, device_arrays=dev.subject2
-        )
+        # the device band-DP filter costs one ~fixed dispatch (~0.3s
+        # over the tunnel); the native host walk extends ~1.4k
+        # candidates in that time, so small candidate sets skip the
+        # filter entirely (GBLASTN_TPU_GAPPED_FILTER=1 forces it on)
+        filter_min = int(os.environ.get(
+            "GBLASTN_TPU_GAPPED_FILTER_MIN", "2000"
+        ))
+        device_gapped = None
+        if (len(init) >= filter_min
+                or os.environ.get("GBLASTN_TPU_GAPPED_FILTER")
+                in ("1", "interpret")):
+            device_gapped = _build_gapped_filter(
+                qblock, params, db, device_arrays=dev.subject2
+            )
     slog.diagnostics.good_init_extends += len(init)
     check(interrupt_fn)
 

@@ -913,13 +913,16 @@ def _finish_init_hits(
             sub_st = np.asarray(subject_starts, np.int64)[oid]
             sub_en = np.asarray(approx_ctx["subject_ends"],
                                 np.int64)[oid]
-            demote, a_sc, a_q, a_s, a_r = compute_approx_info(
-                approx_ctx["query"], approx_ctx["concat_end"],
-                approx_ctx["packed"], sub_st, sub_en,
-                np.asarray(q_np, np.int64), np.asarray(s_np, np.int64),
-                ctx, approx_ctx["x_dropoffs"], approx_ctx["reduced"],
-                approx_ctx["table"], need,
-            )
+            with slog.time("host.approx_gate"):
+                demote, a_sc, a_q, a_s, a_r = compute_approx_info(
+                    approx_ctx["query"], approx_ctx["concat_end"],
+                    approx_ctx["packed"], sub_st, sub_en,
+                    np.asarray(q_np, np.int64),
+                    np.asarray(s_np, np.int64),
+                    ctx, approx_ctx["x_dropoffs"],
+                    approx_ctx["reduced"],
+                    approx_ctx["table"], need,
+                )
             if demote.any():
                 ext = (
                     right_run.astype(np.int64)
@@ -980,13 +983,16 @@ def _finish_init_hits(
             sub_en2 = np.asarray(
                 approx_ctx["subject_ends"], np.int64
             )[oid]
-            dem2, a2_sc, a2_q, a2_s, a2_r = compute_approx_info(
-                approx_ctx["query"], approx_ctx["concat_end"],
-                approx_ctx["packed"], sub_st2, sub_en2,
-                np.asarray(q_np, np.int64), np.asarray(s_np, np.int64),
-                ctx, approx_ctx["x_dropoffs"], approx_ctx["reduced"],
-                approx_ctx["table"], sub2,
-            )
+            with slog.time("host.approx_gate"):
+                dem2, a2_sc, a2_q, a2_s, a2_r = compute_approx_info(
+                    approx_ctx["query"], approx_ctx["concat_end"],
+                    approx_ctx["packed"], sub_st2, sub_en2,
+                    np.asarray(q_np, np.int64),
+                    np.asarray(s_np, np.int64),
+                    ctx, approx_ctx["x_dropoffs"],
+                    approx_ctx["reduced"],
+                    approx_ctx["table"], sub2,
+                )
             d2 = sub2 & dem2
             if d2.any():
                 ext2 = (

@@ -196,6 +196,21 @@ def get_lib():
         ctypes.c_void_p,                      # right_run (or NULL)
         ctypes.c_void_p,                      # saved out uint8
     ]
+    lib.gblastn_approx_ungapped.restype = ctypes.c_int64
+    lib.gblastn_approx_ungapped.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,      # query, concat_end
+        ctypes.c_void_p,                      # packed db
+        ctypes.c_void_p,                      # table int32[256]
+        ctypes.c_int64,                       # n
+        ctypes.c_void_p, ctypes.c_void_p,     # sub_start, sub_end
+        ctypes.c_void_p, ctypes.c_void_p,     # q_off, s_off
+        ctypes.c_void_p,                      # ctx int32
+        ctypes.c_void_p, ctypes.c_void_p,     # x_dropoffs, reduced
+        ctypes.c_void_p,                      # need uint8
+        ctypes.c_void_p,                      # demote out uint8
+        ctypes.c_void_p, ctypes.c_void_p,     # a_score, a_q
+        ctypes.c_void_p, ctypes.c_void_p,     # a_s, a_r
+    ]
     lib.gblastn_dust_mask.restype = ctypes.c_int64
     lib.gblastn_dust_mask.argtypes = [
         ctypes.c_void_p, ctypes.c_int64,      # seq2, n

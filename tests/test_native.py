@@ -415,3 +415,41 @@ class TestNativeDPTraceback:
                 py.edit_script) == (
             nat.score, nat.q_start, nat.q_end, nat.s_start, nat.s_end,
             nat.edit_script)
+
+
+class TestApproxNative:
+    def test_approx_ungapped_parity(self):
+        """Native gblastn_approx_ungapped == Python approx walk, over
+        random seeds (planted similarity so both directions extend)."""
+        from gblastn_tpu.engine.approx import compute_approx_info
+        from gblastn_tpu.io.encoding import pack_2na
+        from gblastn_tpu.params.derived import nucl_score_table_packed
+
+        rng = np.random.default_rng(823)
+        S, Q, n = 6000, 3072, 800
+        sub2 = rng.integers(0, 4, S).astype(np.uint8)
+        packed = pack_2na(sub2)
+        query = rng.integers(0, 4, Q).astype(np.uint8)
+        query[0] = query[-1] = 15
+        # ambiguity codes overflow their 2-bit slot, as in the C
+        query[rng.integers(1, Q - 1, 20)] = 14
+        for _ in range(30):
+            qp = int(rng.integers(64, Q - 400))
+            sp = int(rng.integers(64, S - 400))
+            L = int(rng.integers(50, 350))
+            query[qp: qp + L] = sub2[sp: sp + L]
+        q_off = rng.integers(16, Q - 32, n).astype(np.int64)
+        s_off = rng.integers(16, S - 32, n).astype(np.int64)
+        args = (
+            query, Q - 1, packed,
+            np.zeros(n, np.int64), np.full(n, S, np.int64),
+            q_off, s_off, np.zeros(n, np.int32),
+            np.array([22], np.int32), np.array([15], np.int64),
+            nucl_score_table_packed(1, -2), rng.random(n) < 0.9,
+        )
+        py = compute_approx_info(*args, use_native=False)
+        nat = compute_approx_info(*args, use_native=True)
+        if nat is None:  # toolchain unavailable
+            return
+        for a, b in zip(py, nat):
+            np.testing.assert_array_equal(a, b)
