@@ -573,9 +573,9 @@ def main() -> int:
             "error": "device backend init timed out (tunnel outage)",
             # last completed on-TPU measurement for context (see
             # BASELINE.md "Measured (round 2)"); NOT this run's value
-            "last_measured": {"date": "2026-08-17", "config1_qps": 308,
-                              "config2_blastn_qps": 38,
-                              "config3_streamed_qps": 19},
+            "last_measured": {"date": "2026-08-19", "config1_qps": 653,
+                              "config2_blastn_qps": 32,
+                              "config3_streamed_qps": 29},
         }))
         return 1
 
