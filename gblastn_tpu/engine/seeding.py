@@ -112,6 +112,26 @@ def sort_by_score_order(
     return np.lexsort((q_start, -length, s_start, -score))
 
 
+def _native_diag_order(q_off, s_off, oid, diag_mask=0):
+    """Replay key order via native comparator sort (== np.lexsort
+    ((q_off, s_off, diag, oid)) exactly); None if the lib is absent."""
+    from gblastn_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(q_off)
+    q32 = np.ascontiguousarray(q_off, np.int32)
+    s32 = np.ascontiguousarray(s_off, np.int32)
+    o32 = np.ascontiguousarray(oid, np.int32)
+    order = np.empty(n, np.int64)
+    lib.gblastn_diag_order(
+        q32.ctypes.data, s32.ctypes.data, o32.ctypes.data,
+        n, diag_mask, order.ctypes.data,
+    )
+    return order
+
+
 def _native_diag_filter(
     q_off, s_off, oid, order, word_size, window,
     ung_s_start, ung_length, ung_score, cutoff, right_run,
@@ -193,20 +213,22 @@ def one_hit_diag_filter(
     saved = np.zeros(n, dtype=bool)
     if n == 0:
         return saved
+    if use_native:
+        order = _native_diag_order(q_off, s_off, oid, diag_mask)
+        if order is not None:
+            native = _native_diag_filter(
+                q_off, s_off, oid, order, word_size, 0,
+                ung_s_start, ung_length, ung_score, cutoff, None,
+                diag_mask,
+            )
+            if native is not None:
+                return native
     diag = s_off.astype(np.int64) - q_off.astype(np.int64)
     if diag_mask:
         diag = diag & diag_mask
     # q tiebreak: aliased diagonals can carry two hits at one subject
     # position; the scan emits them in ascending-q chain order
     order = np.lexsort((q_off, s_off, diag, oid))
-    if use_native:
-        native = _native_diag_filter(
-            q_off, s_off, oid, order, word_size, 0,
-            ung_s_start, ung_length, ung_score, cutoff, None,
-            diag_mask,
-        )
-        if native is not None:
-            return native
     last_key = None
     last_hit = 0
     for i in order:
@@ -285,18 +307,20 @@ def two_hit_diag_filter(
     saved = np.zeros(n, dtype=bool)
     if n == 0:
         return saved
+    if use_native:
+        order = _native_diag_order(q_off, s_off, oid, diag_mask)
+        if order is not None:
+            native = _native_diag_filter(
+                q_off, s_off, oid, order, word_size, window,
+                ung_s_start, ung_length, ung_score, cutoff, right_run,
+                diag_mask,
+            )
+            if native is not None:
+                return native
     diag = s_off.astype(np.int64) - q_off.astype(np.int64)
     if diag_mask:
         diag = diag & diag_mask
     order = np.lexsort((q_off, s_off, diag, oid))
-    if use_native:
-        native = _native_diag_filter(
-            q_off, s_off, oid, order, word_size, window,
-            ung_s_start, ung_length, ung_score, cutoff, right_run,
-            diag_mask,
-        )
-        if native is not None:
-            return native
     last_key = None
     last_hit = 0
     flag = 0

@@ -185,6 +185,12 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p,     # o_qg, o_sg
         ctypes.c_void_p,                      # out_n_ext int64[1]
     ]
+    lib.gblastn_diag_order.restype = ctypes.c_int64
+    lib.gblastn_diag_order.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # q,s,oid
+        ctypes.c_int64, ctypes.c_int64,       # n, diag_mask
+        ctypes.c_void_p,                      # order out int64
+    ]
     lib.gblastn_diag_filter.restype = ctypes.c_int64
     lib.gblastn_diag_filter.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # q,s,oid

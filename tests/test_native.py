@@ -453,3 +453,25 @@ class TestApproxNative:
             return
         for a, b in zip(py, nat):
             np.testing.assert_array_equal(a, b)
+
+    def test_diag_order_matches_lexsort(self):
+        """Native comparator sort == np.lexsort((q, s, diag, oid)),
+        including duplicate keys and masked (aliased) diagonals."""
+        from gblastn_tpu.engine.seeding import _native_diag_order
+
+        rng = np.random.default_rng(911)
+        n = 50_000
+        q = rng.integers(0, 5000, n).astype(np.int32)
+        s = rng.integers(0, 200_000, n).astype(np.int32)
+        oid = rng.integers(0, 7, n).astype(np.int32)
+        # force exact duplicate rows to exercise the stability tiebreak
+        q[1000:1200] = q[0]; s[1000:1200] = s[0]; oid[1000:1200] = oid[0]
+        for mask in (0, 1023):
+            diag = s.astype(np.int64) - q.astype(np.int64)
+            if mask:
+                diag = diag & mask
+            ref = np.lexsort((q, s, diag, oid))
+            nat = _native_diag_order(q, s, oid, mask)
+            if nat is None:
+                return
+            np.testing.assert_array_equal(ref, nat)
