@@ -908,10 +908,16 @@ def _finish_init_hits(
     positions beyond 2^31 (streamed multi-Gbase databases)."""
     cutoff = word_cutoffs[ctx].astype(np.int32)
 
-    oid = (
-        np.searchsorted(subject_starts, s_np, side="right") - 1
-    ).astype(np.int32)
-    base = subject_starts[oid].astype(np.int64)
+    if len(subject_starts) == 1:
+        # single-subject DB (the whole-chromosome shape): every seed
+        # maps to oid 0; skip the 64-bit binary search over ~1M seeds
+        oid = np.zeros(len(s_np), np.int32)
+        base = np.int64(subject_starts[0])
+    else:
+        oid = (
+            np.searchsorted(subject_starts, s_np, side="right") - 1
+        ).astype(np.int32)
+        base = subject_starts[oid].astype(np.int64)
     s_loc = (s_np.astype(np.int64) - base).astype(np.int32)
     ug_s_loc = (ug_s.astype(np.int64) - base).astype(np.int32)
     q32 = q_np.astype(np.int32)
