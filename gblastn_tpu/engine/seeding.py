@@ -125,10 +125,12 @@ def _native_diag_order(q_off, s_off, oid, diag_mask=0):
     s32 = np.ascontiguousarray(s_off, np.int32)
     o32 = np.ascontiguousarray(oid, np.int32)
     order = np.empty(n, np.int64)
-    lib.gblastn_diag_order(
+    rc = lib.gblastn_diag_order(
         q32.ctypes.data, s32.ctypes.data, o32.ctypes.data,
         n, diag_mask, order.ctypes.data,
     )
+    if rc != 0:   # allocation failure: fall back to np.lexsort
+        return None
     return order
 
 

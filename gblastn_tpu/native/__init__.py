@@ -65,7 +65,10 @@ def _compile() -> Path | None:
     except (subprocess.CalledProcessError, OSError,
             subprocess.TimeoutExpired) as e:
         tmp.unlink(missing_ok=True)
-        if lib_path.exists():          # a concurrent builder won the race
+        # only trust an existing lib if it is now UP TO DATE (a
+        # concurrent builder won the race); a stale cached .so would
+        # bind old symbols against new Python callers
+        if lib_path.exists() and not _needs_rebuild(lib_path, sources):
             return lib_path
         print(f"gblastn_tpu: native build failed ({e}); "
               "using Python fallback", file=sys.stderr)
@@ -86,9 +89,21 @@ def get_lib():
         return None
     try:
         lib = ctypes.CDLL(str(path))
+        _bind_symbols(lib)
     except OSError as e:
         print(f"gblastn_tpu: native load failed ({e})", file=sys.stderr)
         return None
+    except AttributeError as e:
+        # symbol-incomplete library (e.g. stale cache + broken
+        # toolchain): degrade to the Python twins rather than crash
+        print(f"gblastn_tpu: native lib missing symbols ({e}); "
+              "using Python fallback", file=sys.stderr)
+        return None
+    _lib = lib
+    return _lib
+
+
+def _bind_symbols(lib) -> None:
     lib.gblastn_greedy_align.restype = ctypes.c_int
     lib.gblastn_greedy_align.argtypes = [
         ctypes.c_void_p, ctypes.c_int64,      # s1
@@ -223,8 +238,6 @@ def get_lib():
         ctypes.c_int, ctypes.c_int, ctypes.c_int,  # level, window, linker
         ctypes.c_void_p, ctypes.c_int64,      # out pairs, cap
     ]
-    _lib = lib
-    return _lib
 
 
 def native_available() -> bool:

@@ -11,6 +11,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <new>
 #include <numeric>
 
 // Replay key order: stable lexsort by (oid, diag, s_off, q_off) --
@@ -23,7 +24,10 @@ extern "C" int64_t gblastn_diag_order(
     const int32_t* q_off, const int32_t* s_off, const int32_t* oid,
     int64_t n, int64_t diag_mask, int64_t* order)
 {
-    int64_t* diag = new int64_t[n];
+    // nothrow: a bad_alloc must not cross the extern "C" boundary into
+    // ctypes; nonzero return lets the Python caller fall back to lexsort
+    int64_t* diag = new (std::nothrow) int64_t[n];
+    if (diag == nullptr) return -1;
     for (int64_t i = 0; i < n; ++i) {
         int64_t d = (int64_t)s_off[i] - (int64_t)q_off[i];
         diag[i] = diag_mask ? (d & diag_mask) : d;
