@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gblastn_tpu.ops.seeding import (
+    compact_indices,
     mini_extend,
     seeding_pipeline,
     ungapped_extend,
@@ -530,12 +531,7 @@ def _pallas_alive_only(
         word_size=word_size,
     )
     alive = ok & ~exact0
-    n_alive = alive.sum()
-    aidx = jnp.nonzero(alive, size=alive_cap, fill_value=0)[0]
-    afill = (
-        jax.lax.broadcasted_iota(jnp.int32, (alive_cap,), 0)
-        < jnp.minimum(n_alive, alive_cap)
-    )
+    aidx, afill, n_alive = compact_indices(alive, alive_cap, 0)
     f_q, f_s, f_len, f_score, f_tr = ungapped_extend_pallas_prepared(
         (query_p, subject_p), table64,
         qs[aidx], ss[aidx], afill, xd[aidx], maxl[aidx], maxr[aidx],
