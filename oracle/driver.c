@@ -691,6 +691,25 @@ int main(int argc, char** argv) {
                     } else {
                         printf("-");
                     }
+                    /* reference-computed tabular field values: alignment
+                     * length / gaps / gap opens (Blast_HSPCalcLengthAndGaps,
+                     * blast_hits.c) and 1-based strand-adjusted endpoints
+                     * (Blast_HSPGetAdjustedOffsets) -- consumed by
+                     * tests/test_format_bytes.py for -outfmt 6 byte parity */
+                    {
+                        Int4 aln_len = 0, gaps = 0, gap_opens = 0;
+                        Int4 qs1 = 0, qe1 = 0, ss1 = 0, se1 = 0;
+                        Blast_HSPCalcLengthAndGaps(hsp, &aln_len, &gaps,
+                                                   &gap_opens);
+                        Blast_HSPGetAdjustedOffsets(
+                            kProgram, hsp,
+                            (Int4) qinfo->contexts[hsp->context].query_length,
+                            (Int4) subjects.seqs[hsplist->oid].length,
+                            &qs1, &qe1, &ss1, &se1);
+                        printf("\t%d\t%d\t%d\t%d\t%d\t%d\t%d",
+                               (int)aln_len, (int)gaps, (int)gap_opens,
+                               (int)qs1, (int)qe1, (int)ss1, (int)se1);
+                    }
                     printf("\n");
                 }
             }

@@ -30,6 +30,9 @@ class OracleHSP:
     bit_score: float
     evalue: float
     ops: tuple[tuple[int, int], ...]
+    # reference-computed tabular fields (Blast_HSPCalcLengthAndGaps +
+    # Blast_HSPGetAdjustedOffsets); None on old driver output
+    tabular: tuple[int, ...] | None = None
 
 
 @dataclass
@@ -127,6 +130,10 @@ def parse_oracle_output(text: str) -> OracleRun:
                     bit_score=float(parts[10]),
                     evalue=float(parts[11]),
                     ops=ops,
+                    tabular=(
+                        tuple(int(x) for x in parts[13:20])
+                        if len(parts) >= 20 else None
+                    ),
                 )
             )
         elif parts[0] == "DIAG":
