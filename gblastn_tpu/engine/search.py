@@ -50,14 +50,10 @@ def device_matrix16(reward: int, penalty: int) -> np.ndarray:
     return np.clip(m, NEG_CLIP, None).astype(np.int32)
 
 
-def _upload_lut(lut):
-    """(lut_offsets_dev, pos_padded) device upload for a CSR table.
-
-    Positions pad to a pow2 bucket (shape-stable kernels). The dense
-    offsets table at lut width 12 is 4^12+1 int32 = 67MB -- uploading
-    it per batch costs more than the whole device stage over the
-    tunnel, so on accelerators the O(n_positions) word codes ship
-    instead and the table is rebuilt on device."""
+def _pad_lut_host(lut):
+    """(pos_padded, pw_padded) host arrays for a CSR table, padded to a
+    pow2 bucket (shape-stable kernels). pw pad slots carry table_size
+    so the on-device offsets rebuild drops them (mode='drop')."""
     positions = (
         lut.positions if len(lut.positions) else np.zeros(1, np.int32)
     )
@@ -66,12 +62,24 @@ def _upload_lut(lut):
         pcap *= 2
     pos_padded = np.zeros(pcap, dtype=np.int32)
     pos_padded[: len(positions)] = positions
-    if (jax.default_backend() != "cpu"
-            and lut.position_words is not None):
-        from gblastn_tpu.engine.seeding import offsets_on_device
-
+    pw_padded = None
+    if lut.position_words is not None:
         pw_padded = np.full(pcap, lut.table_size, dtype=np.int32)
         pw_padded[: len(lut.positions)] = lut.position_words
+    return pos_padded, pw_padded
+
+
+def _upload_lut(lut):
+    """(lut_offsets_dev, pos_padded) device upload for a CSR table.
+
+    The dense offsets table at lut width 12 is 4^12+1 int32 = 67MB --
+    uploading it per batch costs more than the whole device stage over
+    the tunnel, so on accelerators the O(n_positions) word codes ship
+    instead and the table is rebuilt on device."""
+    pos_padded, pw_padded = _pad_lut_host(lut)
+    if jax.default_backend() != "cpu" and pw_padded is not None:
+        from gblastn_tpu.engine.seeding import offsets_on_device
+
         lut_offsets_dev = offsets_on_device(
             jnp.asarray(pw_padded), lut.table_size
         )
@@ -85,6 +93,13 @@ def _second_template_dev(dev, lut2):
     carrying the second disc template's CSR table."""
     import dataclasses as _dc
 
+    if dev.host_qbuf is not None:
+        # blob path: the table ships inside the batch blob
+        pos2, _pw2 = _pad_lut_host(lut2)
+        return _dc.replace(
+            dev, lut_pos_host=pos2, lut_n_pos=len(lut2.positions),
+            lut_table_size=lut2.table_size,
+        )
     offs, pos_padded = _upload_lut(lut2)
     return _dc.replace(
         dev, lut_offsets=offs, lut_positions=jnp.asarray(pos_padded)
@@ -401,10 +416,27 @@ def prelim_search(
         qcap *= 2
     qbuf_padded = np.full(qcap, 15, dtype=np.uint8)
     qbuf_padded[: len(qbuf)] = qbuf
-    lut_offsets_dev, pos_padded = _upload_lut(lut)
+    pos_padded, pw_padded = _pad_lut_host(lut)
+    # device LUT upload is lazy: the TPU resident path ships the LUT
+    # inside the single batch blob instead (engine.seeding), so only
+    # the streamed / indexed / CPU paths pay the separate upload
+    _lut_dev: list = []
+
+    def _lut_dev_get():
+        if not _lut_dev:
+            _lut_dev.append(_upload_lut(lut))
+        return _lut_dev[0]
 
     m16 = device_matrix16(options.reward, options.penalty)
-    qdev = jnp.asarray(qbuf_padded)
+    # lazy query upload: the TPU blob path ships the query inside the
+    # batch blob, so the separate 1MB-class transfer only happens for
+    # the streamed / indexed / CPU paths (or a phase-2 escalation)
+    _qdev: list = []
+
+    def _qdev_get():
+        if not _qdev:
+            _qdev.append(jnp.asarray(qbuf_padded))
+        return _qdev[0]
 
     # the LUT builder knows the longest chain, so the scan's per-word
     # fan-out capacity never needs the overflow-retry recompile; bucket
@@ -562,7 +594,7 @@ def prelim_search(
         from gblastn_tpu.engine.stream import run_seeding_streamed
 
         stream_kw = dict(
-            query_dev=qdev,
+            query_dev=_qdev_get(),
             query_host=qbuf_padded,
             matrix16=m16,
             context_offsets=ctx_offsets,
@@ -590,7 +622,7 @@ def prelim_search(
                 offs2, pos2 = _upload_lut(lut2)
                 raw1 = run_seeding_streamed(
                     db,
-                    lut_offsets_dev=lut_offsets_dev,
+                    lut_offsets_dev=_lut_dev_get()[0],
                     lut_positions_dev=jnp.asarray(pos_padded),
                     disc_offsets=lut.disc_offsets,
                     _raw=True, **stream_kw,
@@ -615,7 +647,7 @@ def prelim_search(
             else:
                 init = run_seeding_streamed(
                     db,
-                    lut_offsets_dev=lut_offsets_dev,
+                    lut_offsets_dev=_lut_dev_get()[0],
                     lut_positions_dev=jnp.asarray(pos_padded),
                     disc_offsets=lut.disc_offsets,
                     **stream_kw,
@@ -625,7 +657,7 @@ def prelim_search(
         # and cache on the db object (the role of G-BLASTN's per-oid
         # cached device arrays, gpu_blastn_MB_and_smallNa.cu:63-152)
         dev_subject = getattr(db, "_device_cache", None)
-        if dev_subject is None:
+        if dev_subject is None or len(dev_subject) < 6:
             from gblastn_tpu.ops.pallas_ungapped import prepare_subject
             from gblastn_tpu.ops.seeding import pack_subject_words
 
@@ -636,12 +668,39 @@ def prelim_search(
                     jnp.asarray(db.valid_mask()),
                     prepare_subject(sub2),
                     pack_subject_words(jnp.asarray(db.packed)),
+                    jnp.asarray(np.asarray(db.starts)),
+                    jnp.asarray(
+                        np.asarray(db.starts) + np.asarray(db.lengths)
+                    ),
                 )
                 jax.block_until_ready(dev_subject)
             db._device_cache = dev_subject
 
         from gblastn_tpu.ops.pallas_ungapped import make_table64
         from gblastn_tpu.ops.seeding import pack_query_nibbles
+
+        # per-(reward, penalty) device score tables, cached per DB so a
+        # batch does not pay two tiny uploads (each a tunnel round trip)
+        mt_cache = getattr(db, "_matrix_device_cache", None)
+        if mt_cache is None:
+            mt_cache = {}
+            db._matrix_device_cache = mt_cache
+        mt_key = (options.reward, options.penalty)
+        if mt_key not in mt_cache:
+            mt_cache[mt_key] = (
+                jnp.asarray(m16), jnp.asarray(make_table64(m16))
+            )
+        m16_dev, table64_dev = mt_cache[mt_key]
+
+        use_blob = (
+            db_index is None
+            and pw_padded is not None
+            and not os.environ.get("GBLASTN_TPU_FORCE_XLA")
+            and (
+                next(iter(dev_subject[0].devices())).platform == "tpu"
+                or os.environ.get("GBLASTN_TPU_FORCE_BLOB") == "1"
+            )
+        )
 
         q_allowed_dev = None
         if db_index is not None:
@@ -674,19 +733,31 @@ def prelim_search(
                 cmax *= 2
 
         dev = SeedingDeviceData(
-            query=qdev,
+            query=(None if use_blob else _qdev_get()),
             subject2=dev_subject[0],
             subject_valid=dev_subject[1],
-            lut_offsets=(idx_dev[0] if db_index is not None
-                         else lut_offsets_dev),
-            lut_positions=(idx_dev[1] if db_index is not None
-                           else jnp.asarray(pos_padded)),
-            matrix16=jnp.asarray(m16),
+            lut_offsets=(
+                idx_dev[0] if db_index is not None
+                else None if use_blob else _lut_dev_get()[0]
+            ),
+            lut_positions=(
+                idx_dev[1] if db_index is not None
+                else None if use_blob else jnp.asarray(pos_padded)
+            ),
+            matrix16=m16_dev,
             pallas_subject=dev_subject[2],
-            table64=jnp.asarray(make_table64(m16)),
-            query_nib=pack_query_nibbles(qdev),
+            table64=table64_dev,
+            query_nib=(
+                None if use_blob else pack_query_nibbles(_qdev_get())
+            ),
             subject_w=dev_subject[3],
             q_allowed=q_allowed_dev,
+            subject_starts_dev=dev_subject[4],
+            subject_ends_dev=dev_subject[5],
+            host_qbuf=(qbuf_padded if use_blob else None),
+            lut_pos_host=(pos_padded if use_blob else None),
+            lut_n_pos=len(lut.positions),
+            lut_table_size=lut.table_size,
         )
         if options.window_size > 0:
             host_sub = getattr(db, "_host_cache", None)

@@ -269,11 +269,14 @@ def scan_block(
     q_off = lut_positions[pidx]
     s_off = jnp.broadcast_to(pos[:, None], take.shape)
     n_dropped = jnp.maximum(count - cmax, 0).sum() + overflow_hits
+    if not hit_cap:
+        n_hit = (count > 0).sum()
     return (
         q_off.reshape(-1).astype(jnp.int32),
         s_off.reshape(-1).astype(jnp.int32),
         take.reshape(-1),
         n_dropped.astype(jnp.int32),
+        n_hit.astype(jnp.int32),
     )
 
 
@@ -361,11 +364,14 @@ def indexed_scan_block(
         take = take & ~soft_masked
 
     n_dropped = jnp.maximum(count - cmax, 0).sum() + overflow_hits
+    if not hit_cap:
+        n_hit = (count > 0).sum()
     return (
         q_off.reshape(-1).astype(jnp.int32),
         s_off.reshape(-1).astype(jnp.int32),
         take.reshape(-1),
         n_dropped.astype(jnp.int32),
+        n_hit.astype(jnp.int32),
     )
 
 
@@ -951,14 +957,14 @@ def seeding_pipeline(
     capacity (hit_cap / cmax / seed_cap) overflowed, retry larger.
     """
     if q_allowed is not None:
-        q_off, s_off, take, n_dropped = indexed_scan_block(
+        q_off, s_off, take, n_dropped, n_hit = indexed_scan_block(
             query, q_allowed, lut_offsets, lut_positions,
             lut_word=lut_word, cmax=cmax, n_scan=n_scan,
             hit_cap=hit_cap,
             mask_starts=mask_starts, mask_ends=mask_ends,
         )
     else:
-        q_off, s_off, take, n_dropped = scan_block(
+        q_off, s_off, take, n_dropped, n_hit = scan_block(
             subject2, subject_valid, lut_offsets, lut_positions,
             scan_step=scan_step, lut_word=lut_word, word_size=word_size,
             cmax=cmax, n_scan=n_scan, hit_cap=hit_cap,
@@ -1048,14 +1054,14 @@ def seeding_scan_mini(
     max_r, n_overflow), all [seed_cap].
     """
     if q_allowed is not None:
-        q_off, s_off, take, n_dropped = indexed_scan_block(
+        q_off, s_off, take, n_dropped, n_hit = indexed_scan_block(
             query, q_allowed, lut_offsets, lut_positions,
             lut_word=lut_word, cmax=cmax, n_scan=n_scan,
             hit_cap=hit_cap,
             mask_starts=mask_starts, mask_ends=mask_ends,
         )
     else:
-        q_off, s_off, take, n_dropped = scan_block(
+        q_off, s_off, take, n_dropped, n_hit = scan_block(
             subject2, subject_valid, lut_offsets, lut_positions,
             scan_step=scan_step, lut_word=lut_word, word_size=word_size,
             cmax=cmax, n_scan=n_scan, hit_cap=hit_cap,
@@ -1127,8 +1133,11 @@ def seeding_scan_mini(
         max_l, max_r = compact(max_l), compact(max_r)
         ok = sfill
         n_overflow = n_overflow + jnp.maximum(n_srv - out_cap, 0)
+    else:
+        n_srv = ok.sum()
 
-    return qs, ss, ok, ctx, xd, max_l, max_r, n_overflow, n_raw
+    return (qs, ss, ok, ctx, xd, max_l, max_r, n_overflow, n_raw,
+            n_hit, n_srv.astype(jnp.int32))
 
 
 # --------------------------------------------------------------- streaming
@@ -1216,7 +1225,8 @@ def seeding_pipeline_block(
     buffer-local int32 (the host re-bases them to global int64, so
     databases beyond 2^31 bases stream fine)."""
     subject2, subject_valid = block_arrays(packed, local_starts, local_ends)
-    qs, ss, ok, ctx, xd, max_l, max_r, n_overflow, n_raw = (
+    (qs, ss, ok, ctx, xd, max_l, max_r, n_overflow, n_raw,
+     _n_hit, _n_srv) = (
         seeding_scan_mini(
             subject2, subject_valid, lut_offsets, lut_positions, query,
             ctx_offsets, x_dropoffs, local_starts, local_ends,

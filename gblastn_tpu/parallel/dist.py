@@ -236,7 +236,8 @@ def make_sharded_seeding(
 
     def one_shard(subject2, valid, ls, le, pos_base, pos_end, ms, me,
                   query, lut_off, lut_pos, ctx_off, xdrops, score_data):
-        qs, ss, ok, ctx, xd, max_l, max_r, n_ov, n_raw = seeding_scan_mini(
+        (qs, ss, ok, ctx, xd, max_l, max_r, n_ov, n_raw,
+         _nh, _ns) = seeding_scan_mini(
             subject2, valid, lut_off, lut_pos, query, ctx_off, xdrops,
             ls, le, pos_base, pos_end, ms, me,
             scan_step=scan_step, lut_word=lut_word, word_size=word_size,

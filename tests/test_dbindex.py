@@ -97,7 +97,7 @@ def test_raw_seed_set_equivalence(workload):
     sub2 = jnp.asarray(db.unpacked().astype(np.int8))
     valid = jnp.asarray(db.valid_mask())
     n_scan_s = (sub2.shape[0] - lut.lut_word_size) // lut.scan_step + 1
-    q1, s1, t1, _ = scan_block(
+    q1, s1, t1, _, _nh1 = scan_block(
         sub2, valid, jnp.asarray(lut.counts_offsets),
         jnp.asarray(lut.positions),
         scan_step=lut.scan_step, lut_word=lut.lut_word_size,
@@ -111,7 +111,7 @@ def test_raw_seed_set_equivalence(workload):
 
     q_allowed = np.zeros(qcap, bool)
     q_allowed[lut.positions] = True
-    q2, s2, t2, _ = indexed_scan_block(
+    q2, s2, t2, _, _nh2 = indexed_scan_block(
         jnp.asarray(qbuf), jnp.asarray(q_allowed),
         jnp.asarray(index.offsets()), jnp.asarray(index.positions),
         lut_word=index.lut_word, cmax=max(index.max_chain, 4),

@@ -92,7 +92,7 @@ def test_disc_scan_block_matches_numpy():
 
     valid = np.ones(600, bool)
     valid[580:] = False
-    q_off, s_off, take, dropped = scan_block(
+    q_off, s_off, take, dropped, _nh = scan_block(
         jnp.asarray(genome), jnp.asarray(valid),
         jnp.asarray(lut.counts_offsets), jnp.asarray(
             lut.positions if len(lut.positions) else np.zeros(1, np.int32)

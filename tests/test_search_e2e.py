@@ -227,3 +227,46 @@ class TestXmlOutput:
             qseq = h.getElementsByTagName("Hsp_qseq")[0].firstChild.data
             hseq = h.getElementsByTagName("Hsp_hseq")[0].firstChild.data
             assert qseq == hseq  # exact matches
+
+
+class TestBlobPathParity:
+    """The TPU production seeding path (single-blob upload + fused
+    finisher, Pallas in interpret mode off-TPU) must produce exactly
+    the hits of the standard path (GBLASTN_TPU_FORCE_BLOB=1 covers the
+    code the bench runs on real hardware)."""
+
+    def test_blob_equals_default(self, genome, db, monkeypatch):
+        rng = np.random.default_rng(99)
+        recs = []
+        for k in range(6):
+            st = int(rng.integers(0, len(genome) - 800))
+            frag = list(genome[st: st + 700])
+            for p in np.flatnonzero(rng.random(700) < 0.03):
+                frag[p] = "ACGT"[("ACGT".index(frag[p]) + 1
+                                  + int(rng.integers(0, 3))) % 4]
+            seq = "".join(frag)
+            if k % 3 == 2:
+                seq = revcomp(seq)
+            recs.append(FastaRecord(f"b{k}", "", seq))
+        options = megablast_options(evalue=1e-3)
+
+        def rows(res):
+            return sorted(
+                (q.query_index, lst.oid, h.q_off, h.q_end, h.s_off,
+                 h.s_end, h.score, h.num_ident,
+                 tuple(h.edit_script or ()))
+                for q in res.queries for lst in q.hsplists
+                for h in lst.hsps
+            )
+
+        # fresh DB objects: the device caches key off the db instance
+        db2 = SequenceDB.from_records(
+            [FastaRecord("chr1", "", genome)], title="blobdb"
+        )
+        a = rows(search(recs, db2, options))
+        monkeypatch.setenv("GBLASTN_TPU_FORCE_BLOB", "1")
+        db3 = SequenceDB.from_records(
+            [FastaRecord("chr1", "", genome)], title="blobdb"
+        )
+        b = rows(search(recs, db3, options))
+        assert a == b and len(a) >= 6

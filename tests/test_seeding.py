@@ -73,7 +73,7 @@ class TestScan:
         valid = db.valid_mask()
 
         n_scan = (len(sub2) - lut.lut_word_size) // lut.scan_step + 1
-        qo, so, v, dropped = scan_block(
+        qo, so, v, dropped, _nh = scan_block(
             jnp.asarray(sub2.astype(np.int8)), jnp.asarray(valid),
             jnp.asarray(lut.counts_offsets), jnp.asarray(lut.positions),
             scan_step=lut.scan_step, lut_word=lut.lut_word_size,
@@ -588,7 +588,8 @@ class TestPackSeeds:
             jnp.asarray(np.int32(7)), jnp.asarray(np.int32(12345)),
         ))
         (uqs, uss, fill, ctx, ug_q, ug_s, ug_len, ug_score, trunc,
-         n_ov, n_raw) = _unpack_seeds(flat, ctx_off, ctx_cap)
+         n_ov, n_raw, counts) = _unpack_seeds(flat, ctx_off, ctx_cap)
+        assert counts == (0, 0, 0)
         np.testing.assert_array_equal(uqs, qs)
         np.testing.assert_array_equal(uss, ss)
         np.testing.assert_array_equal(fill, ok)
