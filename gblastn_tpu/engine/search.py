@@ -258,6 +258,26 @@ def prelim_search(
     ``interrupt_fn`` (optional, () -> bool) is polled at stage
     boundaries; returning True raises SearchInterrupted (the
     TInterruptFnPtr contract, utils.interrupt)."""
+    gen = prelim_search_steps(records, db, options, interrupt_fn)
+    try:
+        while True:
+            next(gen)
+    except StopIteration as e:
+        return e.value
+
+
+def prelim_search_steps(
+    records: list[FastaRecord],
+    db: SequenceDB,
+    options: SearchOptions,
+    interrupt_fn=None,
+):
+    """Generator form of prelim_search: yields exactly ONCE, right
+    after the device seeding chain is DISPATCHED (resident TPU path) --
+    nothing has been fetched yet, so a pipelining caller can run host
+    work for the previous batch while the device executes
+    (engine.pipeline). Other device paths yield before their compute.
+    The PrelimResult arrives as StopIteration.value."""
     from gblastn_tpu.utils.cache import enable_compilation_cache
     from gblastn_tpu.utils.interrupt import check
 
@@ -564,6 +584,7 @@ def prelim_search(
             qbuf_padded,
         )
         m16_shard = device_matrix16(options.reward, options.penalty)
+        yield
         with slog.time("device.seeding"):
             if lut2 is not None:
                 from gblastn_tpu.engine.seeding import (
@@ -613,6 +634,7 @@ def prelim_search(
             halo=int(os.environ.get("GBLASTN_TPU_BLOCK_HALO", "4096")),
             mask_intervals=db_mask_ivs,
         )
+        yield
         with slog.time("device.seeding"):
             if lut2 is not None:
                 from gblastn_tpu.engine.seeding import (
@@ -790,14 +812,24 @@ def prelim_search(
                 )
 
                 dev2 = _second_template_dev(dev, lut2)
+                yield
                 init = run_seeding_two_templates(
                     dev, dev2, lut.disc_offsets, lut2.disc_offsets,
                     **seed_kw,
                 )
             else:
-                init = run_seeding(
+                from gblastn_tpu.engine.seeding import run_seeding_steps
+
+                sgen = run_seeding_steps(
                     dev, disc_offsets=lut.disc_offsets, **seed_kw,
                 )
+                next(sgen)   # device chain dispatched
+                yield        # caller overlap point
+                try:
+                    while True:
+                        next(sgen)
+                except StopIteration as e:
+                    init = e.value
         # the device band-DP filter costs one ~fixed dispatch (~0.3s
         # over the tunnel); the native host walk extends ~1.4k
         # candidates in that time, so small candidate sets skip the

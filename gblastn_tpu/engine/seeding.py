@@ -717,8 +717,10 @@ def _seeding_tpu_blob(
     *, qcap, ctx_cap, pcap, table_size, packed_mini,
     scan_step, lut_word, word_size, cmax, n_scan,
     hit_cap, seed_cap, alive_cap, disc_offsets, interpret=False,
+    sync=True,
 ):
-    """Blob-fed TPU seeding: ONE upload + TWO dispatches + ONE fetch."""
+    """Blob-fed TPU seeding: ONE upload + TWO dispatches + ONE fetch.
+    ``sync=False`` skips the completion wait (async pipelining)."""
     out = _scan_blob_jit(
         blob_dev, subject2, subject_valid, subject_w,
         starts_dev, ends_dev, mask_starts, mask_ends,
@@ -737,8 +739,9 @@ def _seeding_tpu_blob(
         alive_cap=(alive_cap if query_nib is not None else 0),
         interpret=interpret,
     )
-    with slog.time("device.seeding.pack_sync"):
-        jax.block_until_ready(packed)
+    if sync:
+        with slog.time("device.seeding.pack_sync"):
+            jax.block_until_ready(packed)
     return packed
 
 
@@ -794,7 +797,17 @@ def _seeding_tpu_fused(
     return packed
 
 
-def run_seeding(
+def run_seeding(dev: SeedingDeviceData, **kw) -> InitHits:
+    """Full seeding pass; drives run_seeding_steps to completion."""
+    gen = run_seeding_steps(dev, **kw)
+    try:
+        while True:
+            next(gen)
+    except StopIteration as e:
+        return e.value
+
+
+def run_seeding_steps(
     dev: SeedingDeviceData,
     *,
     word_size: int,
@@ -906,10 +919,11 @@ def run_seeding(
                 dev.lut_n_pos, dev.host_qbuf,
             ))
 
+    first_dispatch = True
     while True:
         if use_blob:
             with slog.time("device.seeding.pipeline"):
-                flat = np.asarray(_seeding_tpu_blob(
+                packed = _seeding_tpu_blob(
                     blob_dev, dev.subject2, dev.subject_valid,
                     dev.subject_w, dev.pallas_subject, dev.table64,
                     dev.subject_starts_dev, dev.subject_ends_dev,
@@ -926,12 +940,24 @@ def run_seeding(
                     ),
                     disc_offsets=disc_offsets,
                     interpret=blob_interpret,
-                ))
-                (qs, ss, fill, ctx, ug_q, ug_s, ug_len, ug_score,
-                 trunc, n_overflow, n_raw, counts) = _unpack_seeds(
-                    flat, ctx_off_dev, ctx_cap
+                    sync=False,
                 )
+            if first_dispatch:
+                # suspension point: the device chain is dispatched but
+                # not fetched -- a pipelining caller overlaps host work
+                # of the previous batch here (engine.pipeline)
+                first_dispatch = False
+                yield
+            with slog.time("device.seeding.pack_sync"):
+                flat = np.asarray(packed)
+            (qs, ss, fill, ctx, ug_q, ug_s, ug_len, ug_score,
+             trunc, n_overflow, n_raw, counts) = _unpack_seeds(
+                flat, ctx_off_dev, ctx_cap
+            )
         elif pallas_primary:
+            if first_dispatch:
+                first_dispatch = False
+                yield
             with slog.time("device.seeding.pipeline"):
                 flat = np.asarray(_seeding_tpu_fused(
                     dev.subject2, dev.subject_valid,
@@ -960,6 +986,9 @@ def run_seeding(
                     flat, ctx_off_dev, ctx_cap
                 )
         else:
+            if first_dispatch:
+                first_dispatch = False
+                yield
             with slog.time("device.seeding.pipeline"):
                 out = seeding_pipeline(
                     dev.subject2, dev.subject_valid,
