@@ -462,8 +462,9 @@ def two_hit_scan_range_filter(
 
 @jax.jit
 def _pack_seeds(qs, ss, ok, f_q, f_len, f_score, f_tr,
-                n_overflow, n_raw, counts=(0, 0, 0)):
-    """One flat int32[4 * cap + 5] device->host transfer.
+                n_overflow, n_raw, counts=(0, 0, 0, 0), rr=None):
+    """One flat int32[4 * cap + 7] device->host transfer (5 rows when
+    the two-hit right-run row rides along).
 
     Naive row-stacking of every per-seed array is 44 B/lane; over the
     tunnel's ~80 MB/s downlink that fetch dominates dense-seed (blastn
@@ -481,26 +482,30 @@ def _pack_seeds(qs, ss, ok, f_q, f_len, f_score, f_tr,
         | (l_ext << 4)
         | (jnp.clip(f_len, 0, (1 << 13) - 1) << 16)
     )
-    return jnp.concatenate([
-        qs, ss, f_score, d,
+    rows = [qs, ss, f_score, d]
+    if rr is not None:
+        rows.append(rr)
+    return jnp.concatenate(rows + [
         jnp.stack([n_overflow.astype(jnp.int32),
                    n_raw.astype(jnp.int32),
                    counts[0].astype(jnp.int32),   # n_hit
                    counts[1].astype(jnp.int32),   # n_srv
-                   counts[2].astype(jnp.int32)]), # n_alive
+                   counts[2].astype(jnp.int32),   # n_alive
+                   counts[3].astype(jnp.int32),   # n_adm (two-hit)
+                   jnp.zeros((), jnp.int32)]),    # reserved
     ])
 
 
-def _unpack_seeds(flat, ctx_off_dev, ctx_cap):
+def _unpack_seeds(flat, ctx_off_dev, ctx_cap, rows=4):
     """Host side of ``_pack_seeds``: rebuild the per-seed arrays.
 
-    ``ctx`` is recomputed with the same padded-offsets searchsorted the
-    device program applies (ops.seeding.seeding_scan_mini), so the
-    result is bit-identical to fetching it."""
-    # tail is [n_overflow, n_raw] (legacy, len%4 == 2) or those plus
-    # [n_hit, n_srv, n_alive] (len%4 == 1)
-    tail = 2 if len(flat) % 4 == 2 else 5
-    cap = (len(flat) - tail) // 4
+    ``rows`` must match the device pack (5 when the two-hit right-run
+    row rides along). ``ctx`` is recomputed with the same
+    padded-offsets searchsorted the device program applies
+    (ops.seeding.seeding_scan_mini), so the result is bit-identical to
+    fetching it."""
+    tail = 7
+    cap = (len(flat) - tail) // rows
     qs = flat[:cap]
     ss = flat[cap: 2 * cap]
     ug_score = flat[2 * cap: 3 * cap]
@@ -517,9 +522,11 @@ def _unpack_seeds(flat, ctx_off_dev, ctx_cap):
         np.searchsorted(ctx_off_dev, qs, side="right") - 1,
         0, ctx_cap - 1,
     ).astype(np.int32)
-    counts = tuple(int(c) for c in flat[4 * cap + 2:])
+    rr = flat[4 * cap: 5 * cap] if rows == 5 else None
+    base = rows * cap
+    counts = tuple(int(c) for c in flat[base + 2: base + 6])
     return (qs, ss, fill, ctx, ug_q, ug_s, ug_len, ug_score, trunc,
-            flat[4 * cap], flat[4 * cap + 1], counts)
+            flat[base], flat[base + 1], counts, rr)
 
 
 def _pallas_alive_only(
@@ -562,12 +569,18 @@ def _pallas_alive_only(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("word_size", "alive_cap", "interpret")
+    jax.jit,
+    static_argnames=(
+        "word_size", "alive_cap", "interpret", "window", "diag_mask",
+        "adm_cap",
+    ),
 )
 def _finish_seeds_jit(
     query, subject_p, table64, query_nib, subject_w,
+    starts_dev, ends_dev,
     qs, ss, ok, xd, maxl, maxr, n_overflow, n_raw, n_hit, n_srv,
     *, word_size, alive_cap, interpret=False,
+    window=0, diag_mask=0, adm_cap=0,
 ):
     """Everything after the scan program as ONE jitted dispatch:
     query window-prep, phase-0 clamped X-drop, alive compaction, the
@@ -577,15 +590,66 @@ def _finish_seeds_jit(
     the axon tunnel each one pays ~27 ms, dominating the whole batch
     (round-2 VERDICT weak item 1). The scan program stays its own
     dispatch -- fusing the window kernel with the scan makes XLA
-    schedule the kernel ~3x slower (see _seeding_tpu_fused)."""
+    schedule the kernel ~3x slower (see _seeding_tpu_fused).
+
+    With ``window > 0`` (two-hit searches, adm_cap > 0): the device
+    computes each seed's right run and the two-hit admission SUPERSET
+    (ops.seeding.two_hit_admission) and extends ONLY admitted seeds --
+    the reference extends only paired hits (na_ungapped.c:612), and on
+    dense-seed blastn batches this cuts the extension work ~25x. The
+    right-run row rides the packed fetch for the host replay."""
     from gblastn_tpu.ops.pallas_ungapped import (
         prepare_query,
         ungapped_extend_pallas_prepared,
     )
+    from gblastn_tpu.ops.seeding import (
+        right_run_packed,
+        two_hit_admission,
+    )
 
     query_p = prepare_query(query)
     n_alive = jnp.zeros((), jnp.int32)
-    if alive_cap and query_nib is not None:
+    n_adm = jnp.zeros((), jnp.int32)
+    rr = None
+    if window > 0 and adm_cap and query_nib is not None:
+        n = qs.shape[0]
+        oid = jnp.clip(
+            jnp.searchsorted(starts_dev, ss, side="right") - 1,
+            0, starts_dev.shape[0] - 1,
+        ).astype(jnp.int32)
+        sub_hi = ends_dev[oid].astype(jnp.int32)
+        rr = right_run_packed(
+            query_nib, subject_w, qs, ss, ok, sub_hi,
+            word_size=word_size,
+        )
+        admit = two_hit_admission(
+            qs, ss, ok, rr, oid,
+            word_size=word_size, window=window, diag_mask=diag_mask,
+        )
+        n_adm = admit.sum()
+        aidx, afill, _na = compact_indices(admit, adm_cap, 0)
+        (c_q, _c_s, c_len, c_score, c_tr, n_alive) = _pallas_alive_only(
+            query_p, subject_p, table64, query_nib, subject_w,
+            qs[aidx], ss[aidx], afill, xd[aidx], maxl[aidx], maxr[aidx],
+            word_size=word_size, alive_cap=alive_cap,
+            interpret=interpret,
+        )
+        widx = jnp.where(afill, aidx, n)     # OOB pads: dropped
+        f_q = qs.at[widx].set(c_q, mode="drop")      # zeros elsewhere?
+        f_q = jnp.where(admit, f_q, qs)
+        f_len = jnp.zeros(n, jnp.int32).at[widx].set(c_len, mode="drop")
+        f_score = jnp.zeros(n, jnp.int32).at[widx].set(
+            c_score, mode="drop"
+        )
+        f_tr = jnp.zeros(n, jnp.int32).at[widx].set(
+            c_tr.astype(jnp.int32), mode="drop"
+        )
+        n_overflow = (
+            n_overflow
+            + jnp.maximum(n_adm - adm_cap, 0)
+            + jnp.maximum(n_alive - alive_cap, 0)
+        )
+    elif alive_cap and query_nib is not None:
         (f_q, _f_s, f_len, f_score, f_tr, n_alive) = _pallas_alive_only(
             query_p, subject_p, table64, query_nib, subject_w,
             qs, ss, ok, xd, maxl, maxr,
@@ -599,7 +663,8 @@ def _finish_seeds_jit(
             qs, ss, ok, xd, maxl, maxr, interpret=interpret,
         )
     return _pack_seeds(qs, ss, ok, f_q, f_len, f_score, f_tr,
-                       n_overflow, n_raw, (n_hit, n_srv, n_alive))
+                       n_overflow, n_raw, (n_hit, n_srv, n_alive, n_adm),
+                       rr=rr)
 
 
 def _build_batch_blob(ctx_off, xdrop, pos, n_pos, qbuf) -> np.ndarray:
@@ -717,7 +782,7 @@ def _seeding_tpu_blob(
     *, qcap, ctx_cap, pcap, table_size, packed_mini,
     scan_step, lut_word, word_size, cmax, n_scan,
     hit_cap, seed_cap, alive_cap, disc_offsets, interpret=False,
-    sync=True,
+    sync=True, window=0, diag_mask=0, adm_cap=0,
 ):
     """Blob-fed TPU seeding: ONE upload + TWO dispatches + ONE fetch.
     ``sync=False`` skips the completion wait (async pipelining)."""
@@ -734,10 +799,12 @@ def _seeding_tpu_blob(
      n_hit, n_srv, query, query_nib) = out
     packed = _finish_seeds_jit(
         query, subject_p, table64, query_nib, subject_w,
+        starts_dev, ends_dev,
         qs, ss, ok, xd, maxl, maxr, n_overflow, n_raw, n_hit, n_srv,
         word_size=word_size,
         alive_cap=(alive_cap if query_nib is not None else 0),
         interpret=interpret,
+        window=window, diag_mask=diag_mask, adm_cap=adm_cap,
     )
     if sync:
         with slog.time("device.seeding.pack_sync"):
@@ -785,6 +852,7 @@ def _seeding_tpu_fused(
     assert 2 * WINDOW < (1 << 13)   # _pack_seeds bitfield bounds
     packed = _finish_seeds_jit(
         query, subject_p, table64, query_nib, subject_w,
+        jnp.asarray(subject_starts), jnp.asarray(subject_ends),
         qs, ss, ok, xd, maxl, maxr, n_overflow, n_raw, n_hit, n_srv,
         word_size=word_size,
         alive_cap=(alive_cap if query_nib is not None else 0),
@@ -919,6 +987,19 @@ def run_seeding_steps(
                 dev.lut_n_pos, dev.host_qbuf,
             ))
 
+    # device two-hit admission (window_size > 0, default scan_range 0):
+    # the finisher extends only the admission superset and ships the
+    # right-run row for the host replay. The off-diagonal variant
+    # (scan_range > 0) interacts across diagonals, so it extends all.
+    concat_qlen = int(context_offsets[len(word_cutoffs)]) - 2
+    dev_two_hit = (
+        use_blob and window_size > 0 and scan_range == 0
+        and not disc_offsets and lut_word < word_size
+    )
+    dmask = diag_table_mask(concat_qlen, window_size)
+    cached_adm = _CAP_CACHE.get((cap_key, "adm"))
+    adm_cap = max(cached_adm or 0, 16384) if dev_two_hit else 0
+
     first_dispatch = True
     while True:
         if use_blob:
@@ -941,6 +1022,9 @@ def run_seeding_steps(
                     disc_offsets=disc_offsets,
                     interpret=blob_interpret,
                     sync=False,
+                    window=(window_size if dev_two_hit else 0),
+                    diag_mask=(dmask if dev_two_hit else 0),
+                    adm_cap=adm_cap,
                 )
             if first_dispatch:
                 # suspension point: the device chain is dispatched but
@@ -951,8 +1035,9 @@ def run_seeding_steps(
             with slog.time("device.seeding.pack_sync"):
                 flat = np.asarray(packed)
             (qs, ss, fill, ctx, ug_q, ug_s, ug_len, ug_score,
-             trunc, n_overflow, n_raw, counts) = _unpack_seeds(
-                flat, ctx_off_dev, ctx_cap
+             trunc, n_overflow, n_raw, counts, dev_rr) = _unpack_seeds(
+                flat, ctx_off_dev, ctx_cap,
+                rows=(5 if dev_two_hit else 4),
             )
         elif pallas_primary:
             if first_dispatch:
@@ -982,7 +1067,7 @@ def run_seeding_steps(
                     disc_offsets=disc_offsets,
                 ))
                 (qs, ss, fill, ctx, ug_q, ug_s, ug_len, ug_score,
-                 trunc, n_overflow, n_raw, counts) = _unpack_seeds(
+                 trunc, n_overflow, n_raw, counts, dev_rr) = _unpack_seeds(
                     flat, ctx_off_dev, ctx_cap
                 )
         else:
@@ -1005,6 +1090,7 @@ def run_seeding_steps(
                 (qs, ss, fill, ctx, ug_q, ug_s, ug_len, ug_score, trunc,
                  n_overflow, n_raw) = (np.asarray(o) for o in out)
                 counts = ()
+                dev_rr = None
         if int(n_overflow) == 0:
             break
         # right-size each capacity from the measured stage counts
@@ -1012,8 +1098,8 @@ def run_seeding_steps(
         # used to quadruple the scan program's lane count); counts are
         # the TRUE totals, so one retry usually clears
         grew = False
-        if len(counts) == 3:
-            nh, ns_, na = counts
+        if len(counts) == 4:
+            nh, ns_, na, nadm = counts
             if nh > hit_cap:
                 hit_cap = _round_up_pow2(nh + nh // 8, hit_cap)
                 grew = True
@@ -1026,6 +1112,9 @@ def run_seeding_steps(
             if na > alive_cap:
                 alive_cap = _round_up_pow2(na + na // 8, alive_cap)
                 grew = True
+            if adm_cap and nadm > adm_cap:
+                adm_cap = _round_up_pow2(nadm + nadm // 8, adm_cap)
+                grew = True
         if not grew:
             # cmax drops / legacy path: fall back to doubling
             hit_cap *= 2
@@ -1034,6 +1123,8 @@ def run_seeding_steps(
         if hit_cap > max(n_scan * 4, 1 << 23):
             raise RuntimeError("seeding capacity overflow did not clear")
     _CAP_CACHE[cap_key] = (hit_cap, seed_cap, alive_cap)
+    if adm_cap:
+        _CAP_CACHE[(cap_key, "adm")] = adm_cap
     slog.diagnostics.lookup_hits += int(n_raw)
 
     # phase 2: re-run clamp-truncated extensions unclamped on a host-
@@ -1099,6 +1190,9 @@ def run_seeding_steps(
             # "single word, extended = 0" without any probe
             # (na_ungapped.c:512), so the double-word test never fires
             right_run = np.zeros(len(sel), np.int32)
+        elif dev_rr is not None:
+            # device-computed runs rode the packed fetch
+            right_run = np.asarray(dev_rr)[sel].astype(np.int32)
         else:
             if dev.host_query is None or dev.host_subject2 is None:
                 raise ValueError(

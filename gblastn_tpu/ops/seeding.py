@@ -561,6 +561,119 @@ def mini_extend_packed(
     return q_adj.astype(jnp.int32), s_adj.astype(jnp.int32), ok
 
 
+@functools.partial(jax.jit, static_argnames=("word_size",))
+def right_run_packed(
+    query_nib: jnp.ndarray,       # uint32[Q/8] (pack_query_nibbles)
+    subject_w: jnp.ndarray,       # uint32[S/16] (pack_subject_words)
+    q_off: jnp.ndarray,
+    s_off: jnp.ndarray,
+    valid: jnp.ndarray,
+    sub_hi: jnp.ndarray,          # int32[n] owning subject end
+    *,
+    word_size: int,
+):
+    """Exact-match run length to the right of each seed's word end,
+    capped at word_size -- the double-word probe of s_TypeOfWord
+    (na_ungapped.c:559-586), the packed-word twin of the host
+    compute_right_runs (engine.seeding): query nibbles are 4na masks,
+    so ``mask == 1 << code`` is exactly 'unambiguous AND equal', and
+    query sentinels (mask 0) stop the run at context bounds."""
+    W = word_size
+    n = q_off.shape[0]
+    Q8 = query_nib.shape[0]
+    S16 = subject_w.shape[0]
+    d = jnp.arange(W, dtype=jnp.int32)
+
+    qbase = q_off + W
+    jq = qbase >> 3
+    phase_q = (qbase & 7).astype(jnp.int32)
+    nq = (7 + W + 7) // 8 + 1
+    qws = [query_nib[jnp.clip(jq + k, 0, Q8 - 1)] for k in range(nq)]
+    qpos = phase_q[:, None] + d[None, :]
+    qk = qpos >> 3
+    qsh = ((7 - (qpos & 7)) << 2).astype(jnp.uint32)
+    qcodes = jnp.zeros((n, W), jnp.uint32)
+    for k in range(nq):
+        qcodes = qcodes | jnp.where(
+            qk == k, (qws[k][:, None] >> qsh) & 15, 0
+        )
+
+    sbase = s_off + W
+    js = sbase >> 4
+    phase_s = (sbase & 15).astype(jnp.int32)
+    ns = (15 + W + 15) // 16 + 1
+    sws = [subject_w[jnp.clip(js + k, 0, S16 - 1)] for k in range(ns)]
+    spos = phase_s[:, None] + d[None, :]
+    sk = spos >> 4
+    ssh = ((15 - (spos & 15)) << 1).astype(jnp.uint32)
+    scodes = jnp.zeros((n, W), jnp.uint32)
+    for k in range(ns):
+        scodes = scodes | jnp.where(
+            sk == k, (sws[k][:, None] >> ssh) & 3, 0
+        )
+
+    qi = q_off[:, None] + W + d[None, :]
+    si = s_off[:, None] + W + d[None, :]
+    inb = (
+        (qi < Q8 * 8)
+        & (si < jnp.minimum(sub_hi, S16 * 16)[:, None])
+    )
+    match = inb & (
+        qcodes == jnp.left_shift(jnp.uint32(1), scodes)
+    )
+    run = jnp.cumprod(match.astype(jnp.int32), axis=1).sum(axis=1)
+    return jnp.where(valid, run, 0).astype(jnp.int32)
+
+
+def two_hit_admission(
+    qs: jnp.ndarray,
+    ss: jnp.ndarray,
+    ok: jnp.ndarray,
+    right_run: jnp.ndarray,
+    oid: jnp.ndarray,
+    *,
+    word_size: int,
+    window: int,
+    diag_mask: int,
+):
+    """Provable SUPERSET of the seeds the two-hit replay will extend
+    (s_BlastnDiagTableExtendInitialHit, na_ungapped.c:612-755, default
+    scan_range 0), so the ungapped extension only runs on admitted
+    lanes and the host replay stays bit-exact.
+
+    Proof sketch: the replay extends a hit only as (a) the second hit
+    of a pair -- admission test ``s + W <= last_hit + window`` where the
+    machine's last_hit is always some EARLIER raw hit's end, at most
+    ``s' + 2W`` (first-hit ends include the capped right run; failed
+    second hits store ``s' + W``; saved extensions set flag=1, whose
+    next hit takes the first-hit branch, never the pair test) -- so the
+    pair test implies ``s - s_prev <= window + W`` against the NEAREST
+    previous raw hit on the same (oid, masked-diag); or (b) a double
+    word, ``right_run >= W``. Diagonal aliasing partitions identically
+    in global and subject-local coordinates within an oid (the class
+    shift is constant per subject), so global coords are safe here.
+    """
+    n = qs.shape[0]
+    big = _I32_BIG
+    diag = ss - qs
+    if diag_mask:
+        diag = diag & jnp.int32(diag_mask)
+    o_key = jnp.where(ok, oid, big)
+    d_key = jnp.where(ok, diag, big)
+    s_key = jnp.where(ok, ss, big)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    o_s, d_s, s_s, i_s = jax.lax.sort(
+        (o_key, d_key, s_key, idx), num_keys=3
+    )
+    prev_same = (o_s[1:] == o_s[:-1]) & (d_s[1:] == d_s[:-1])
+    near = (s_s[1:] - s_s[:-1]) <= (window + word_size)
+    adm_sorted = jnp.concatenate(
+        [jnp.zeros(1, bool), prev_same & near]
+    )
+    admit = jnp.zeros(n, bool).at[i_s].set(adm_sorted)
+    return ok & (admit | (right_run >= word_size))
+
+
 @functools.partial(
     jax.jit, static_argnames=("word_size", "clamp", "chunk_rows")
 )

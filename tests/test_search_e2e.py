@@ -270,3 +270,44 @@ class TestBlobPathParity:
         )
         b = rows(search(recs, db3, options))
         assert a == b and len(a) >= 6
+
+    def test_blob_two_hit_equals_default(self, genome, db, monkeypatch):
+        """blastn word-11 two-hit: the device admission superset +
+        right-run row (engine.seeding._finish_seeds_jit window>0) must
+        reproduce the default path's hits exactly."""
+        from gblastn_tpu.params.options import blastn_options
+
+        rng = np.random.default_rng(4242)
+        recs = []
+        for k in range(6):
+            st = int(rng.integers(0, len(genome) - 900))
+            frag = list(genome[st: st + 800])
+            for p in np.flatnonzero(rng.random(800) < 0.08):
+                frag[p] = "ACGT"[("ACGT".index(frag[p]) + 1
+                                  + int(rng.integers(0, 3))) % 4]
+            seq = "".join(frag)
+            if k % 2:
+                seq = revcomp(seq)
+            recs.append(FastaRecord(f"t{k}", "", seq))
+        options = blastn_options(evalue=1e-2, window_size=40)
+
+        def rows(res):
+            return sorted(
+                (q.query_index, lst.oid, h.q_off, h.q_end, h.s_off,
+                 h.s_end, h.score, h.num_ident,
+                 tuple(h.edit_script or ()))
+                for q in res.queries for lst in q.hsplists
+                for h in lst.hsps
+            )
+
+        db2 = SequenceDB.from_records(
+            [FastaRecord("chr1", "", genome)], title="blobdb"
+        )
+        from gblastn_tpu.engine.search import search as s2
+        a = rows(s2(recs, db2, options))
+        monkeypatch.setenv("GBLASTN_TPU_FORCE_BLOB", "1")
+        db3 = SequenceDB.from_records(
+            [FastaRecord("chr1", "", genome)], title="blobdb"
+        )
+        b = rows(s2(recs, db3, options))
+        assert a == b and len(a) >= 4

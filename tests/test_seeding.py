@@ -588,8 +588,8 @@ class TestPackSeeds:
             jnp.asarray(np.int32(7)), jnp.asarray(np.int32(12345)),
         ))
         (uqs, uss, fill, ctx, ug_q, ug_s, ug_len, ug_score, trunc,
-         n_ov, n_raw, counts) = _unpack_seeds(flat, ctx_off, ctx_cap)
-        assert counts == (0, 0, 0)
+         n_ov, n_raw, counts, rr) = _unpack_seeds(flat, ctx_off, ctx_cap)
+        assert counts == (0, 0, 0, 0) and rr is None
         np.testing.assert_array_equal(uqs, qs)
         np.testing.assert_array_equal(uss, ss)
         np.testing.assert_array_equal(fill, ok)
