@@ -674,6 +674,288 @@ def two_hit_admission(
     return ok & (admit | (right_run >= word_size))
 
 
+def _clamped_reset_walk(scores, max_steps, x, clamp_steps):
+    """(best, best_pos, exact) of the reset-at-best X-drop walk over
+    ``scores`` [rows, C] (step j = column j-1): walk accumulates, every
+    strict improvement commits (best, position), stop when the running
+    sum drops more than ``x`` below the best. Exactly _xdrop_direction
+    semantics within the clamp; ``exact`` marks rows whose walk
+    resolved inside it (full range fit, or a genuine drop fired
+    strictly inside the true range)."""
+    C = scores.shape[1]
+    d = jnp.arange(C, dtype=jnp.int32)
+    # beyond the true bound the walk cannot go: NEG_BIG stops it
+    # with best/best_pos unchanged (equivalent to the bound stop)
+    s = jnp.where(d[None, :] < max_steps[:, None], scores, NEG_BIG)
+    cs = jnp.cumsum(s, axis=1)
+    run = jax.lax.cummax(cs, axis=1)
+    prev = jnp.maximum(
+        jnp.concatenate(
+            [jnp.zeros((cs.shape[0], 1), cs.dtype), run[:, :-1]],
+            axis=1,
+        ),
+        0,
+    )
+    dropped = (cs - prev) < -x[:, None]
+    any_drop = dropped.any(axis=1)
+    first = jnp.argmax(dropped, axis=1)          # column index
+    stop = jnp.where(any_drop, first, C - 1)     # last live column
+    live = d[None, :] <= stop[:, None]
+    cs_live = jnp.where(live, cs, NEG_BIG)
+    best = cs_live.max(axis=1)
+    pos = jnp.argmax(cs_live == best[:, None], axis=1) + 1
+    best = jnp.maximum(best, 0)
+    pos = jnp.where(best > 0, pos, 0)
+    genuine = dropped & (d[None, :] < max_steps[:, None])
+    exact = (max_steps <= clamp_steps) | genuine.any(axis=1)
+    return best, pos, exact
+
+
+def approx_gate_device(
+    qbytes: jnp.ndarray,          # int32[qcap-3] truncated query bytes
+    subject_w: jnp.ndarray,       # uint32[S/16] (pack_subject_words)
+    table256: jnp.ndarray,        # int32[256] packed score table
+    q_off: jnp.ndarray,           # int32[n] buffer coords
+    s_off: jnp.ndarray,           # int32[n] global coords
+    need: jnp.ndarray,            # bool[n]
+    x_drop: jnp.ndarray,          # int32[n]
+    reduced: jnp.ndarray,         # int32[n] per-seed reduced cutoff
+    sub_start: jnp.ndarray,       # int32[n] owning subject start
+    sub_end: jnp.ndarray,         # int32[n]
+    concat_end,                   # traced scalar (buffer index past end)
+    *,
+    clamp_bytes: int = 48,
+):
+    """The reference's approximate ungapped pass ON DEVICE, clamped
+    (s_NuclUngappedExtend, na_ungapped.c:263; host twin
+    engine.approx.approx_ungapped_one): score four bases at a time off
+    the packed subject via the 256-entry XOR table, reset-at-positive.
+
+    A seed resolves when (a) both directions genuinely stopped inside
+    the clamp -- the returned approx data is then bit-exact -- or
+    (b) the clamped score already reaches the reduced cutoff, which is
+    monotone in further steps, so the verdict 'not demoted' is final.
+    Unresolved seeds count in n_unresolved; the caller falls back.
+
+    Returns (demote, a_q, a_s, a_end, a_score, resolved) -- a_q/a_s the
+    substituted extension start (buffer/global), a_end the substituted
+    ungapped END (global; max of the word+run end is applied by the
+    caller which knows rr), a_score the approx score."""
+    n = q_off.shape[0]
+    CL = clamp_bytes
+    q_ref = q_off - 1
+    s_loc = s_off - sub_start
+    adj = (4 - (s_loc & 3)) & 3
+    q_ext = q_ref + adj
+    s_ext = s_loc + adj
+    sub_byte0 = sub_start >> 2
+    qb = q_ext + 1
+    n_left = jnp.where(need, jnp.minimum(q_ext, s_ext) >> 2, 0)
+    qlen_ref = concat_end - 1
+    slen = sub_end - sub_start
+    n_right = jnp.where(
+        need,
+        jnp.minimum(qlen_ref - q_ext, slen - s_ext) >> 2, 0,
+    )
+    sb = sub_byte0 + (s_ext >> 2)
+
+    QB = qbytes.shape[0]
+    SB = subject_w.shape[0] * 4
+
+    def sbyte_at(b):
+        b_c = jnp.clip(b, 0, SB - 1)
+        w = subject_w[b_c >> 2]
+        return ((w >> (((3 - (b_c & 3)) << 3)).astype(jnp.uint32))
+                & 255).astype(jnp.int32)
+
+    j = jnp.arange(1, CL + 1, dtype=jnp.int32)
+    # left: step j reads subject byte sb - j, query byte qb - 4j
+    t_l = table256[
+        (qbytes[jnp.clip(qb[:, None] - 4 * j[None, :], 0, QB - 1)]
+         ^ sbyte_at(sb[:, None] - j[None, :]))
+    ]
+    l_best, l_pos, l_exact = _clamped_reset_walk(
+        t_l, n_left, x_drop, CL
+    )
+    # right: step j reads subject byte sb + j - 1, query byte
+    # qb + 4(j-1)
+    t_r = table256[
+        (qbytes[jnp.clip(qb[:, None] + 4 * (j[None, :] - 1), 0, QB - 1)]
+         ^ sbyte_at(sb[:, None] + j[None, :] - 1))
+    ]
+    r_best, r_pos, r_exact = _clamped_reset_walk(
+        t_r, n_right, x_drop, CL
+    )
+
+    total = l_best + r_best
+    not_demoted_early = total >= reduced
+    resolved_exact = l_exact & r_exact
+    resolved = (~need) | resolved_exact | not_demoted_early
+    demote = need & resolved_exact & (total < reduced)
+
+    q_start = q_ext - 4 * l_pos
+    a_q = q_start + 1
+    a_s = s_ext - 4 * l_pos + sub_start
+    new_q_r = jnp.where(r_pos > 0, q_ext + 4 * r_pos - 1, q_ext)
+    a_r = new_q_r + 1
+    a_end = a_s + (a_r - a_q + 1)
+    return demote, a_q, a_s, a_end, total, resolved
+
+
+def two_hit_replay_device(
+    qs: jnp.ndarray,
+    ss: jnp.ndarray,
+    ok: jnp.ndarray,
+    right_run: jnp.ndarray,
+    oid: jnp.ndarray,
+    ug_end: jnp.ndarray,          # int32[n] ungapped extension end (global)
+    ug_score: jnp.ndarray,
+    cutoff: jnp.ndarray,          # int32[n] per-seed word cutoff
+    *,
+    word_size: int,
+    window: int,
+    diag_mask: int,
+    short_waves: int = 8,
+    n_long_cap: int = 8192,
+    long_len_cap: int = 1024,
+):
+    """The two-hit per-diagonal replay ON DEVICE, bit-exact to the host
+    ``two_hit_diag_filter`` (s_BlastnDiagTableExtendInitialHit,
+    na_ungapped.c:612-755, scan_range 0).
+
+    The sequential per-(oid, masked-diag) state machine is independent
+    across diagonals, so seeds sort by (oid, diag, s, q) and the
+    machine advances in WAVES: wave k applies the transition to element
+    k of every segment in parallel. Short segments (the vast majority;
+    mean chain length ~1.5 on dense blastn batches) finish within
+    ``short_waves``; segments still alive are compacted to
+    ``n_long_cap`` rows and waved to ``long_len_cap``.
+
+    Returns (saved bool[n], n_overflow): n_overflow > 0 when a segment
+    exceeded long_len_cap or more than n_long_cap segments were long --
+    the caller must fall back (or retry bigger).
+    """
+    n = qs.shape[0]
+    big = _I32_BIG
+    diag = ss - qs
+    if diag_mask:
+        diag = diag & jnp.int32(diag_mask)
+    o_key = jnp.where(ok, oid, big)
+    d_key = jnp.where(ok, diag, big)
+    s_key = jnp.where(ok, ss, big)
+    q_key = jnp.where(ok, qs, big)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    o_s, d_s, s_s, q_s, i_s = jax.lax.sort(
+        (o_key, d_key, s_key, q_key, idx), num_keys=4
+    )
+    ok_s = o_s != big
+    rr_s = right_run[i_s]
+    end_s = ug_end[i_s]
+    sc_s = ug_score[i_s]
+    cut_s = cutoff[i_s]
+
+    head = ok_s & jnp.concatenate([
+        jnp.ones(1, bool),
+        (o_s[1:] != o_s[:-1]) | (d_s[1:] != d_s[:-1]),
+    ])
+    # position within segment: distance to the latest head at or before
+    head_pos = jax.lax.cummax(jnp.where(head, idx, -1), axis=0)
+    pos_in_seg = idx - head_pos
+
+    # per-SEGMENT rows: the head element indices, ascending (invalid
+    # rows clamp to n - 1 and stay inert via their ok mask)
+    head_idx, seg_fill, n_segs = compact_indices(head, n, n - 1)
+
+    W = jnp.int32(word_size)
+    win = jnp.int32(window)
+
+    def wave(state, k):
+        last_hit, flag, saved = state
+        e = head_idx + k
+        e_c = jnp.minimum(e, n - 1)
+        live = seg_fill & (e < n) & (pos_in_seg[e_c] == k) & ok_s[e_c]
+        s = s_s[e_c]
+        s_end_raw = s + W
+        skip = s < last_hit
+        first = flag | (s_end_raw > last_hit + win)
+        ext = rr_s[e_c]
+        hit_ready = jnp.where(first, ext >= W, True)
+        s_end = jnp.where(first, s_end_raw + ext, s_end_raw)
+        passed = hit_ready & (sc_s[e_c] >= cut_s[e_c])
+        s_end = jnp.where(passed, end_s[e_c], s_end)
+        upd = live & ~skip
+        new_last = jnp.where(upd, s_end, last_hit)
+        new_flag = jnp.where(upd, passed, flag)
+        saved = saved.at[jnp.where(upd & passed, e_c, n)].set(
+            True, mode="drop"
+        )
+        return (new_last, new_flag, saved), None
+
+    init = (
+        jnp.full(n, -window, jnp.int32),      # last_hit per segment row
+        jnp.zeros(n, bool),                   # flag
+        jnp.zeros(n, bool),                   # saved (element-indexed)
+    )
+    (last_hit, flag, saved), _ = jax.lax.scan(
+        wave, init, jnp.arange(short_waves, dtype=jnp.int32)
+    )
+
+    # long tier: segments whose element at pos == short_waves exists
+    long_seg = (
+        seg_fill
+        & (head_idx + short_waves < n)
+        & (pos_in_seg[jnp.minimum(head_idx + short_waves, n - 1)]
+           == short_waves)
+    )
+    n_long = long_seg.sum()
+    lidx, lfill, _nl = compact_indices(long_seg, n_long_cap, 0)
+    l_head = head_idx[lidx]
+    l_last = last_hit[lidx]
+    l_flag = flag[lidx]
+
+    def lwave(state, k):
+        last_hit_l, flag_l, saved = state
+        e = l_head + k
+        e_c = jnp.minimum(e, n - 1)
+        live = lfill & (e < n) & (pos_in_seg[e_c] == k) & ok_s[e_c]
+        s = s_s[e_c]
+        s_end_raw = s + W
+        skip = s < last_hit_l
+        first = flag_l | (s_end_raw > last_hit_l + win)
+        ext = rr_s[e_c]
+        hit_ready = jnp.where(first, ext >= W, True)
+        s_end = jnp.where(first, s_end_raw + ext, s_end_raw)
+        passed = hit_ready & (sc_s[e_c] >= cut_s[e_c])
+        s_end = jnp.where(passed, end_s[e_c], s_end)
+        upd = live & ~skip
+        new_last = jnp.where(upd, s_end, last_hit_l)
+        new_flag = jnp.where(upd, passed, flag_l)
+        saved = saved.at[jnp.where(upd & passed, e_c, n)].set(
+            True, mode="drop"
+        )
+        return (new_last, new_flag, saved), None
+
+    (l_last, l_flag, saved), _ = jax.lax.scan(
+        lwave, (l_last, l_flag, saved),
+        jnp.arange(short_waves, long_len_cap, dtype=jnp.int32),
+    )
+
+    # overflow: a long segment ran past long_len_cap, or too many longs
+    too_long = (
+        seg_fill
+        & (head_idx + long_len_cap < n)
+        & (pos_in_seg[jnp.minimum(head_idx + long_len_cap, n - 1)]
+           == long_len_cap)
+    ).sum()
+    n_overflow = (
+        jnp.maximum(n_long - n_long_cap, 0) + too_long
+    ).astype(jnp.int32)
+
+    # saved is indexed in SORTED element space; map back
+    saved_orig = jnp.zeros(n, bool).at[i_s].set(saved)
+    return saved_orig, n_overflow
+
+
 @functools.partial(
     jax.jit, static_argnames=("word_size", "clamp", "chunk_rows")
 )
@@ -747,39 +1029,7 @@ def ungapped_phase0_packed(
             )
         return codes
 
-    def direction(scores, max_steps, x, clamp_steps):
-        """(best, best_pos, exact) of the reset-at-best X-drop walk
-        over ``scores`` [rows, C] (step j = column j-1), exactly
-        _xdrop_direction semantics within the clamp."""
-        C = scores.shape[1]
-        d = jnp.arange(C, dtype=jnp.int32)
-        # beyond the true bound the walk cannot go: NEG_BIG stops it
-        # with best/best_pos unchanged (equivalent to the bound stop)
-        s = jnp.where(d[None, :] < max_steps[:, None], scores, NEG_BIG)
-        cs = jnp.cumsum(s, axis=1)
-        run = jax.lax.cummax(cs, axis=1)
-        prev = jnp.maximum(
-            jnp.concatenate(
-                [jnp.zeros((cs.shape[0], 1), cs.dtype), run[:, :-1]],
-                axis=1,
-            ),
-            0,
-        )
-        dropped = (cs - prev) < -x[:, None]
-        any_drop = dropped.any(axis=1)
-        first = jnp.argmax(dropped, axis=1)          # column index
-        stop = jnp.where(any_drop, first, C - 1)     # last live column
-        live = d[None, :] <= stop[:, None]
-        cs_live = jnp.where(live, cs, NEG_BIG)
-        best = cs_live.max(axis=1)
-        pos = jnp.argmax(cs_live == best[:, None], axis=1) + 1
-        best = jnp.maximum(best, 0)
-        pos = jnp.where(best > 0, pos, 0)
-        # exact: full walk fit the clamp, or a genuine drop fired
-        # strictly inside the true range
-        genuine = dropped & (d[None, :] < max_steps[:, None])
-        exact = (max_steps <= clamp_steps) | genuine.any(axis=1)
-        return best, pos, exact
+    direction = _clamped_reset_walk
 
     def score_codes(qmask, scode):
         deg = ((qmask & 1) + ((qmask >> 1) & 1)
