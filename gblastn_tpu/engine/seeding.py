@@ -529,6 +529,60 @@ def _unpack_seeds(flat, ctx_off_dev, ctx_cap, rows=4):
             flat[base], flat[base + 1], counts, rr)
 
 
+def _unpack_saved(flat, save_cap):
+    """Host side of the device-replay pack (_finish_seeds_jit with
+    save_cap > 0): rows [qs | ss | score | bitfield] over the saved
+    (compacted, lane-ascending) seeds plus the 9-slot counter tail
+    [n_overflow, n_raw, n_hit, n_srv, n_alive, n_adm, n_saved,
+    n_fallback, reserved]."""
+    qs = flat[:save_cap]
+    ss = flat[save_cap: 2 * save_cap]
+    score = flat[2 * save_cap: 3 * save_cap]
+    d = flat[3 * save_cap: 4 * save_cap]
+    tail = flat[4 * save_cap:]
+    return qs, ss, score, d, tail
+
+
+def _finish_saved_hits(
+    sq, sss, ssc, sd, n_saved, ctx_off_dev, n_ctx, subject_starts,
+) -> InitHits:
+    """InitHits straight from the device-replay pack: the gate, the
+    replay, and the cutoff test already ran on device, so only the
+    context/oid mapping and the final score ordering remain. Saved
+    lanes arrive lane-ascending (compact_indices), the same pre-order
+    the host replay path feeds sort_by_score_order, so the result is
+    bit-identical to _finish_init_hits on the full fetch."""
+    qs = np.asarray(sq[:n_saved], np.int32)
+    ss = np.asarray(sss[:n_saved], np.int32)
+    score = np.asarray(ssc[:n_saved], np.int32)
+    d = np.asarray(sd[:n_saved])
+    l_ext = ((d >> 4) & 0xFFF).astype(np.int32)
+    length = ((d >> 16) & 0x1FFF).astype(np.int32)
+    ug_q = qs - l_ext
+    ug_s = ss - l_ext
+    ctx = np.clip(
+        np.searchsorted(ctx_off_dev, qs, side="right") - 1,
+        0, n_ctx - 1,
+    ).astype(np.int32)
+    if len(subject_starts) == 1:
+        oid = np.zeros(n_saved, np.int32)
+    else:
+        oid = (
+            np.searchsorted(subject_starts, ss, side="right") - 1
+        ).astype(np.int32)
+    order = sort_by_score_order(score, ug_s, length, ug_q)
+    return InitHits(
+        q_off=qs[order],
+        s_off=ss[order],
+        q_start=ug_q[order],
+        s_start=ug_s[order],
+        length=length[order],
+        score=score[order],
+        context=ctx[order],
+        oid=oid[order],
+    )
+
+
 def _pallas_alive_only(
     query_p, subject_p, table64, query_nib, subject_w,
     qs, ss, ok, xd, maxl, maxr,
@@ -572,15 +626,17 @@ def _pallas_alive_only(
     jax.jit,
     static_argnames=(
         "word_size", "alive_cap", "interpret", "window", "diag_mask",
-        "adm_cap",
+        "adm_cap", "save_cap", "ctx_cap", "rr_zero",
     ),
 )
 def _finish_seeds_jit(
     query, subject_p, table64, query_nib, subject_w,
     starts_dev, ends_dev,
     qs, ss, ok, xd, maxl, maxr, n_overflow, n_raw, n_hit, n_srv,
+    ctx=None, blob=None,
     *, word_size, alive_cap, interpret=False,
-    window=0, diag_mask=0, adm_cap=0,
+    window=0, diag_mask=0, adm_cap=0, save_cap=0, ctx_cap=0,
+    rr_zero=False,
 ):
     """Everything after the scan program as ONE jitted dispatch:
     query window-prep, phase-0 clamped X-drop, alive compaction, the
@@ -597,14 +653,27 @@ def _finish_seeds_jit(
     (ops.seeding.two_hit_admission) and extends ONLY admitted seeds --
     the reference extends only paired hits (na_ungapped.c:612), and on
     dense-seed blastn batches this cuts the extension work ~25x. The
-    right-run row rides the packed fetch for the host replay."""
+    right-run row rides the packed fetch for the host replay.
+
+    With ``save_cap > 0`` additionally: the approx-ungapped demotion
+    gate and the two-hit per-diagonal replay themselves run ON DEVICE
+    (ops.seeding.approx_gate_device / two_hit_replay_device, both
+    fuzz-pinned bit-exact to the host twins) and only the SAVED seeds
+    ship to the host -- a [save_cap]-lane pack instead of the full
+    [seed_cap] 5-row fetch that dominates dense-seed batches over the
+    tunnel. Seeds the clamped gate cannot resolve, replay-tier
+    overflows, and window-truncated extensions all count into the
+    pack's n_fallback: the caller re-dispatches the full pack and runs
+    the host replay (rare; zero on clean workloads)."""
     from gblastn_tpu.ops.pallas_ungapped import (
         prepare_query,
         ungapped_extend_pallas_prepared,
     )
     from gblastn_tpu.ops.seeding import (
+        approx_gate_device,
         right_run_packed,
         two_hit_admission,
+        two_hit_replay_device,
     )
 
     query_p = prepare_query(query)
@@ -618,10 +687,15 @@ def _finish_seeds_jit(
             0, starts_dev.shape[0] - 1,
         ).astype(jnp.int32)
         sub_hi = ends_dev[oid].astype(jnp.int32)
-        rr = right_run_packed(
-            query_nib, subject_w, qs, ss, ok, sub_hi,
-            word_size=word_size,
-        )
+        if rr_zero:
+            # lut width == word size: no double-word probe, runs are
+            # zero by definition (s_TypeOfWord, na_ungapped.c:512)
+            rr = jnp.zeros(n, jnp.int32)
+        else:
+            rr = right_run_packed(
+                query_nib, subject_w, qs, ss, ok, sub_hi,
+                word_size=word_size,
+            )
         admit = two_hit_admission(
             qs, ss, ok, rr, oid,
             word_size=word_size, window=window, diag_mask=diag_mask,
@@ -649,6 +723,84 @@ def _finish_seeds_jit(
             + jnp.maximum(n_adm - adm_cap, 0)
             + jnp.maximum(n_alive - alive_cap, 0)
         )
+        if save_cap:
+            # --- device replay: gate + two-hit replay + compaction ---
+            sc = jnp.clip(ctx, 0, ctx_cap - 1)
+            o = 2 + (ctx_cap + 1) + ctx_cap
+            cut_tab = jax.lax.slice(blob, (o,), (o + ctx_cap,))
+            o += ctx_cap
+            red_tab = jax.lax.slice(blob, (o,), (o + ctx_cap,))
+            o += ctx_cap
+            t256 = jax.lax.slice(blob, (o,), (o + 256,))
+            cutoff = cut_tab[sc]
+            n_unres = jnp.zeros((), jnp.int32)
+            score_eff = f_score
+            if word_size >= 11:
+                # the reference's approximate-first scoring demotes
+                # byte-misaligned marginal hits (na_ungapped.c:263).
+                # Gated seeds are exactly those above the cutoff, a
+                # subset of the admitted lanes -- run the gate on the
+                # [adm_cap] compacted set, not all [seed_cap] lanes
+                # (the 48x2 table gathers are the gate's whole cost)
+                q32 = query.astype(jnp.int32)
+                qbytes = (
+                    (q32[:-3] << 6) | (q32[1:-2] << 4)
+                    | (q32[2:-1] << 2) | q32[3:]
+                ) & 0xFF
+                need_c = afill & (c_score >= cutoff[aidx])
+                demote_c, _aq, _as, _ae, a_total_c, resolved_c = (
+                    approx_gate_device(
+                        qbytes, subject_w, t256,
+                        qs[aidx], ss[aidx], need_c, xd[aidx],
+                        red_tab[sc][aidx],
+                        starts_dev[oid[aidx]].astype(jnp.int32),
+                        sub_hi[aidx],
+                        blob[1],
+                    )
+                )
+                n_unres = (need_c & ~resolved_c).sum().astype(jnp.int32)
+                a_total = jnp.zeros(n, jnp.int32).at[widx].set(
+                    a_total_c, mode="drop"
+                )
+                demote = jnp.zeros(n, bool).at[widx].set(
+                    demote_c & afill, mode="drop"
+                )
+                score_eff = jnp.where(demote, a_total, f_score)
+            ug_end = ss - (qs - f_q) + f_len
+            saved, n_rep_ovf = two_hit_replay_device(
+                qs, ss, ok, rr, oid, ug_end, score_eff, cutoff,
+                word_size=word_size, window=window,
+                diag_mask=diag_mask,
+            )
+            # window-truncated extensions would be re-extended by the
+            # host phase 2 BEFORE the replay; their clamped score may
+            # misjudge the cutoff test, so any truncation falls back
+            n_trunc = (ok & ((f_tr & 1) != 0)).sum().astype(jnp.int32)
+            n_fallback = n_unres + n_rep_ovf + n_trunc
+            sidx, sfill, n_saved = compact_indices(saved, save_cap, 0)
+            l_ext_s = jnp.clip(
+                qs[sidx] - f_q[sidx], 0, (1 << 12) - 1
+            )
+            d = (
+                sfill.astype(jnp.int32)
+                | ((f_tr[sidx] & 7) << 1)
+                | (l_ext_s << 4)
+                | (jnp.clip(f_len[sidx], 0, (1 << 13) - 1) << 16)
+            )
+            return jnp.concatenate([
+                qs[sidx], ss[sidx], f_score[sidx], d,
+                jnp.stack([
+                    n_overflow.astype(jnp.int32),
+                    n_raw.astype(jnp.int32),
+                    n_hit.astype(jnp.int32),
+                    n_srv.astype(jnp.int32),
+                    n_alive.astype(jnp.int32),
+                    n_adm.astype(jnp.int32),
+                    n_saved.astype(jnp.int32),
+                    n_fallback,
+                    jnp.zeros((), jnp.int32),
+                ]),
+            ])
     elif alive_cap and query_nib is not None:
         (f_q, _f_s, f_len, f_score, f_tr, n_alive) = _pallas_alive_only(
             query_p, subject_p, table64, query_nib, subject_w,
@@ -667,30 +819,41 @@ def _finish_seeds_jit(
                        rr=rr)
 
 
-def _build_batch_blob(ctx_off, xdrop, pos, n_pos, qbuf) -> np.ndarray:
+def _build_batch_blob(ctx_off, xdrop, pos, n_pos, qbuf,
+                      cutoffs=None, reduced=None, concat_end=0,
+                      table256=None) -> np.ndarray:
     """Concatenate the per-batch device inputs into ONE int32 upload:
-    [n_pos | ctx_off | xdrop | positions | query nibbles]. BLASTNA
-    codes are 4-bit, so the query packs two per byte (eight per int32,
-    nibble t of word k = code 8k+t); the per-position WORD CODES are
-    not shipped at all -- the device re-derives them from the query at
-    each position (_scan_blob_jit). After the first device->host fetch
-    the tunnel's uploads run at ~30ms + ~20ms/MB, so bytes matter."""
+    [n_pos, concat_end | ctx_off | xdrop | cutoffs | reduced |
+    table256 | positions | query nibbles]. BLASTNA codes are 4-bit, so
+    the query packs two per byte (eight per int32, nibble t of word k =
+    code 8k+t); the per-position WORD CODES are not shipped at all --
+    the device re-derives them from the query at each position
+    (_scan_blob_jit). After the first device->host fetch the tunnel's
+    uploads run at ~30ms + ~20ms/MB, so bytes matter.
+
+    cutoffs/reduced (per-context word + reduced-nucl cutoffs) and
+    table256 (the packed XOR score table) feed the device two-hit
+    replay + approx gate (_finish_seeds_jit save_cap > 0); they ride
+    every blob (~1.5 KB) to keep one layout."""
     assert len(qbuf) % 8 == 0
+    ctx_cap = len(xdrop)
+    cut = (np.zeros(ctx_cap, np.int32) if cutoffs is None
+           else np.ascontiguousarray(cutoffs, np.int32))
+    red = (np.zeros(ctx_cap, np.int32) if reduced is None
+           else np.ascontiguousarray(reduced, np.int32))
+    t256 = (np.zeros(256, np.int32) if table256 is None
+            else np.ascontiguousarray(table256, np.int32))
     q4 = (qbuf[0::2] | (qbuf[1::2] << 4)).astype(np.uint8)
+    qw = q4.view(np.int32)
     if not np.little_endian:  # pragma: no cover
-        return np.concatenate([
-            np.array([n_pos], np.int32),
-            np.ascontiguousarray(ctx_off, np.int32),
-            np.ascontiguousarray(xdrop, np.int32),
-            np.ascontiguousarray(pos, np.int32),
-            q4.view(np.int32).byteswap(),
-        ])
+        qw = qw.byteswap()
     return np.concatenate([
-        np.array([n_pos], np.int32),
+        np.array([n_pos, concat_end], np.int32),
         np.ascontiguousarray(ctx_off, np.int32),
         np.ascontiguousarray(xdrop, np.int32),
+        cut, red, t256,
         np.ascontiguousarray(pos, np.int32),
-        q4.view(np.int32),
+        qw,
     ])
 
 
@@ -722,11 +885,12 @@ def _scan_blob_jit(
     )
 
     n_pos = blob[0]
-    o = 1
+    o = 2
     ctx_off = jax.lax.slice(blob, (o,), (o + ctx_cap + 1,))
     o += ctx_cap + 1
     xdrop = jax.lax.slice(blob, (o,), (o + ctx_cap,))
-    o += ctx_cap
+    # advance past xdrop and skip cutoffs/reduced/table256 (finisher)
+    o += 3 * ctx_cap + 256
     pos = jax.lax.slice(blob, (o,), (o + pcap,))
     o += pcap
     qw = jax.lax.slice(blob, (o,), (o + qcap // 8,))
@@ -782,10 +946,17 @@ def _seeding_tpu_blob(
     *, qcap, ctx_cap, pcap, table_size, packed_mini,
     scan_step, lut_word, word_size, cmax, n_scan,
     hit_cap, seed_cap, alive_cap, disc_offsets, interpret=False,
-    sync=True, window=0, diag_mask=0, adm_cap=0,
+    sync=True, window=0, diag_mask=0, adm_cap=0, save_cap=0,
+    rr_zero=False,
 ):
     """Blob-fed TPU seeding: ONE upload + TWO dispatches + ONE fetch.
-    ``sync=False`` skips the completion wait (async pipelining)."""
+    ``sync=False`` skips the completion wait (async pipelining).
+
+    With ``save_cap > 0`` the fetch is the [save_cap] device-replay
+    pack; the second returned element holds the device-resident
+    finisher inputs so the caller can re-dispatch the full pack when
+    the device replay reports a fallback (without re-running the scan
+    program)."""
     out = _scan_blob_jit(
         blob_dev, subject2, subject_valid, subject_w,
         starts_dev, ends_dev, mask_starts, mask_ends,
@@ -797,18 +968,30 @@ def _seeding_tpu_blob(
     )
     (qs, ss, ok, ctx, xd, maxl, maxr, n_overflow, n_raw,
      n_hit, n_srv, query, query_nib) = out
-    packed = _finish_seeds_jit(
+    finish_args = (
         query, subject_p, table64, query_nib, subject_w,
         starts_dev, ends_dev,
         qs, ss, ok, xd, maxl, maxr, n_overflow, n_raw, n_hit, n_srv,
+    )
+    finish_kw = dict(
         word_size=word_size,
         alive_cap=(alive_cap if query_nib is not None else 0),
         interpret=interpret,
         window=window, diag_mask=diag_mask, adm_cap=adm_cap,
+        rr_zero=rr_zero,
+    )
+    packed = _finish_seeds_jit(
+        *finish_args,
+        ctx=(ctx if save_cap else None),
+        blob=(blob_dev if save_cap else None),
+        save_cap=save_cap, ctx_cap=(ctx_cap if save_cap else 0),
+        **finish_kw,
     )
     if sync:
         with slog.time("device.seeding.pack_sync"):
             jax.block_until_ready(packed)
+    if save_cap:
+        return packed, (finish_args, finish_kw)
     return packed
 
 
@@ -981,10 +1164,23 @@ def run_seeding_steps(
     blob_interpret = use_blob and not pallas_primary
     blob_dev = None
     if use_blob:
+        cut_dev = np.full(ctx_cap, 1 << 30, np.int32)
+        cut_dev[:n_ctx] = word_cutoffs
+        red_dev = np.full(ctx_cap, 1 << 30, np.int32)
+        t256 = None
+        cend = 0
+        if approx_ctx is not None:
+            red_dev[:n_ctx] = np.clip(
+                approx_ctx["reduced"], 0, (1 << 30)
+            ).astype(np.int32)
+            t256 = approx_ctx["table"]
+            cend = int(approx_ctx["concat_end"])
         with slog.time("device.seeding.blob_upload"):
             blob_dev = jnp.asarray(_build_batch_blob(
                 ctx_off_dev, xdrop_dev, dev.lut_pos_host,
                 dev.lut_n_pos, dev.host_qbuf,
+                cutoffs=cut_dev, reduced=red_dev, concat_end=cend,
+                table256=t256,
             ))
 
     # device two-hit admission (window_size > 0, default scan_range 0):
@@ -992,15 +1188,34 @@ def run_seeding_steps(
     # right-run row for the host replay. The off-diagonal variant
     # (scan_range > 0) interacts across diagonals, so it extends all.
     concat_qlen = int(context_offsets[len(word_cutoffs)]) - 2
+    # when lut_word == word_size the reference never probes the double
+    # word (s_TypeOfWord, na_ungapped.c:512): right runs are ZERO by
+    # definition, and the device two-hit path must replay with zeros
     dev_two_hit = (
         use_blob and window_size > 0 and scan_range == 0
-        and not disc_offsets and lut_word < word_size
+        and not disc_offsets
     )
+    rr_zero = lut_word >= word_size
     dmask = diag_table_mask(concat_qlen, window_size)
     cached_adm = _CAP_CACHE.get((cap_key, "adm"))
     adm_cap = max(cached_adm or 0, 16384) if dev_two_hit else 0
 
+    # device replay: the approx gate + two-hit replay run on device and
+    # only the saved seeds ship (a [save_cap] pack vs the [seed_cap]
+    # 5-row fetch). Requires the gate data for word >= 11 (the host
+    # applies no gate without approx_ctx, so neither may the device).
+    dev_replay = (
+        dev_two_hit
+        and _os.environ.get("GBLASTN_TPU_DEV_REPLAY", "1") != "0"
+        and (word_size < 11 or approx_ctx is not None)
+    )
+    save_cap = (
+        max(_CAP_CACHE.get((cap_key, "save"), 0), 16384)
+        if dev_replay else 0
+    )
+
     first_dispatch = True
+    dev_saved = None
     while True:
         if use_blob:
             with slog.time("device.seeding.pipeline"):
@@ -1025,7 +1240,12 @@ def run_seeding_steps(
                     window=(window_size if dev_two_hit else 0),
                     diag_mask=(dmask if dev_two_hit else 0),
                     adm_cap=adm_cap,
+                    save_cap=save_cap,
+                    rr_zero=rr_zero,
                 )
+            finish_state = None
+            if save_cap:
+                packed, finish_state = packed
             if first_dispatch:
                 # suspension point: the device chain is dispatched but
                 # not fetched -- a pipelining caller overlaps host work
@@ -1034,11 +1254,38 @@ def run_seeding_steps(
                 yield
             with slog.time("device.seeding.pack_sync"):
                 flat = np.asarray(packed)
-            (qs, ss, fill, ctx, ug_q, ug_s, ug_len, ug_score,
-             trunc, n_overflow, n_raw, counts, dev_rr) = _unpack_seeds(
-                flat, ctx_off_dev, ctx_cap,
-                rows=(5 if dev_two_hit else 4),
-            )
+            if save_cap:
+                sq, sss, ssc, sd, tail = _unpack_saved(flat, save_cap)
+                n_overflow, n_raw = int(tail[0]), int(tail[1])
+                counts = tuple(int(c) for c in tail[2:6])
+                n_saved, n_fb = int(tail[6]), int(tail[7])
+                if n_overflow == 0:
+                    if n_saved > save_cap:
+                        # remember the real demand for future batches;
+                        # this batch completes via the full-fetch path
+                        _CAP_CACHE[(cap_key, "save")] = _round_up_pow2(
+                            n_saved + n_saved // 8, save_cap
+                        )
+                    if n_fb == 0 and n_saved <= save_cap:
+                        dev_saved = (sq, sss, ssc, sd, n_saved)
+                        break
+                    # fallback: unresolved gate walks / replay-tier
+                    # overflow / truncated extensions -> fetch the full
+                    # pack (scan outputs are still device-resident) and
+                    # run the host replay
+                    slog.diagnostics.replay_fallbacks += 1
+                    fargs, fkw = finish_state
+                    with slog.time("device.seeding.replay_fallback"):
+                        flat = np.asarray(_finish_seeds_jit(
+                            *fargs, **fkw,
+                        ))
+            if not save_cap or n_overflow == 0:
+                (qs, ss, fill, ctx, ug_q, ug_s, ug_len, ug_score,
+                 trunc, n_overflow, n_raw, counts,
+                 dev_rr) = _unpack_seeds(
+                    flat, ctx_off_dev, ctx_cap,
+                    rows=(5 if dev_two_hit else 4),
+                )
         elif pallas_primary:
             if first_dispatch:
                 first_dispatch = False
@@ -1126,6 +1373,13 @@ def run_seeding_steps(
     if adm_cap:
         _CAP_CACHE[(cap_key, "adm")] = adm_cap
     slog.diagnostics.lookup_hits += int(n_raw)
+    if dev_saved is not None:
+        # device-replay fast path: only saved seeds were fetched; the
+        # gate, replay, and cutoff test already ran on device
+        slog.diagnostics.init_extends += int(counts[1])
+        return _finish_saved_hits(
+            *dev_saved, ctx_off_dev, n_ctx, subject_starts,
+        )
 
     # phase 2: re-run clamp-truncated extensions unclamped on a host-
     # compacted seed set (typically the true matches only). The Pallas

@@ -901,11 +901,14 @@ def two_hit_replay_device(
     )
 
     # long tier: segments whose element at pos == short_waves exists
+    # (pos_in_seg keeps counting into the invalid tail after the last
+    # head, so the element itself must be ok)
+    e_long = jnp.minimum(head_idx + short_waves, n - 1)
     long_seg = (
         seg_fill
         & (head_idx + short_waves < n)
-        & (pos_in_seg[jnp.minimum(head_idx + short_waves, n - 1)]
-           == short_waves)
+        & (pos_in_seg[e_long] == short_waves)
+        & ok_s[e_long]
     )
     n_long = long_seg.sum()
     lidx, lfill, _nl = compact_indices(long_seg, n_long_cap, 0)
@@ -941,11 +944,12 @@ def two_hit_replay_device(
     )
 
     # overflow: a long segment ran past long_len_cap, or too many longs
+    e_ovf = jnp.minimum(head_idx + long_len_cap, n - 1)
     too_long = (
         seg_fill
         & (head_idx + long_len_cap < n)
-        & (pos_in_seg[jnp.minimum(head_idx + long_len_cap, n - 1)]
-           == long_len_cap)
+        & (pos_in_seg[e_ovf] == long_len_cap)
+        & ok_s[e_ovf]
     ).sum()
     n_overflow = (
         jnp.maximum(n_long - n_long_cap, 0) + too_long

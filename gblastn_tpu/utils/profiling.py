@@ -27,6 +27,7 @@ class Diagnostics:
     device_gapped_rejects: int = 0  # extensions screened out on device
     good_gapped: int = 0        # prelim HSPs above cutoff
     final_hsps: int = 0         # HSPs after traceback + filtering
+    replay_fallbacks: int = 0   # device-replay batches escalated to host
 
     def merge(self, other: "Diagnostics") -> None:
         for f in self.__dataclass_fields__:

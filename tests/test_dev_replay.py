@@ -138,6 +138,42 @@ class TestTwoHitReplayDevice:
         rng = np.random.default_rng(714)
         self._compare(rng, 4096, 40, 11, 0, chain_max=200, n_oid=1)
 
+    def test_big_invalid_tail_no_spurious_overflow(self):
+        # the engine calls with [seed_cap]-padded arrays where only a
+        # few leading lanes are real; pos_in_seg counts into the
+        # invalid tail after the last head, which must NOT read as a
+        # too-long segment (regression: n_overflow was spuriously 1)
+        rng = np.random.default_rng(716)
+        host, dev, ok = random_two_hit_case(
+            rng, 300, window=40, word=11,
+        )
+        pad = 16384 - 300
+        dev_p = tuple(
+            np.concatenate([a, np.zeros(pad, a.dtype)]) for a in dev
+        )
+        args = list(jnp.asarray(a) for a in dev_p)
+        args[2] = jnp.concatenate(
+            [jnp.asarray(dev[2]), jnp.zeros(pad, bool)]
+        )
+        saved_dev, n_ovf = two_hit_replay_device(
+            *args, word_size=11, window=40, diag_mask=2047,
+        )
+        assert int(n_ovf) == 0
+        keep = np.nonzero(ok)[0]
+        saved_host = np.zeros(300, bool)
+        saved_host[keep] = two_hit_diag_filter(
+            host["q_off"][keep], host["s_off"][keep],
+            host["oid"][keep], 11, 40,
+            host["ung_s_start"][keep], host["ung_length"][keep],
+            host["ung_score"][keep], host["cutoff"][keep],
+            host["right_run"][keep],
+            use_native=False, diag_mask=2047,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(saved_dev)[:300], saved_host
+        )
+        assert not np.asarray(saved_dev)[300:].any()
+
     def test_overflow_reported(self):
         rng = np.random.default_rng(715)
         host, dev, ok = random_two_hit_case(

@@ -311,3 +311,62 @@ class TestBlobPathParity:
         )
         b = rows(s2(recs, db3, options))
         assert a == b and len(a) >= 4
+
+    def test_dev_replay_engages_and_matches(self, genome, monkeypatch):
+        """The device two-hit replay fast path (approx gate + replay on
+        device, saved-seeds-only fetch) must (a) actually engage on the
+        blob path and (b) reproduce the host-replay results exactly --
+        both against GBLASTN_TPU_DEV_REPLAY=0 (full fetch + host
+        replay) and the default non-blob path."""
+        import gblastn_tpu.engine.seeding as es
+        from gblastn_tpu.params.options import blastn_options
+
+        rng = np.random.default_rng(777)
+        recs = []
+        for k in range(8):
+            st = int(rng.integers(0, len(genome) - 900))
+            frag = list(genome[st: st + 800])
+            for p in np.flatnonzero(rng.random(800) < 0.07):
+                frag[p] = "ACGT"[("ACGT".index(frag[p]) + 1
+                                  + int(rng.integers(0, 3))) % 4]
+            seq = "".join(frag)
+            if k % 2:
+                seq = revcomp(seq)
+            recs.append(FastaRecord(f"r{k}", "", seq))
+        options = blastn_options(evalue=1e-2, window_size=40)
+
+        def rows(res):
+            return sorted(
+                (q.query_index, lst.oid, h.q_off, h.q_end, h.s_off,
+                 h.s_end, h.score, h.num_ident,
+                 tuple(h.edit_script or ()))
+                for q in res.queries for lst in q.hsplists
+                for h in lst.hsps
+            )
+
+        def fresh_db():
+            return SequenceDB.from_records(
+                [FastaRecord("chr1", "", genome)], title="blobdb"
+            )
+
+        calls = {"fast": 0}
+        orig = es._finish_saved_hits
+
+        def counting(*a, **k):
+            calls["fast"] += 1
+            return orig(*a, **k)
+
+        monkeypatch.setattr(es, "_finish_saved_hits", counting)
+        base = rows(search(recs, fresh_db(), options))
+        assert calls["fast"] == 0    # non-blob path: no device replay
+
+        monkeypatch.setenv("GBLASTN_TPU_FORCE_BLOB", "1")
+        fast = rows(search(recs, fresh_db(), options))
+        assert calls["fast"] > 0     # the fast path really engaged
+        assert fast == base and len(base) >= 4
+
+        monkeypatch.setenv("GBLASTN_TPU_DEV_REPLAY", "0")
+        calls["fast"] = 0
+        off = rows(search(recs, fresh_db(), options))
+        assert calls["fast"] == 0
+        assert off == base
