@@ -622,6 +622,173 @@ def _pallas_alive_only(
     return uq, us, ulen, uscore, tr, n_alive
 
 
+def _dev_replay_pack(
+    blob, ctx, query, subject_w, starts_dev,
+    qs, ss, ok, xd, f_q, f_len, f_score, f_tr, rr, oid, sub_hi,
+    n_overflow, n_raw, n_hit, n_srv, n_alive, n_adm,
+    *, word_size, window, diag_mask, save_cap, ctx_cap,
+):
+    """Device replay tail of the finisher: the per-diagonal replay
+    (two-hit when window > 0, one-hit otherwise), the approx-ungapped
+    demotion gate (word >= 11), and the saved-seed compaction into the
+    [save_cap] pack.
+
+    The gate and the replay run as a FIXPOINT: per-seed demotion
+    verdicts are order-independent (s_NuclUngappedExtend consults only
+    the seed's own data), and the replay consults a verdict only for
+    seeds that would PASS (hit_ready and exact score above cutoff) --
+    which is exactly the replay's saved set. So: replay with exact
+    scores, gate only the newly-saved lanes (a few thousand, vs the
+    ~hundreds of thousands above the cutoff), substitute demoted
+    scores, and re-replay until no saved lane is ungated. Converges in
+    one iteration when nothing demotes (the common case).
+
+    Seeds the clamped gate cannot resolve (after a 32x-clamp second
+    tier), gate-compaction overflows, replay-tier overflows,
+    non-convergence, and window-truncated extensions (the host
+    re-extends those BEFORE its replay, so their clamped score may
+    misjudge the cutoff test) count into n_fallback: the caller
+    re-dispatches the full pack and replays on host."""
+    from gblastn_tpu.ops.seeding import (
+        approx_gate_device,
+        diag_replay_device,
+    )
+
+    n = qs.shape[0]
+    sc = jnp.clip(ctx, 0, ctx_cap - 1)
+    o = 2 + (ctx_cap + 1) + ctx_cap
+    cut_tab = jax.lax.slice(blob, (o,), (o + ctx_cap,))
+    o += ctx_cap
+    red_tab = jax.lax.slice(blob, (o,), (o + ctx_cap,))
+    o += ctx_cap
+    t256 = jax.lax.slice(blob, (o,), (o + 256,))
+    cutoff = cut_tab[sc]
+    ug_end = ss - (qs - f_q) + f_len
+
+    def replay(scores):
+        return diag_replay_device(
+            qs, ss, ok, rr, oid, ug_end, scores, cutoff,
+            word_size=word_size, window=window, diag_mask=diag_mask,
+        )
+
+    if word_size >= 11:
+        # the reference's approximate-first scoring demotes
+        # byte-misaligned marginal hits (na_ungapped.c:263)
+        q32 = query.astype(jnp.int32)
+        qbytes = (
+            (q32[:-3] << 6) | (q32[1:-2] << 4)
+            | (q32[2:-1] << 2) | q32[3:]
+        ) & 0xFF
+        red_per = red_tab[sc]
+        sub_lo = starts_dev[oid].astype(jnp.int32)
+
+        def gate_lanes(mask):
+            """Two-tier clamped gate on the compacted mask lanes.
+            Returns (demote[n], a_total[n] partial scatters,
+            n_unresolved incl. compaction overflow)."""
+            gidx, gfill, n_new = compact_indices(mask, save_cap, 0)
+            d1, _q1, _s1, _e1, t1, r1 = approx_gate_device(
+                qbytes, subject_w, t256,
+                qs[gidx], ss[gidx], gfill, xd[gidx],
+                red_per[gidx], sub_lo[gidx], sub_hi[gidx], blob[1],
+            )
+            # tier 2: the default 48-byte clamp leaves ~1 per ~20k
+            # unresolved (meandering walks that neither drop nor
+            # reach the reduced cutoff); re-walk those with 32x clamp
+            unres1 = gfill & ~r1
+            u_idx, u_fill, n_u = compact_indices(unres1, 512, 0)
+            g2 = gidx[u_idx]
+            d2, _q2, _s2, _e2, t2, r2 = approx_gate_device(
+                qbytes, subject_w, t256,
+                qs[g2], ss[g2], u_fill, xd[g2],
+                red_per[g2], sub_lo[g2], sub_hi[g2], blob[1],
+                clamp_bytes=1536,
+            )
+            wg = jnp.where(gfill, gidx, n)
+            demote_p = jnp.zeros(n, bool).at[wg].set(
+                d1 & gfill, mode="drop"
+            )
+            a_tot_p = jnp.zeros(n, jnp.int32).at[wg].set(
+                t1, mode="drop"
+            )
+            w2 = jnp.where(u_fill, g2, n)
+            demote_p = demote_p.at[w2].set(d2 & u_fill, mode="drop")
+            a_tot_p = a_tot_p.at[w2].set(t2, mode="drop")
+            n_un = (
+                (u_fill & ~r2).sum()
+                + (n_u > 512)
+                + (n_new > save_cap)
+            ).astype(jnp.int32)
+            return demote_p, a_tot_p, n_un
+
+        saved0, rep_ovf0 = replay(f_score)
+
+        def fix_cond(st):
+            it, _sc_, _g, _d, to_gate, _sv, _ov, _un = st
+            return (it < 6) & to_gate.any()
+
+        def fix_body(st):
+            it, scores, gated, demoted, to_gate, saved_i, ovf, n_un = st
+            demote_p, a_tot_p, n_un_i = gate_lanes(to_gate)
+            gated = gated | to_gate
+            demoted = demoted | demote_p
+            scores = jnp.where(demote_p, a_tot_p, scores)
+            # a demotion changes the replay's per-diagonal path; only
+            # then re-replay (the common no-demotion case exits here)
+            saved_i, ovf = jax.lax.cond(
+                demote_p.any(),
+                lambda: replay(scores),
+                lambda: (saved_i, ovf),
+            )
+            return (it + 1, scores, gated, demoted,
+                    saved_i & ~gated, saved_i, ovf, n_un + n_un_i)
+
+        init = (
+            jnp.zeros((), jnp.int32),
+            f_score,
+            jnp.zeros(n, bool),
+            jnp.zeros(n, bool),
+            saved0,
+            saved0,
+            rep_ovf0,
+            jnp.zeros((), jnp.int32),
+        )
+        (fix_it, _scores, _gated, _demoted, to_gate, saved,
+         n_rep_ovf, n_unres) = jax.lax.while_loop(
+            fix_cond, fix_body, init
+        )
+        # non-convergence within the iteration cap -> host fallback
+        n_unres = n_unres + to_gate.any().astype(jnp.int32)
+    else:
+        saved, n_rep_ovf = replay(f_score)
+        n_unres = jnp.zeros((), jnp.int32)
+
+    n_trunc = (ok & ((f_tr & 1) != 0)).sum().astype(jnp.int32)
+    n_fallback = n_unres + n_rep_ovf + n_trunc
+    sidx, sfill, n_saved = compact_indices(saved, save_cap, 0)
+    l_ext_s = jnp.clip(qs[sidx] - f_q[sidx], 0, (1 << 12) - 1)
+    d = (
+        sfill.astype(jnp.int32)
+        | ((f_tr[sidx] & 7) << 1)
+        | (l_ext_s << 4)
+        | (jnp.clip(f_len[sidx], 0, (1 << 13) - 1) << 16)
+    )
+    return jnp.concatenate([
+        qs[sidx], ss[sidx], f_score[sidx], d,
+        jnp.stack([
+            n_overflow.astype(jnp.int32),
+            n_raw.astype(jnp.int32),
+            n_hit.astype(jnp.int32),
+            n_srv.astype(jnp.int32),
+            n_alive.astype(jnp.int32),
+            n_adm.astype(jnp.int32),
+            n_saved.astype(jnp.int32),
+            n_fallback,
+            jnp.zeros((), jnp.int32),
+        ]),
+    ])
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -657,7 +824,7 @@ def _finish_seeds_jit(
 
     With ``save_cap > 0`` additionally: the approx-ungapped demotion
     gate and the two-hit per-diagonal replay themselves run ON DEVICE
-    (ops.seeding.approx_gate_device / two_hit_replay_device, both
+    (ops.seeding.approx_gate_device / diag_replay_device, both
     fuzz-pinned bit-exact to the host twins) and only the SAVED seeds
     ship to the host -- a [save_cap]-lane pack instead of the full
     [seed_cap] 5-row fetch that dominates dense-seed batches over the
@@ -670,10 +837,8 @@ def _finish_seeds_jit(
         ungapped_extend_pallas_prepared,
     )
     from gblastn_tpu.ops.seeding import (
-        approx_gate_device,
         right_run_packed,
         two_hit_admission,
-        two_hit_replay_device,
     )
 
     query_p = prepare_query(query)
@@ -724,83 +889,15 @@ def _finish_seeds_jit(
             + jnp.maximum(n_alive - alive_cap, 0)
         )
         if save_cap:
-            # --- device replay: gate + two-hit replay + compaction ---
-            sc = jnp.clip(ctx, 0, ctx_cap - 1)
-            o = 2 + (ctx_cap + 1) + ctx_cap
-            cut_tab = jax.lax.slice(blob, (o,), (o + ctx_cap,))
-            o += ctx_cap
-            red_tab = jax.lax.slice(blob, (o,), (o + ctx_cap,))
-            o += ctx_cap
-            t256 = jax.lax.slice(blob, (o,), (o + 256,))
-            cutoff = cut_tab[sc]
-            n_unres = jnp.zeros((), jnp.int32)
-            score_eff = f_score
-            if word_size >= 11:
-                # the reference's approximate-first scoring demotes
-                # byte-misaligned marginal hits (na_ungapped.c:263).
-                # Gated seeds are exactly those above the cutoff, a
-                # subset of the admitted lanes -- run the gate on the
-                # [adm_cap] compacted set, not all [seed_cap] lanes
-                # (the 48x2 table gathers are the gate's whole cost)
-                q32 = query.astype(jnp.int32)
-                qbytes = (
-                    (q32[:-3] << 6) | (q32[1:-2] << 4)
-                    | (q32[2:-1] << 2) | q32[3:]
-                ) & 0xFF
-                need_c = afill & (c_score >= cutoff[aidx])
-                demote_c, _aq, _as, _ae, a_total_c, resolved_c = (
-                    approx_gate_device(
-                        qbytes, subject_w, t256,
-                        qs[aidx], ss[aidx], need_c, xd[aidx],
-                        red_tab[sc][aidx],
-                        starts_dev[oid[aidx]].astype(jnp.int32),
-                        sub_hi[aidx],
-                        blob[1],
-                    )
-                )
-                n_unres = (need_c & ~resolved_c).sum().astype(jnp.int32)
-                a_total = jnp.zeros(n, jnp.int32).at[widx].set(
-                    a_total_c, mode="drop"
-                )
-                demote = jnp.zeros(n, bool).at[widx].set(
-                    demote_c & afill, mode="drop"
-                )
-                score_eff = jnp.where(demote, a_total, f_score)
-            ug_end = ss - (qs - f_q) + f_len
-            saved, n_rep_ovf = two_hit_replay_device(
-                qs, ss, ok, rr, oid, ug_end, score_eff, cutoff,
+            return _dev_replay_pack(
+                blob, ctx, query, subject_w, starts_dev,
+                qs, ss, ok, xd, f_q, f_len, f_score, f_tr, rr,
+                oid, sub_hi,
+                n_overflow, n_raw, n_hit, n_srv, n_alive, n_adm,
                 word_size=word_size, window=window,
-                diag_mask=diag_mask,
+                diag_mask=diag_mask, save_cap=save_cap,
+                ctx_cap=ctx_cap,
             )
-            # window-truncated extensions would be re-extended by the
-            # host phase 2 BEFORE the replay; their clamped score may
-            # misjudge the cutoff test, so any truncation falls back
-            n_trunc = (ok & ((f_tr & 1) != 0)).sum().astype(jnp.int32)
-            n_fallback = n_unres + n_rep_ovf + n_trunc
-            sidx, sfill, n_saved = compact_indices(saved, save_cap, 0)
-            l_ext_s = jnp.clip(
-                qs[sidx] - f_q[sidx], 0, (1 << 12) - 1
-            )
-            d = (
-                sfill.astype(jnp.int32)
-                | ((f_tr[sidx] & 7) << 1)
-                | (l_ext_s << 4)
-                | (jnp.clip(f_len[sidx], 0, (1 << 13) - 1) << 16)
-            )
-            return jnp.concatenate([
-                qs[sidx], ss[sidx], f_score[sidx], d,
-                jnp.stack([
-                    n_overflow.astype(jnp.int32),
-                    n_raw.astype(jnp.int32),
-                    n_hit.astype(jnp.int32),
-                    n_srv.astype(jnp.int32),
-                    n_alive.astype(jnp.int32),
-                    n_adm.astype(jnp.int32),
-                    n_saved.astype(jnp.int32),
-                    n_fallback,
-                    jnp.zeros((), jnp.int32),
-                ]),
-            ])
     elif alive_cap and query_nib is not None:
         (f_q, _f_s, f_len, f_score, f_tr, n_alive) = _pallas_alive_only(
             query_p, subject_p, table64, query_nib, subject_w,
@@ -809,6 +906,25 @@ def _finish_seeds_jit(
             interpret=interpret,
         )
         n_overflow = n_overflow + jnp.maximum(n_alive - alive_cap, 0)
+        if save_cap:
+            # one-hit device replay (window == 0): no admission stage,
+            # every seed was extended; gate + replay + compaction
+            n = qs.shape[0]
+            oid = jnp.clip(
+                jnp.searchsorted(starts_dev, ss, side="right") - 1,
+                0, starts_dev.shape[0] - 1,
+            ).astype(jnp.int32)
+            return _dev_replay_pack(
+                blob, ctx, query, subject_w, starts_dev,
+                qs, ss, ok, xd, f_q, f_len, f_score, f_tr,
+                jnp.zeros(n, jnp.int32), oid,
+                ends_dev[oid].astype(jnp.int32),
+                n_overflow, n_raw, n_hit, n_srv, n_alive,
+                jnp.zeros((), jnp.int32),
+                word_size=word_size, window=0,
+                diag_mask=diag_mask, save_cap=save_cap,
+                ctx_cap=ctx_cap,
+            )
     else:
         f_q, _f_s, f_len, f_score, f_tr = ungapped_extend_pallas_prepared(
             (query_p, subject_p), table64,
@@ -1200,12 +1316,14 @@ def run_seeding_steps(
     cached_adm = _CAP_CACHE.get((cap_key, "adm"))
     adm_cap = max(cached_adm or 0, 16384) if dev_two_hit else 0
 
-    # device replay: the approx gate + two-hit replay run on device and
-    # only the saved seeds ship (a [save_cap] pack vs the [seed_cap]
-    # 5-row fetch). Requires the gate data for word >= 11 (the host
-    # applies no gate without approx_ctx, so neither may the device).
+    # device replay: the approx gate + the per-diagonal replay (one-hit
+    # when window_size == 0, two-hit otherwise) run on device and only
+    # the saved seeds ship (a [save_cap] pack vs the full [seed_cap]
+    # fetch). Requires the gate data for word >= 11 (the host applies
+    # no gate without approx_ctx, so neither may the device) and the
+    # phase-0 finisher shape (alive-compacted extension).
     dev_replay = (
-        dev_two_hit
+        use_blob and scan_range == 0 and not disc_offsets and phase0
         and _os.environ.get("GBLASTN_TPU_DEV_REPLAY", "1") != "0"
         and (word_size < 11 or approx_ctx is not None)
     )
@@ -1238,7 +1356,9 @@ def run_seeding_steps(
                     interpret=blob_interpret,
                     sync=False,
                     window=(window_size if dev_two_hit else 0),
-                    diag_mask=(dmask if dev_two_hit else 0),
+                    diag_mask=(
+                        dmask if (dev_two_hit or save_cap) else 0
+                    ),
                     adm_cap=adm_cap,
                     save_cap=save_cap,
                     rr_zero=rr_zero,

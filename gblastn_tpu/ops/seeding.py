@@ -768,21 +768,35 @@ def approx_gate_device(
         return ((w >> (((3 - (b_c & 3)) << 3)).astype(jnp.uint32))
                 & 255).astype(jnp.int32)
 
+    # the 256-entry XOR table is a closed form of the byte (each zero
+    # 2-bit group is a match): score = m*reward + (4-m)*penalty. The
+    # reward/penalty units recover exactly from the table corners
+    # (table[0] = 4*reward, table[255] = 4*penalty; >> 2 is exact on
+    # multiples of 4), and the elementwise form beats a [lanes, CL]
+    # random gather on the VPU.
+    reward = table256[0] >> 2
+    penalty = table256[255] >> 2
+
+    def score_of(x):
+        p = (x | (x >> 1)) & 0x55
+        mism = (p & 1) + ((p >> 2) & 1) + ((p >> 4) & 1) + (p >> 6)
+        return mism * penalty + (4 - mism) * reward
+
     j = jnp.arange(1, CL + 1, dtype=jnp.int32)
     # left: step j reads subject byte sb - j, query byte qb - 4j
-    t_l = table256[
-        (qbytes[jnp.clip(qb[:, None] - 4 * j[None, :], 0, QB - 1)]
-         ^ sbyte_at(sb[:, None] - j[None, :]))
-    ]
+    t_l = score_of(
+        qbytes[jnp.clip(qb[:, None] - 4 * j[None, :], 0, QB - 1)]
+        ^ sbyte_at(sb[:, None] - j[None, :])
+    )
     l_best, l_pos, l_exact = _clamped_reset_walk(
         t_l, n_left, x_drop, CL
     )
     # right: step j reads subject byte sb + j - 1, query byte
     # qb + 4(j-1)
-    t_r = table256[
-        (qbytes[jnp.clip(qb[:, None] + 4 * (j[None, :] - 1), 0, QB - 1)]
-         ^ sbyte_at(sb[:, None] + j[None, :] - 1))
-    ]
+    t_r = score_of(
+        qbytes[jnp.clip(qb[:, None] + 4 * (j[None, :] - 1), 0, QB - 1)]
+        ^ sbyte_at(sb[:, None] + j[None, :] - 1)
+    )
     r_best, r_pos, r_exact = _clamped_reset_walk(
         t_r, n_right, x_drop, CL
     )
@@ -802,7 +816,7 @@ def approx_gate_device(
     return demote, a_q, a_s, a_end, total, resolved
 
 
-def two_hit_replay_device(
+def diag_replay_device(
     qs: jnp.ndarray,
     ss: jnp.ndarray,
     ok: jnp.ndarray,
@@ -817,23 +831,33 @@ def two_hit_replay_device(
     diag_mask: int,
     short_waves: int = 8,
     n_long_cap: int = 8192,
-    long_len_cap: int = 1024,
+    long_jump_cap: int = 512,
 ):
-    """The two-hit per-diagonal replay ON DEVICE, bit-exact to the host
-    ``two_hit_diag_filter`` (s_BlastnDiagTableExtendInitialHit,
-    na_ungapped.c:612-755, scan_range 0).
+    """The per-diagonal replay ON DEVICE, bit-exact to the host twins:
+    ``window > 0`` replays ``two_hit_diag_filter``
+    (s_BlastnDiagTableExtendInitialHit, na_ungapped.c:612-755, scan
+    range 0); ``window == 0`` replays ``one_hit_diag_filter`` (same
+    reference loop with the pair test degenerate, ``right_run``
+    ignored).
 
     The sequential per-(oid, masked-diag) state machine is independent
-    across diagonals, so seeds sort by (oid, diag, s, q) and the
-    machine advances in WAVES: wave k applies the transition to element
-    k of every segment in parallel. Short segments (the vast majority;
-    mean chain length ~1.5 on dense blastn batches) finish within
-    ``short_waves``; segments still alive are compacted to
-    ``n_long_cap`` rows and waved to ``long_len_cap``.
+    across diagonals. Seeds sort by (oid, diag, s, q) with every
+    per-seed operand riding the sort as payload, which makes segments
+    CONTIGUOUS runs -- so wave k (the transition at element k of every
+    segment) reads its predecessor state with a whole-array SHIFT, not
+    a gather; the short tier is pure elementwise VPU work. Segments
+    still alive after ``short_waves`` compact to ``n_long_cap`` rows
+    and finish by STATE JUMPING: every processed (non-skipped) seed
+    advances last_hit by at least word_size -- a failure pushes it to
+    s + word, a save to the ungapped end -- so the next processed seed
+    is found with a binary search over the segment's ascending s, and
+    a dense chain of L seeds (a perfect query-long match emits one
+    seed per position) replays in about L / word_size jumps.
 
     Returns (saved bool[n], n_overflow): n_overflow > 0 when a segment
-    exceeded long_len_cap or more than n_long_cap segments were long --
-    the caller must fall back (or retry bigger).
+    was still unfinished after long_jump_cap jumps or more than
+    n_long_cap segments were long -- the caller must fall back (or
+    retry bigger).
     """
     n = qs.shape[0]
     big = _I32_BIG
@@ -845,14 +869,12 @@ def two_hit_replay_device(
     s_key = jnp.where(ok, ss, big)
     q_key = jnp.where(ok, qs, big)
     idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
-    o_s, d_s, s_s, q_s, i_s = jax.lax.sort(
-        (o_key, d_key, s_key, q_key, idx), num_keys=4
+    (o_s, d_s, s_s, _q_s, i_s, rr_s, end_s, sc_s, cut_s) = jax.lax.sort(
+        (o_key, d_key, s_key, q_key, idx,
+         right_run, ug_end, ug_score, cutoff),
+        num_keys=4,
     )
     ok_s = o_s != big
-    rr_s = right_run[i_s]
-    end_s = ug_end[i_s]
-    sc_s = ug_score[i_s]
-    cut_s = cutoff[i_s]
 
     head = ok_s & jnp.concatenate([
         jnp.ones(1, bool),
@@ -862,47 +884,72 @@ def two_hit_replay_device(
     head_pos = jax.lax.cummax(jnp.where(head, idx, -1), axis=0)
     pos_in_seg = idx - head_pos
 
-    # per-SEGMENT rows: the head element indices, ascending (invalid
-    # rows clamp to n - 1 and stay inert via their ok mask)
-    head_idx, seg_fill, n_segs = compact_indices(head, n, n - 1)
-
     W = jnp.int32(word_size)
     win = jnp.int32(window)
 
-    def wave(state, k):
-        last_hit, flag, saved = state
-        e = head_idx + k
-        e_c = jnp.minimum(e, n - 1)
-        live = seg_fill & (e < n) & (pos_in_seg[e_c] == k) & ok_s[e_c]
+    def step(last_hit, flag, e_c, live):
+        """One machine transition at sorted element e_c (gather form,
+        used by the jump tier); returns (upd, passed, s_end)."""
         s = s_s[e_c]
         s_end_raw = s + W
         skip = s < last_hit
-        first = flag | (s_end_raw > last_hit + win)
-        ext = rr_s[e_c]
-        hit_ready = jnp.where(first, ext >= W, True)
-        s_end = jnp.where(first, s_end_raw + ext, s_end_raw)
-        passed = hit_ready & (sc_s[e_c] >= cut_s[e_c])
+        if window > 0:
+            first = flag | (s_end_raw > last_hit + win)
+            ext = rr_s[e_c]
+            hit_ready = jnp.where(first, ext >= W, True)
+            s_end = jnp.where(first, s_end_raw + ext, s_end_raw)
+            passed = hit_ready & (sc_s[e_c] >= cut_s[e_c])
+        else:
+            # one-hit: every non-skipped seed takes the cutoff test
+            passed = sc_s[e_c] >= cut_s[e_c]
+            s_end = s_end_raw
         s_end = jnp.where(passed, end_s[e_c], s_end)
-        upd = live & ~skip
-        new_last = jnp.where(upd, s_end, last_hit)
-        new_flag = jnp.where(upd, passed, flag)
-        saved = saved.at[jnp.where(upd & passed, e_c, n)].set(
-            True, mode="drop"
-        )
-        return (new_last, new_flag, saved), None
+        return live & ~skip, passed, s_end
 
-    init = (
-        jnp.full(n, -window, jnp.int32),      # last_hit per segment row
-        jnp.zeros(n, bool),                   # flag
-        jnp.zeros(n, bool),                   # saved (element-indexed)
-    )
-    (last_hit, flag, saved), _ = jax.lax.scan(
-        wave, init, jnp.arange(short_waves, dtype=jnp.int32)
-    )
+    # ---- short tier: elementwise waves over the whole sorted array.
+    # state arrays hold the machine state AFTER each element; wave k
+    # feeds element e from element e - 1 (same segment: contiguous)
+    # via a shift, resetting at heads. No gathers.
+    s_end_raw_v = s_s + W
+    neg_w = jnp.int32(-window)
 
-    # long tier: segments whose element at pos == short_waves exists
+    def step_all(last_in, flag_in):
+        skip = s_s < last_in
+        if window > 0:
+            first = flag_in | (s_end_raw_v > last_in + win)
+            hit_ready = jnp.where(first, rr_s >= W, True)
+            s_end = jnp.where(first, s_end_raw_v + rr_s, s_end_raw_v)
+            passed = hit_ready & (sc_s >= cut_s)
+        else:
+            passed = sc_s >= cut_s
+            s_end = s_end_raw_v
+        s_end = jnp.where(passed, end_s, s_end)
+        last_out = jnp.where(skip, last_in, s_end)
+        flag_out = jnp.where(skip, flag_in, passed)
+        return last_out, flag_out, ~skip & passed
+
+    last_state = jnp.full(n, neg_w, jnp.int32)
+    flag_state = jnp.zeros(n, bool)
+    saved_s = jnp.zeros(n, bool)
+    for k in range(short_waves):
+        prev_last = jnp.concatenate([
+            jnp.full(1, neg_w, jnp.int32), last_state[:-1],
+        ])
+        prev_flag = jnp.concatenate([
+            jnp.zeros(1, bool), flag_state[:-1],
+        ])
+        in_last = jnp.where(head, neg_w, prev_last)
+        in_flag = jnp.where(head, False, prev_flag)
+        lo_, fo_, sv_ = step_all(in_last, in_flag)
+        active = ok_s & (pos_in_seg == k)
+        last_state = jnp.where(active, lo_, last_state)
+        flag_state = jnp.where(active, fo_, flag_state)
+        saved_s = saved_s | (active & sv_)
+
+    # ---- long tier: segments with an element at pos == short_waves
     # (pos_in_seg keeps counting into the invalid tail after the last
     # head, so the element itself must be ok)
+    head_idx, seg_fill, _n_segs = compact_indices(head, n, n - 1)
     e_long = jnp.minimum(head_idx + short_waves, n - 1)
     long_seg = (
         seg_fill
@@ -913,51 +960,72 @@ def two_hit_replay_device(
     n_long = long_seg.sum()
     lidx, lfill, _nl = compact_indices(long_seg, n_long_cap, 0)
     l_head = head_idx[lidx]
-    l_last = last_hit[lidx]
-    l_flag = flag[lidx]
 
-    def lwave(state, k):
-        last_hit_l, flag_l, saved = state
-        e = l_head + k
-        e_c = jnp.minimum(e, n - 1)
-        live = lfill & (e < n) & (pos_in_seg[e_c] == k) & ok_s[e_c]
-        s = s_s[e_c]
-        s_end_raw = s + W
-        skip = s < last_hit_l
-        first = flag_l | (s_end_raw > last_hit_l + win)
-        ext = rr_s[e_c]
-        hit_ready = jnp.where(first, ext >= W, True)
-        s_end = jnp.where(first, s_end_raw + ext, s_end_raw)
-        passed = hit_ready & (sc_s[e_c] >= cut_s[e_c])
-        s_end = jnp.where(passed, end_s[e_c], s_end)
-        upd = live & ~skip
-        new_last = jnp.where(upd, s_end, last_hit_l)
-        new_flag = jnp.where(upd, passed, flag_l)
+    # segment end = next head (ok lanes are a sorted prefix, so the
+    # last segment ends at the ok count)
+    n_ok = ok_s.sum().astype(jnp.int32)
+    nxt = jnp.concatenate([head_idx[1:], jnp.full(1, 0, jnp.int32)])
+    nxt_fill = jnp.concatenate([seg_fill[1:], jnp.zeros(1, bool)])
+    l_end = jnp.where(nxt_fill, nxt, n_ok)[lidx]
+
+    # state jumping, from the segment start (the short-wave prefix on
+    # long segments computed the identical transitions; saved bits are
+    # idempotent): cur always points at a non-skipped element, and the
+    # next one is the first j with s >= last_hit (s ascending in the
+    # segment), found by an unrolled lower-bound search
+    LOG = max(1, int(n - 1).bit_length())
+
+    def jump_cond(state):
+        it, cur, _last, _flag, _saved = state
+        return (it < long_jump_cap) & (lfill & (cur < l_end)).any()
+
+    def jump(state):
+        it, cur, last, flag_j, saved = state
+        e_c = jnp.minimum(cur, n - 1)
+        live = lfill & (cur < l_end)
+        upd, passed, s_end = step(last, flag_j, e_c, live)
+        new_last = jnp.where(upd, s_end, last)
+        new_flag = jnp.where(upd, passed, flag_j)
         saved = saved.at[jnp.where(upd & passed, e_c, n)].set(
             True, mode="drop"
         )
-        return (new_last, new_flag, saved), None
+        lo = cur + 1
+        hi = l_end
+        for _b in range(LOG):
+            cont = lo < hi
+            mid = (lo + hi) >> 1
+            less = s_s[jnp.clip(mid, 0, n - 1)] < new_last
+            lo = jnp.where(cont & less, mid + 1, lo)
+            hi = jnp.where(cont & ~less, mid, hi)
+        new_cur = jnp.where(live, lo, cur)
+        return (it + 1, new_cur, new_last, new_flag, saved)
 
-    (l_last, l_flag, saved), _ = jax.lax.scan(
-        lwave, (l_last, l_flag, saved),
-        jnp.arange(short_waves, long_len_cap, dtype=jnp.int32),
+    init_l = (
+        jnp.zeros((), jnp.int32),
+        l_head,
+        jnp.full(n_long_cap, neg_w, jnp.int32),
+        jnp.zeros(n_long_cap, bool),
+        saved_s,
+    )
+    # while_loop, not scan: the cap bounds the pathological case, but
+    # typical batches finish in ~(longest chain / word_size) jumps
+    (_it, l_cur, _ll, _lf, saved_s) = jax.lax.while_loop(
+        jump_cond, jump, init_l
     )
 
-    # overflow: a long segment ran past long_len_cap, or too many longs
-    e_ovf = jnp.minimum(head_idx + long_len_cap, n - 1)
-    too_long = (
-        seg_fill
-        & (head_idx + long_len_cap < n)
-        & (pos_in_seg[e_ovf] == long_len_cap)
-        & ok_s[e_ovf]
-    ).sum()
+    # overflow: a long segment still unfinished, or too many longs
+    unfinished = (lfill & (l_cur < l_end)).sum()
     n_overflow = (
-        jnp.maximum(n_long - n_long_cap, 0) + too_long
+        jnp.maximum(n_long - n_long_cap, 0) + unfinished
     ).astype(jnp.int32)
 
-    # saved is indexed in SORTED element space; map back
-    saved_orig = jnp.zeros(n, bool).at[i_s].set(saved)
-    return saved_orig, n_overflow
+    # saved is indexed in SORTED element space; invert the permutation
+    # with a single-key sort (a 1M-lane random scatter is gather-bound
+    # on TPU; the radix sort is not)
+    _orig, saved_orig = jax.lax.sort(
+        (i_s, saved_s.astype(jnp.int32)), num_keys=1
+    )
+    return saved_orig.astype(bool), n_overflow
 
 
 @functools.partial(

@@ -13,6 +13,28 @@ import os
 _enabled = False
 
 
+def _host_fingerprint() -> str:
+    """Hash of the host CPU feature set. XLA:CPU AOT cache entries are
+    machine-specific but the cache key is not: loading an entry
+    compiled on a CPU with different vector extensions SIGILLs or
+    segfaults the process (observed with avx512 feature drift between
+    build hosts). Keying the cache DIRECTORY by the feature set makes a
+    foreign cache invisible instead of fatal."""
+    import hashlib
+    import platform
+
+    feats = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = line
+                    break
+    except OSError:  # pragma: no cover
+        pass
+    return hashlib.sha1(feats.encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
     global _enabled
     if _enabled:
@@ -22,7 +44,8 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     path = cache_dir or os.environ.get(
         "GBLASTN_TPU_CACHE",
         os.path.join(
-            os.path.expanduser("~"), ".cache", "gblastn_tpu", "jax"
+            os.path.expanduser("~"), ".cache", "gblastn_tpu",
+            f"jax-{_host_fingerprint()}",
         ),
     )
     os.makedirs(path, exist_ok=True)

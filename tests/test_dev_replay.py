@@ -4,7 +4,7 @@ The device ops reimplement, as data-parallel XLA programs, the two
 sequential host stages that dense-seed (blastn word-11) batches
 round-trip ~1M lanes to the host for:
 
-- ``ops.seeding.two_hit_replay_device`` twins the per-diagonal replay
+- ``ops.seeding.diag_replay_device`` twins the per-diagonal replay
   ``engine.seeding.two_hit_diag_filter`` (reference
   s_BlastnDiagTableExtendInitialHit, na_ungapped.c:612-755).
 - ``ops.seeding.approx_gate_device`` twins the approximate-ungapped
@@ -30,7 +30,7 @@ from gblastn_tpu.io.encoding import pack_2na
 from gblastn_tpu.ops.seeding import (
     approx_gate_device,
     pack_subject_words,
-    two_hit_replay_device,
+    diag_replay_device,
 )
 from gblastn_tpu.params.derived import nucl_score_table_packed
 
@@ -108,7 +108,7 @@ class TestTwoHitReplayDevice:
             use_native=False, diag_mask=diag_mask,
         )
         args = tuple(jnp.asarray(a) for a in dev)
-        saved_dev, n_ovf = two_hit_replay_device(
+        saved_dev, n_ovf = diag_replay_device(
             *args, word_size=word, window=window, diag_mask=diag_mask,
         )
         assert int(n_ovf) == 0
@@ -155,7 +155,7 @@ class TestTwoHitReplayDevice:
         args[2] = jnp.concatenate(
             [jnp.asarray(dev[2]), jnp.zeros(pad, bool)]
         )
-        saved_dev, n_ovf = two_hit_replay_device(
+        saved_dev, n_ovf = diag_replay_device(
             *args, word_size=11, window=40, diag_mask=2047,
         )
         assert int(n_ovf) == 0
@@ -174,17 +174,108 @@ class TestTwoHitReplayDevice:
         )
         assert not np.asarray(saved_dev)[300:].any()
 
+    def test_dense_perfect_match_chains(self):
+        # a perfect query-long match emits one seed per position:
+        # ~1500 seeds spacing 1 on ONE diagonal (the config-2 bench
+        # shape). The jump tier must replay it within the default
+        # long_jump_cap (~len/word jumps) -- this overflowed the old
+        # positional-wave tier at 1024
+        rng = np.random.default_rng(717)
+        n = 4096
+        qs = np.zeros(n, np.int32)
+        ss = np.zeros(n, np.int32)
+        oid = np.zeros(n, np.int32)
+        i = 0
+        d = 7000
+        while i < n:
+            ln = min(1500, n - i)
+            q0 = int(rng.integers(1, 100))
+            for t in range(ln):
+                qs[i] = q0 + t
+                ss[i] = q0 + t + d
+                i += 1
+            d += 10_000
+        ok = np.ones(n, bool)
+        rr = np.full(n, 11, np.int32)
+        cutoff = np.full(n, 22, np.int32)
+        # high scores so saves (jump to ug_end) and skips both occur
+        score = rng.integers(0, 44, n).astype(np.int32)
+        length = (11 + rng.integers(0, 60, n)).astype(np.int32)
+        ug_end = ss + length
+        for window in (0, 40):
+            saved_host = np.zeros(n, bool)
+            if window:
+                saved_host = two_hit_diag_filter(
+                    qs, ss, oid, 11, window, ss, length, score,
+                    cutoff, rr, use_native=False, diag_mask=0,
+                )
+            else:
+                from gblastn_tpu.engine.seeding import (
+                    one_hit_diag_filter,
+                )
+                saved_host = one_hit_diag_filter(
+                    qs, ss, oid, 11, ss, length, score, cutoff,
+                    use_native=False, diag_mask=0,
+                )
+            saved_dev, n_ovf = diag_replay_device(
+                jnp.asarray(qs), jnp.asarray(ss), jnp.asarray(ok),
+                jnp.asarray(rr), jnp.asarray(oid),
+                jnp.asarray(ug_end.astype(np.int32)),
+                jnp.asarray(score), jnp.asarray(cutoff),
+                word_size=11, window=window, diag_mask=0,
+            )
+            assert int(n_ovf) == 0, window
+            np.testing.assert_array_equal(
+                np.asarray(saved_dev), saved_host, err_msg=str(window)
+            )
+
     def test_overflow_reported(self):
         rng = np.random.default_rng(715)
         host, dev, ok = random_two_hit_case(
             rng, 2048, window=40, word=11, chain_max=400, n_oid=1,
         )
         args = tuple(jnp.asarray(a) for a in dev)
-        _saved, n_ovf = two_hit_replay_device(
+        _saved, n_ovf = diag_replay_device(
             *args, word_size=11, window=40, diag_mask=0,
-            short_waves=4, long_len_cap=8,
+            short_waves=4, long_jump_cap=8,
         )
         assert int(n_ovf) > 0
+
+
+class TestOneHitReplayDevice:
+    def _compare(self, rng, n_lanes, word, diag_mask, **kw):
+        from gblastn_tpu.engine.seeding import one_hit_diag_filter
+
+        host, dev, ok = random_two_hit_case(
+            rng, n_lanes, window=40, word=word,
+            diag_mask=diag_mask, **kw,
+        )
+        keep = np.nonzero(ok)[0]
+        saved_host = np.zeros(n_lanes, bool)
+        saved_host[keep] = one_hit_diag_filter(
+            host["q_off"][keep], host["s_off"][keep],
+            host["oid"][keep], word,
+            host["ung_s_start"][keep], host["ung_length"][keep],
+            host["ung_score"][keep], host["cutoff"][keep],
+            use_native=False, diag_mask=diag_mask,
+        )
+        args = tuple(jnp.asarray(a) for a in dev)
+        saved_dev, n_ovf = diag_replay_device(
+            *args, word_size=word, window=0, diag_mask=diag_mask,
+        )
+        assert int(n_ovf) == 0
+        np.testing.assert_array_equal(np.asarray(saved_dev), saved_host)
+
+    def test_parity(self):
+        rng = np.random.default_rng(720)
+        for trial in range(4):
+            self._compare(rng, 2048, 28, 0)
+            self._compare(rng, 2048, 11, 127)
+
+    def test_long_chains(self):
+        rng = np.random.default_rng(721)
+        self._compare(rng, 4096, 28, diag_table_mask(4000, 0),
+                      chain_max=200, n_oid=1)
 
 
 class TestApproxGateDevice:

@@ -370,3 +370,58 @@ class TestBlobPathParity:
         off = rows(search(recs, fresh_db(), options))
         assert calls["fast"] == 0
         assert off == base
+
+    def test_dev_replay_one_hit_megablast(self, genome, monkeypatch):
+        """One-hit (window_size == 0) device replay: megablast and
+        blastn default both take it on the blob path; results must
+        equal the host replay bit-for-bit."""
+        import gblastn_tpu.engine.seeding as es
+        from gblastn_tpu.params.options import blastn_options
+
+        rng = np.random.default_rng(888)
+        recs = []
+        for k in range(6):
+            st = int(rng.integers(0, len(genome) - 900))
+            frag = list(genome[st: st + 700])
+            for p in np.flatnonzero(rng.random(700) < 0.05):
+                frag[p] = "ACGT"[("ACGT".index(frag[p]) + 1
+                                  + int(rng.integers(0, 3))) % 4]
+            seq = "".join(frag)
+            if k % 2:
+                seq = revcomp(seq)
+            recs.append(FastaRecord(f"o{k}", "", seq))
+
+        def rows(res):
+            return sorted(
+                (q.query_index, lst.oid, h.q_off, h.q_end, h.s_off,
+                 h.s_end, h.score, h.num_ident,
+                 tuple(h.edit_script or ()))
+                for q in res.queries for lst in q.hsplists
+                for h in lst.hsps
+            )
+
+        def fresh_db():
+            return SequenceDB.from_records(
+                [FastaRecord("chr1", "", genome)], title="blobdb"
+            )
+
+        calls = {"fast": 0}
+        orig = es._finish_saved_hits
+
+        def counting(*a, **k):
+            calls["fast"] += 1
+            return orig(*a, **k)
+
+        monkeypatch.setattr(es, "_finish_saved_hits", counting)
+        for options in (
+            megablast_options(evalue=1e-3),
+            blastn_options(evalue=1e-2),      # one-hit blastn word 11
+        ):
+            calls["fast"] = 0
+            base = rows(search(recs, fresh_db(), options))
+            assert calls["fast"] == 0
+            monkeypatch.setenv("GBLASTN_TPU_FORCE_BLOB", "1")
+            fast = rows(search(recs, fresh_db(), options))
+            assert calls["fast"] > 0
+            assert fast == base and len(base) >= 4
+            monkeypatch.delenv("GBLASTN_TPU_FORCE_BLOB")
