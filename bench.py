@@ -310,10 +310,10 @@ def bench_kernels(db, genome, rng):
         )
 
     # fresh query buffers per call defeat tunnel-side result caching;
-    # 3 disjoint groups so best-of-3 rounds (congestion episodes
-    # inflate wall time 10-100x) never reuses a buffer
+    # disjoint groups so best-of rounds (congestion episodes inflate
+    # wall time 10-100x) never reuse a buffer
     variants = []
-    for i in range(24):
+    for i in range(40):
         v = qbuf.copy()
         v[len(qblock.buffer) - 1 - i] = 15
         variants.append(jnp.asarray(v))
@@ -335,6 +335,30 @@ def bench_kernels(db, genome, rng):
         f"{dt * 1000 / 8:.1f} ms each, best of 3 rounds)",
         file=sys.stderr,
     )
+    # true DEVICE rate from the chain-length slope: a k-dispatch chain
+    # costs ~RTT + k * device_time through the tunnel, so the 12-vs-4
+    # difference cancels the round trip and any fixed dispatch overhead
+    t4 = t12 = float("inf")
+    for r in range(2):
+        g4 = variants[24 + 8 * r: 24 + 8 * r + 4]
+        g12 = variants[24 + 8 * r: 24 + 8 * r + 8] + variants[
+            8 * r: 8 * r + 4]
+        t0 = time.time()
+        jax.block_until_ready([scan_once(v) for v in g4])
+        t4 = min(t4, time.time() - t0)
+        t0 = time.time()
+        jax.block_until_ready([scan_once(v) for v in g12])
+        t12 = min(t12, time.time() - t0)
+    if t12 > t4:
+        dev_ms = (t12 - t4) * 1000 / 8
+        dev_rate = len(sub2) / (dev_ms / 1000) / 1e9
+        print(
+            f"# scan+mini DEVICE rate (chain slope): "
+            f"{dev_rate:.2f} Gbases/s ({dev_ms:.1f} ms device time "
+            f"per {len(sub2) / 1e6:.1f} Mbase dispatch; "
+            f"RTT+overhead {max(t4 * 1000 - 4 * dev_ms, 0):.0f} ms)",
+            file=sys.stderr,
+        )
 
     # ungapped Pallas kernel rate over the real seed set of this scan
     try:
@@ -421,9 +445,14 @@ def bench_parity_smoke(db, genome, rng):
                     ))
         return out
 
+    from gblastn_tpu.params.options import blastn_options
+
     cases = [
         ("megablast", megablast_options(evalue=1e-5), reads),
         ("dc-megablast", dc_megablast_options(evalue=1e-5), wob),
+        ("blastn-w11", blastn_options(evalue=1e-3), wob),
+        ("blastn-w11-two-hit",
+         blastn_options(evalue=1e-3, window_size=40), wob),
     ]
     for name, opts, recs in cases:
         a = rows(search(recs, db, opts))
@@ -432,16 +461,25 @@ def bench_parity_smoke(db, genome, rng):
             b = rows(search(recs, db, opts))
         finally:
             del os.environ["GBLASTN_TPU_FORCE_XLA"]
-        verdict = "IDENTICAL" if a == b else "MISMATCH"
+        # third leg: device replay off (host gate + host replay on the
+        # full fetch) -- a device-replay miscompile on real hardware
+        # cannot hide behind the CPU interpret-mode suite
+        os.environ["GBLASTN_TPU_DEV_REPLAY"] = "0"
+        try:
+            c = rows(search(recs, db, opts))
+        finally:
+            del os.environ["GBLASTN_TPU_DEV_REPLAY"]
+        verdict = "IDENTICAL" if a == b == c else "MISMATCH"
         print(
-            f"# parity smoke {name}: pallas-vs-xla {verdict} "
-            f"({len(a)} vs {len(b)} HSPs)", file=sys.stderr,
+            f"# parity smoke {name}: pallas-vs-xla-vs-hostreplay "
+            f"{verdict} ({len(a)}/{len(b)}/{len(c)} HSPs)",
+            file=sys.stderr,
         )
-        if a != b:
+        if not (a == b == c):
             print(json.dumps({
                 "metric": f"parity_smoke_{name}",
                 "value": 0, "unit": "bool",
-                "error": "pallas/xla output mismatch on TPU",
+                "error": "pallas/xla/dev-replay output mismatch on TPU",
             }), file=sys.stderr)
 
 

@@ -480,8 +480,12 @@ class SequenceDB:
             },
         }
         (path / "manifest.json").write_text(json.dumps(manifest))
+        # the packed buffer is the O(DB) payload: a RAW .npy so load()
+        # can memory-map it (the reference's bounded-memory atlas role,
+        # seqdbatlas.cpp) -- an NT-scale db must not need O(DB) host
+        # RAM to open. Everything else is O(num_seqs) metadata.
+        np.save(path / "packed.npy", self.packed)
         arrays = {
-            "packed": self.packed,
             "starts": self.starts,
             "lengths": self.lengths,
             "ambig_pos": self.ambig_pos,
@@ -516,8 +520,16 @@ class SequenceDB:
             )
         manifest = json.loads((path / "manifest.json").read_text())
         arrays = np.load(path / "arrays.npz")
+        packed_path = path / "packed.npy"
+        if packed_path.exists():
+            # bounded-memory open: the packed buffer stays on disk and
+            # pages in per access (blastdbcmd -entry/-info and the
+            # streamed block fetch touch only what they read)
+            packed = np.load(packed_path, mmap_mode="r")
+        else:
+            packed = arrays["packed"]    # legacy all-in-npz layout
         db = cls(
-            packed=arrays["packed"],
+            packed=packed,
             starts=arrays["starts"],
             lengths=arrays["lengths"],
             ids=manifest["ids"],
