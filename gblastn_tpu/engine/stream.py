@@ -233,6 +233,75 @@ def _xla_block_packed(
                         max_l, max_r, n_overflow, n_raw)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "scan_step", "lut_word", "word_size", "cmax", "n_scan",
+        "hit_cap", "seed_cap", "out_cap", "alive_cap",
+        "pos_base_static", "disc_offsets",
+    ),
+)
+def _pallas_block_packed(
+    packed, local_starts, local_ends, lut_offsets, lut_positions,
+    query, query_p, query_nib, table64, ctx_offsets, x_dropoffs,
+    pos_base, pos_end, mask_starts=None, mask_ends=None,
+    *, scan_step, lut_word, word_size, cmax, n_scan, hit_cap, seed_cap,
+    out_cap, alive_cap, pos_base_static=None, disc_offsets=None,
+):
+    """The whole per-block device program as ONE dispatch: 2-bit
+    unpack + guard-padded Pallas forms, subject-word packing, scan +
+    mini-extension, the phase-0/window ungapped stage, and the packed
+    output -- previously ~5 separate dispatches, each paying a tunnel
+    round trip per block."""
+    from gblastn_tpu.engine.seeding import _pallas_alive_only
+    from gblastn_tpu.ops.pallas_ungapped import (
+        ungapped_extend_pallas_prepared,
+    )
+    from gblastn_tpu.ops.seeding import (
+        block_arrays_pallas,
+        pack_subject_words,
+    )
+
+    s2, sval, s_p = block_arrays_pallas(packed, local_starts,
+                                        local_ends)
+    subject_w = pack_subject_words(packed)
+    qs, ss, ok, _ctx, xd, max_l, max_r, n_overflow, n_raw = (
+        seeding_scan_mini(
+            s2, sval, lut_offsets, lut_positions,
+            query, ctx_offsets, x_dropoffs, local_starts, local_ends,
+            pos_base, pos_end, mask_starts, mask_ends,
+            query_nib, subject_w,
+            scan_step=scan_step, lut_word=lut_word,
+            word_size=word_size, cmax=cmax, n_scan=n_scan,
+            hit_cap=hit_cap, seed_cap=seed_cap, out_cap=out_cap,
+            pos_base_static=pos_base_static,
+            disc_offsets=disc_offsets,
+        )
+    )
+    if alive_cap:
+        (f_q, _f_s, f_len, f_score, f_tr, n_alive) = (
+            _pallas_alive_only(
+                query_p, s_p, table64, query_nib, subject_w,
+                qs, ss, ok, xd, max_l, max_r,
+                word_size=word_size, alive_cap=alive_cap,
+            )
+        )
+        # overflow = alive lanes BEYOND the compaction cap (the old
+        # form added the raw alive count, which could never clear by
+        # growing caps and looped any block with a clamp-surviving
+        # extension into the retry ceiling)
+        n_overflow = n_overflow + jnp.maximum(n_alive - alive_cap, 0)
+    else:
+        f_q, _f_s, f_len, f_score, f_tr = (
+            ungapped_extend_pallas_prepared(
+                (query_p, s_p), table64,
+                qs, ss, ok, xd, max_l, max_r,
+            )
+        )
+    return _pack_stream(qs, ss, ok, f_q, f_len, f_score, f_tr,
+                        max_l, max_r, n_overflow, n_raw)
+
+
 # --------------------------------------------------------------- orchestrator
 class _BlockPlan:
     """Static per-search geometry of the stream."""
@@ -405,59 +474,60 @@ def run_seeding_streamed(
             alive_cap = max(alive_cap, cached[2])
     caps = [hit_cap, seed_cap, alive_cap]
 
-    def dispatch(inputs):
+    # device block cache: the packed block buffers are BATCH-INVARIANT
+    # (they depend only on the db and the plan geometry), and the
+    # tunnel's ~20 ms/MB upload makes re-shipping them per query batch
+    # the whole streamed-path cost. Blocks stay device-resident across
+    # batches up to GBLASTN_TPU_STREAM_CACHE_MB of packed bytes
+    # (0.25 B/base -- a 3 Gbase db caches in ~750 MB of HBM); past the
+    # budget, blocks re-upload per batch (true streaming).
+    mi = mask_intervals
+    cache_key = (
+        plan.B, plan.halo, plan.kmax, getattr(plan, "mcap", 0),
+        None if mi is None or not len(mi) else
+        (len(mi), int(mi[0][0]), int(mi[-1][1])),
+    )
+    dev_cache = getattr(db, "_stream_dev_cache", None)
+    if dev_cache is None or dev_cache.get("key") != cache_key:
+        dev_cache = {"key": cache_key, "blocks": {}, "bytes": 0}
+        db._stream_dev_cache = dev_cache
+    cache_budget = int(_os.environ.get(
+        "GBLASTN_TPU_STREAM_CACHE_MB", "4096"
+    )) << 20
+
+    def dev_inputs(k, inputs):
+        ent = dev_cache["blocks"].get(k)
+        if ent is not None:
+            return ent
         buf, ls, le, pos_base, pos_end, (mstarts, mends) = inputs
-        packed_d = jnp.asarray(buf)
-        ls_d = jnp.asarray(ls)
-        le_d = jnp.asarray(le)
-        ms_d = jnp.asarray(mstarts) if mstarts is not None else None
-        me_d = jnp.asarray(mends) if mends is not None else None
+        ent = (
+            jnp.asarray(buf), jnp.asarray(ls), jnp.asarray(le),
+            jnp.int32(pos_base), jnp.int32(pos_end), int(pos_base),
+            jnp.asarray(mstarts) if mstarts is not None else None,
+            jnp.asarray(mends) if mends is not None else None,
+        )
+        if dev_cache["bytes"] + buf.nbytes <= cache_budget:
+            dev_cache["blocks"][k] = ent
+            dev_cache["bytes"] += buf.nbytes
+        return ent
+
+    def dispatch(k, inputs):
+        (packed_d, ls_d, le_d, pos_base, pos_end, pos_base_s,
+         ms_d, me_d) = dev_inputs(k, inputs)
         if use_pallas:
-            from gblastn_tpu.ops.pallas_ungapped import (
-                ungapped_extend_pallas_prepared,
-            )
-            from gblastn_tpu.ops.seeding import (
-                block_arrays_pallas,
-                pack_subject_words,
-            )
-
-            s2, sval, s_p = block_arrays_pallas(packed_d, ls_d, le_d)
-            subject_w = pack_subject_words(packed_d)
-            qs, ss, ok, ctx, xd, max_l, max_r, n_overflow, n_raw = (
-                seeding_scan_mini(
-                    s2, sval, lut_offsets_dev, lut_positions_dev,
-                    query_dev, ctx_off_dev, xdrop_dev, ls_d, le_d,
-                    pos_base, pos_end, ms_d, me_d,
-                    query_nib, subject_w,
-                    scan_step=scan_step, lut_word=lut_word,
-                    word_size=word_size, cmax=cmax, n_scan=plan.n_scan,
-                    hit_cap=caps[0], seed_cap=caps[1],
-                    out_cap=caps[1] // 2,
-                    pos_base_static=int(pos_base),
-                    disc_offsets=disc_offsets,
-                )
-            )
-            if phase0 and query_nib is not None:
-                from gblastn_tpu.engine.seeding import _pallas_alive_only
-
-                (f_q, f_s, f_len, f_score, f_tr, n_alive_ov) = (
-                    _pallas_alive_only(
-                        query_p, s_p, table64_dev, query_nib, subject_w,
-                        qs, ss, ok, xd, max_l, max_r,
-                        word_size=word_size, alive_cap=caps[2],
-                    )
-                )
-                n_overflow = n_overflow + n_alive_ov
-            else:
-                f_q, f_s, f_len, f_score, f_tr = (
-                    ungapped_extend_pallas_prepared(
-                        (query_p, s_p), table64_dev,
-                        qs, ss, ok, xd, max_l, max_r,
-                    )
-                )
-            return _pack_stream(
-                qs, ss, ok, f_q, f_len, f_score, f_tr,
-                max_l, max_r, n_overflow, n_raw,
+            return _pallas_block_packed(
+                packed_d, ls_d, le_d, lut_offsets_dev,
+                lut_positions_dev, query_dev, query_p, query_nib,
+                table64_dev, ctx_off_dev, xdrop_dev,
+                pos_base, pos_end, ms_d, me_d,
+                scan_step=scan_step, lut_word=lut_word,
+                word_size=word_size, cmax=cmax, n_scan=plan.n_scan,
+                hit_cap=caps[0], seed_cap=caps[1],
+                out_cap=caps[1] // 2, alive_cap=(
+                    caps[2] if phase0 and query_nib is not None else 0
+                ),
+                pos_base_static=pos_base_s,
+                disc_offsets=disc_offsets,
             )
         return _xla_block_packed(
             packed_d, ls_d, le_d, lut_offsets_dev, lut_positions_dev,
@@ -466,7 +536,7 @@ def run_seeding_streamed(
             scan_step=scan_step, lut_word=lut_word, word_size=word_size,
             cmax=cmax, n_scan=plan.n_scan, hit_cap=caps[0],
             seed_cap=caps[1], out_cap=caps[1] // 2,
-            pos_base_static=int(pos_base), disc_offsets=disc_offsets,
+            pos_base_static=pos_base_s, disc_offsets=disc_offsets,
         )
 
     per_block: list[dict | None] = [None] * plan.n_blocks
@@ -487,7 +557,7 @@ def run_seeding_streamed(
                 raise RuntimeError(
                     "streamed seeding capacity overflow did not clear"
                 )
-            out_dev = dispatch(inputs)
+            out_dev = dispatch(k, inputs)
         total_raw += int(flat[6 * cap + 1])
         d = flat[3 * cap: 4 * cap]
         sel = np.nonzero(d & 1)[0]
@@ -524,7 +594,7 @@ def run_seeding_streamed(
             inputs = plan.block_inputs(db, k)
             if inputs is None:
                 continue
-            pending.append((k, inputs, dispatch(inputs)))
+            pending.append((k, inputs, dispatch(k, inputs)))
             if len(pending) > depth - 1:
                 collect(*pending.pop(0))
         for item in pending:
