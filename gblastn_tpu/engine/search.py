@@ -550,13 +550,13 @@ def prelim_search_steps(
     }
 
     device_gapped = None   # banded-DP rejection filter (device path only)
+    q_allowed_np = None
     if db_index is not None and (n_shards > 1 or use_stream):
-        _warn_once(
-            db, "idx-path",
-            "-use_index applies to the device-resident path only; "
-            "the sharded/streamed scan is used instead",
-        )
-        db_index = None
+        # streamed/sharded indexed megablast: the index partitions over
+        # the blocks'/shards' disjoint scan-grid ownership, so the seed
+        # set stays bit-identical to the resident indexed path
+        q_allowed_np = np.zeros(qcap, dtype=bool)
+        q_allowed_np[lut.positions] = True
     if n_shards > 1:
         # multi-chip: DB-sharded seeding over the device mesh
         from gblastn_tpu.engine.seeding import run_seeding_sharded
@@ -578,6 +578,8 @@ def prelim_search_steps(
             scan_range=options.off_diagonal_range,
             mask_intervals=db_mask_ivs,
             approx_ctx=approx_ctx,
+            db_index=db_index,
+            q_allowed=q_allowed_np,
         )
         shard_args = (
             mesh, db.unpacked().astype(np.int8), db.valid_mask(),
@@ -633,6 +635,8 @@ def prelim_search_steps(
             )),
             halo=int(os.environ.get("GBLASTN_TPU_BLOCK_HALO", "4096")),
             mask_intervals=db_mask_ivs,
+            db_index=db_index,
+            q_allowed=q_allowed_np,
         )
         yield
         with slog.time("device.seeding"):

@@ -1823,6 +1823,8 @@ def run_seeding_sharded(
     scan_range: int = 0,
     mask_intervals: np.ndarray | None = None,
     approx_ctx: dict | None = None,
+    db_index=None,                # lut.dbindex.DbIndex (-use_index)
+    q_allowed: np.ndarray | None = None,
     _raw: bool = False,   # return pre-replay hit arrays (two templates)
 ) -> InitHits:
     """Multi-chip seeding over a DB-sharded device mesh
@@ -1856,6 +1858,7 @@ def run_seeding_sharded(
                 word_size=word_size, cmax=cmax,
                 mask_intervals=mask_intervals,
                 disc_offsets=lut.disc_offsets,
+                db_index=db_index, q_allowed=q_allowed,
             )
         )
     slog.diagnostics.init_extends += len(q_off)

@@ -208,16 +208,46 @@ def _pack_stream(qs, ss, ok, f_q, f_len, f_score, bits,
     static_argnames=(
         "scan_step", "lut_word", "word_size", "cmax", "n_scan",
         "hit_cap", "seed_cap", "out_cap", "pos_base_static",
-        "disc_offsets",
+        "disc_offsets", "idx_table_size",
     ),
 )
 def _xla_block_packed(
     packed, local_starts, local_ends, lut_offsets, lut_positions,
     query, matrix16, ctx_offsets, x_dropoffs, pos_base, pos_end,
-    mask_starts=None, mask_ends=None,
+    mask_starts=None, mask_ends=None, q_allowed=None, idx_words=None,
     *, scan_step, lut_word, word_size, cmax, n_scan, hit_cap, seed_cap,
-    out_cap, pos_base_static=None, disc_offsets=None,
+    out_cap, pos_base_static=None, disc_offsets=None, idx_table_size=0,
 ):
+    if q_allowed is not None:
+        # indexed megablast: the block's slice of the DATABASE index
+        # replaces the subject scan; offsets rebuild on device from the
+        # word-sorted codes (engine.seeding.offsets_on_device)
+        from gblastn_tpu.engine.seeding import offsets_on_device
+        from gblastn_tpu.ops.seeding import (
+            block_arrays,
+            seeding_scan_mini,
+            ungapped_extend,
+        )
+
+        s2, sval = block_arrays(packed, local_starts, local_ends)
+        idx_offsets = offsets_on_device(idx_words, idx_table_size)
+        (qs, ss, ok, _ctx, xd, max_l, max_r, n_overflow, n_raw,
+         _nh, _ns) = seeding_scan_mini(
+            s2, sval, idx_offsets, lut_positions, query,
+            ctx_offsets, x_dropoffs, local_starts, local_ends,
+            pos_base, pos_end, mask_starts, mask_ends,
+            q_allowed=q_allowed,
+            scan_step=scan_step, lut_word=lut_word, word_size=word_size,
+            cmax=cmax, n_scan=n_scan, hit_cap=hit_cap,
+            seed_cap=seed_cap, out_cap=out_cap,
+        )
+        uq, _us, ulen, uscore, _t, bl, br = ungapped_extend(
+            query, s2, sval, matrix16, qs, ss, ok, xd,
+            return_bounds=True,
+        )
+        bound_bits = bl.astype(jnp.int32) * 2 + br.astype(jnp.int32) * 4
+        return _pack_stream(qs, ss, ok, uq, ulen, uscore, bound_bits,
+                            max_l, max_r, n_overflow, n_raw)
     outs = seeding_pipeline_block(
         packed, local_starts, local_ends, lut_offsets, lut_positions,
         query, matrix16, ctx_offsets, x_dropoffs, pos_base, pos_end,
@@ -238,15 +268,17 @@ def _xla_block_packed(
     static_argnames=(
         "scan_step", "lut_word", "word_size", "cmax", "n_scan",
         "hit_cap", "seed_cap", "out_cap", "alive_cap",
-        "pos_base_static", "disc_offsets",
+        "pos_base_static", "disc_offsets", "idx_table_size",
     ),
 )
 def _pallas_block_packed(
     packed, local_starts, local_ends, lut_offsets, lut_positions,
     query, query_p, query_nib, table64, ctx_offsets, x_dropoffs,
     pos_base, pos_end, mask_starts=None, mask_ends=None,
+    q_allowed=None, idx_words=None,
     *, scan_step, lut_word, word_size, cmax, n_scan, hit_cap, seed_cap,
     out_cap, alive_cap, pos_base_static=None, disc_offsets=None,
+    idx_table_size=0,
 ):
     """The whole per-block device program as ONE dispatch: 2-bit
     unpack + guard-padded Pallas forms, subject-word packing, scan +
@@ -265,12 +297,19 @@ def _pallas_block_packed(
     s2, sval, s_p = block_arrays_pallas(packed, local_starts,
                                         local_ends)
     subject_w = pack_subject_words(packed)
-    qs, ss, ok, _ctx, xd, max_l, max_r, n_overflow, n_raw = (
+    if q_allowed is not None:
+        # indexed megablast: offsets rebuild from the block's index
+        # slice; the query walk replaces the subject scan
+        from gblastn_tpu.engine.seeding import offsets_on_device
+
+        lut_offsets = offsets_on_device(idx_words, idx_table_size)
+    (qs, ss, ok, _ctx, xd, max_l, max_r, n_overflow, n_raw,
+     _nh, _ns) = (
         seeding_scan_mini(
             s2, sval, lut_offsets, lut_positions,
             query, ctx_offsets, x_dropoffs, local_starts, local_ends,
             pos_base, pos_end, mask_starts, mask_ends,
-            query_nib, subject_w,
+            query_nib, subject_w, q_allowed,
             scan_step=scan_step, lut_word=lut_word,
             word_size=word_size, cmax=cmax, n_scan=n_scan,
             hit_cap=hit_cap, seed_cap=seed_cap, out_cap=out_cap,
@@ -300,6 +339,42 @@ def _pallas_block_packed(
         )
     return _pack_stream(qs, ss, ok, f_q, f_len, f_score, f_tr,
                         max_l, max_r, n_overflow, n_raw)
+
+
+def _block_index_slices(db, db_index, plan):
+    """Per-block (words_padded, positions_local, count) slices of the
+    database word index, cached on the db. Block k owns global
+    scan-grid positions [k*B, min((k+1)*B, npos)) -- the same disjoint
+    partition the streamed scan uses -- so a stable position-range
+    filter of the word-sorted index arrays yields per-block sub-indices
+    whose union is exactly the whole index (and hence the scan's seed
+    set). Pad words carry table_size so the on-device offsets rebuild
+    drops them (engine.seeding.offsets_on_device)."""
+    key = (plan.B, plan.halo, db_index.lut_word, db_index.word_size)
+    cache = getattr(db, "_stream_index_cache", None)
+    if cache is not None and cache[0] == key:
+        return cache[1]
+    pos = db_index.positions.astype(np.int64)
+    words = db_index.words
+    raw = []
+    nmax = 1
+    for k in range(plan.n_blocks):
+        g0 = plan.slices[k][0]
+        lo = k * plan.B
+        hi = min((k + 1) * plan.B, plan.npos)
+        m = (pos >= lo) & (pos < hi)
+        raw.append(((pos[m] - g0).astype(np.int32), words[m]))
+        nmax = max(nmax, int(m.sum()))
+    cap = _round_up_pow2(nmax, 1024)
+    out = []
+    for pk, wk in raw:
+        wp = np.full(cap, db_index.table_size, np.int32)
+        pp = np.zeros(cap, np.int32)
+        wp[: len(wk)] = wk
+        pp[: len(pk)] = pk
+        out.append((wp, pp, len(pk)))
+    db._stream_index_cache = (key, out)
+    return out
 
 
 # --------------------------------------------------------------- orchestrator
@@ -419,15 +494,33 @@ def run_seeding_streamed(
     mask_intervals: np.ndarray | None = None,  # int64[n, 2] absolute
     disc_offsets: tuple[int, ...] | None = None,
     approx_ctx: dict | None = None,
+    db_index=None,                 # lut.dbindex.DbIndex (-use_index)
+    q_allowed: np.ndarray | None = None,   # bool[Qcap], indexed mode
     _raw: bool = False,   # return pre-replay hit arrays (two templates)
 ) -> InitHits:
     """Streamed seeding over the whole database; same InitHits contract
-    as engine.seeding.run_seeding (asserted equal in tests)."""
+    as engine.seeding.run_seeding (asserted equal in tests).
+
+    With ``db_index`` set (-use_index), each block consumes its slice of
+    the database word index instead of scanning the block: the index's
+    positions partition over the blocks' disjoint global scan-grid
+    ownership (word-sorted order survives the stable range filter), so
+    the block-wise seed union is exactly the resident indexed set --
+    which is itself exactly the scan set (lut/dbindex.py)."""
     span = disc_offsets[-1] + 1 if disc_offsets else lut_word
     plan = _BlockPlan(
         db, block_bases=block_bases, halo=halo, lut_word=span,
         scan_step=scan_step, mask_intervals=mask_intervals,
     )
+    idx_slices = None
+    q_allowed_dev = None
+    if db_index is not None:
+        assert disc_offsets is None and db_index.lut_word == lut_word
+        idx_slices = _block_index_slices(db, db_index, plan)
+        q_allowed_dev = jnp.asarray(q_allowed)
+        cmax = 4
+        while cmax < max(db_index.max_chain, 1):
+            cmax *= 2
     if use_pallas is None:
         # decide off the actual placement of the device arrays: the
         # axon TPU plugin registers itself as the default backend even
@@ -465,7 +558,8 @@ def run_seeding_streamed(
 
     phase0 = _os.environ.get("GBLASTN_TPU_PHASE0", "1") != "0"
     alive_cap = max(seed_cap // 8, 4096)
-    cap_key = ("stream", plan.s_buf, int(query_host.shape[0]), word_size)
+    cap_key = ("stream", plan.s_buf, int(query_host.shape[0]), word_size,
+               db_index is not None)
     cached = _CAP_CACHE.get(cap_key)
     if cached:
         hit_cap = max(hit_cap, cached[0])
@@ -486,6 +580,7 @@ def run_seeding_streamed(
         plan.B, plan.halo, plan.kmax, getattr(plan, "mcap", 0),
         None if mi is None or not len(mi) else
         (len(mi), int(mi[0][0]), int(mi[-1][1])),
+        None if db_index is None else (db_index.lut_word, len(idx_slices[0][0])),
     )
     dev_cache = getattr(db, "_stream_dev_cache", None)
     if dev_cache is None or dev_cache.get("key") != cache_key:
@@ -500,43 +595,61 @@ def run_seeding_streamed(
         if ent is not None:
             return ent
         buf, ls, le, pos_base, pos_end, (mstarts, mends) = inputs
+        if idx_slices is None:
+            iw_d = ip_d = None
+            idx_bytes = 0
+        else:
+            wp, pp, _n = idx_slices[k]
+            iw_d, ip_d = jnp.asarray(wp), jnp.asarray(pp)
+            idx_bytes = wp.nbytes + pp.nbytes
         ent = (
             jnp.asarray(buf), jnp.asarray(ls), jnp.asarray(le),
             jnp.int32(pos_base), jnp.int32(pos_end), int(pos_base),
             jnp.asarray(mstarts) if mstarts is not None else None,
             jnp.asarray(mends) if mends is not None else None,
+            iw_d, ip_d,
         )
-        if dev_cache["bytes"] + buf.nbytes <= cache_budget:
+        if dev_cache["bytes"] + buf.nbytes + idx_bytes <= cache_budget:
             dev_cache["blocks"][k] = ent
-            dev_cache["bytes"] += buf.nbytes
+            dev_cache["bytes"] += buf.nbytes + idx_bytes
         return ent
+
+    idx_table = 0 if db_index is None else db_index.table_size
+    n_scan_q = (
+        plan.n_scan if db_index is None
+        else int(query_host.shape[0]) - lut_word + 1
+    )
 
     def dispatch(k, inputs):
         (packed_d, ls_d, le_d, pos_base, pos_end, pos_base_s,
-         ms_d, me_d) = dev_inputs(k, inputs)
+         ms_d, me_d, iw_d, ip_d) = dev_inputs(k, inputs)
         if use_pallas:
             return _pallas_block_packed(
                 packed_d, ls_d, le_d, lut_offsets_dev,
-                lut_positions_dev, query_dev, query_p, query_nib,
+                (lut_positions_dev if ip_d is None else ip_d),
+                query_dev, query_p, query_nib,
                 table64_dev, ctx_off_dev, xdrop_dev,
-                pos_base, pos_end, ms_d, me_d,
+                pos_base, pos_end, ms_d, me_d, q_allowed_dev, iw_d,
                 scan_step=scan_step, lut_word=lut_word,
-                word_size=word_size, cmax=cmax, n_scan=plan.n_scan,
+                word_size=word_size, cmax=cmax, n_scan=n_scan_q,
                 hit_cap=caps[0], seed_cap=caps[1],
                 out_cap=caps[1] // 2, alive_cap=(
                     caps[2] if phase0 and query_nib is not None else 0
                 ),
                 pos_base_static=pos_base_s,
                 disc_offsets=disc_offsets,
+                idx_table_size=idx_table,
             )
         return _xla_block_packed(
-            packed_d, ls_d, le_d, lut_offsets_dev, lut_positions_dev,
+            packed_d, ls_d, le_d, lut_offsets_dev,
+            (lut_positions_dev if ip_d is None else ip_d),
             query_dev, m16_dev, ctx_off_dev, xdrop_dev,
-            pos_base, pos_end, ms_d, me_d,
+            pos_base, pos_end, ms_d, me_d, q_allowed_dev, iw_d,
             scan_step=scan_step, lut_word=lut_word, word_size=word_size,
-            cmax=cmax, n_scan=plan.n_scan, hit_cap=caps[0],
+            cmax=cmax, n_scan=n_scan_q, hit_cap=caps[0],
             seed_cap=caps[1], out_cap=caps[1] // 2,
             pos_base_static=pos_base_s, disc_offsets=disc_offsets,
+            idx_table_size=idx_table,
         )
 
     per_block: list[dict | None] = [None] * plan.n_blocks
@@ -594,6 +707,8 @@ def run_seeding_streamed(
             inputs = plan.block_inputs(db, k)
             if inputs is None:
                 continue
+            if idx_slices is not None and idx_slices[k][2] == 0:
+                continue   # no indexed positions in this block
             pending.append((k, inputs, dispatch(k, inputs)))
             if len(pending) > depth - 1:
                 collect(*pending.pop(0))

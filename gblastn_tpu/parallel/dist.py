@@ -223,6 +223,7 @@ def make_sharded_seeding(
     use_pallas: bool,
     chunk: int = 64,
     disc_offsets: tuple[int, ...] | None = None,
+    idx_table_size: int = 0,   # > 0: indexed megablast (-use_index)
 ):
     """Build the jitted DB-sharded seeding step.
 
@@ -231,15 +232,28 @@ def make_sharded_seeding(
     to device-compacted per-shard tensors [D, out_cap]:
     (q_off, s_off_local, ok, ctx, q_start, s_start, length, score,
     bound_bits, max_l, max_r) plus [D] overflow/raw counters.
-    """
+
+    With ``idx_table_size`` > 0, ``lut_pos`` carries each shard's slice
+    of the DATABASE index ([D, P] local positions; ``lut_off`` the
+    word-sorted codes [D, P]) and ``q_allowed`` replaces the subject
+    scan with the indexed query walk (ops.seeding.indexed_scan_block) --
+    the per-shard sub-indices partition the global index over the
+    shards' disjoint scan-grid ownership, so the merged seed set is
+    bit-identical to the resident indexed path."""
     axis = mesh.axis_names[0]
+    indexed = idx_table_size > 0
 
     def one_shard(subject2, valid, ls, le, pos_base, pos_end, ms, me,
-                  query, lut_off, lut_pos, ctx_off, xdrops, score_data):
+                  query, lut_off, lut_pos, ctx_off, xdrops, score_data,
+                  q_allowed=None):
+        if indexed:
+            from gblastn_tpu.engine.seeding import offsets_on_device
+
+            lut_off = offsets_on_device(lut_off, idx_table_size)
         (qs, ss, ok, ctx, xd, max_l, max_r, n_ov, n_raw,
          _nh, _ns) = seeding_scan_mini(
             subject2, valid, lut_off, lut_pos, query, ctx_off, xdrops,
-            ls, le, pos_base, pos_end, ms, me,
+            ls, le, pos_base, pos_end, ms, me, q_allowed=q_allowed,
             scan_step=scan_step, lut_word=lut_word, word_size=word_size,
             cmax=cmax, n_scan=n_scan, hit_cap=hit_cap, seed_cap=seed_cap,
             out_cap=out_cap, disc_offsets=disc_offsets,
@@ -269,23 +283,31 @@ def make_sharded_seeding(
     score_spec = (
         (P(None, None), P(None)) if use_pallas else (P(None, None),)
     )
+    lut_spec = (
+        (P(axis, None), P(axis, None)) if indexed
+        else (P(None), P(None))
+    )
 
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(axis, None), P(axis, None), P(axis, None),
                   P(axis, None), P(axis), P(axis), P(axis, None),
-                  P(axis, None), P(None), P(None),
-                  P(None), P(None), P(None), score_spec),
+                  P(axis, None), P(None)) + lut_spec + (
+                  P(None), P(None), score_spec)
+                 + ((P(None),) if indexed else ()),
         out_specs=(P(axis, None),) * 11 + (P(axis), P(axis)),
     )
     def step(sub_sh, val_sh, ls_sh, le_sh, pos_base, pos_end,
              ms_sh, me_sh, query, lut_off, lut_pos, ctx_off, xdrops,
-             score_data):
+             score_data, *qal):
         out = one_shard(
             sub_sh[0], val_sh[0], ls_sh[0], le_sh[0],
             pos_base[0], pos_end[0], ms_sh[0], me_sh[0],
-            query, lut_off, lut_pos,
+            query,
+            lut_off[0] if indexed else lut_off,
+            lut_pos[0] if indexed else lut_pos,
             ctx_off, xdrops, score_data,
+            q_allowed=qal[0] if indexed else None,
         )
         return tuple(o[None] for o in out)
 
@@ -314,6 +336,8 @@ def run_sharded_seeding(
     use_pallas: bool | None = None,
     mask_intervals: np.ndarray | None = None,  # int64[n, 2] absolute
     disc_offsets: tuple[int, ...] | None = None,
+    db_index=None,                # lut.dbindex.DbIndex (-use_index)
+    q_allowed: np.ndarray | None = None,   # bool[Q], indexed mode
 ):
     """Shard, run, retry on overflow, escalate edge truncations, and
     return exact host seed arrays (q_off, s_off int64 global, ctx,
@@ -339,6 +363,38 @@ def run_sharded_seeding(
         pos_end[d] = max(p_hi - bases[d], pos_base[d])
     n_scan = core // scan_step + 1
 
+    idx_table_size = 0
+    if db_index is not None:
+        # indexed megablast: slice the database index over the shards'
+        # disjoint global scan-grid ownership (the same [d*core,
+        # (d+1)*core) partition the scan's pos_base/pos_end encode);
+        # stable range filtering keeps word-sorted order, so per-shard
+        # offsets rebuild on device exactly as on the resident path
+        idx_table_size = db_index.table_size
+        n_scan = len(query) - lut_word + 1
+        cmax = 4
+        while cmax < max(db_index.max_chain, 1):
+            cmax *= 2
+        posg = db_index.positions.astype(np.int64)
+        sel = []
+        pmax = 1
+        for d in range(n):
+            lo = ((d * core + scan_step - 1) // scan_step) * scan_step
+            hi = min((d + 1) * core, npos)
+            m = (posg >= lo) & (posg < hi)
+            sel.append(m)
+            pmax = max(pmax, int(m.sum()))
+        pcap = 1024
+        while pcap < pmax:
+            pcap *= 2
+        idx_w = np.full((n, pcap), idx_table_size, np.int32)
+        idx_p = np.zeros((n, pcap), np.int32)
+        for d, m in enumerate(sel):
+            k = int(m.sum())
+            idx_w[d, :k] = db_index.words[m]
+            idx_p[d, :k] = (posg[m] - bases[d]).astype(np.int32)
+        lut_offsets, lut_positions = idx_w, idx_p
+
     if use_pallas:
         from gblastn_tpu.ops.pallas_ungapped import (
             make_table64, prepare_query,
@@ -357,16 +413,19 @@ def run_sharded_seeding(
             _put(np.asarray(s), mesh, P()) for s in score_data
         )
     ms, me = _shard_masks(mask_intervals, bases, L)
+    lut_sp = P(axis, None) if db_index is not None else P()
     args = (
         _put(sub, mesh, P(axis, None)), _put(val, mesh, P(axis, None)),
         _put(ls, mesh, P(axis, None)), _put(le, mesh, P(axis, None)),
         _put(pos_base, mesh, P(axis)), _put(pos_end, mesh, P(axis)),
         _put(ms, mesh, P(axis, None)), _put(me, mesh, P(axis, None)),
-        _put(query, mesh, P()), _put(lut_offsets, mesh, P()),
-        _put(lut_positions, mesh, P()),
+        _put(query, mesh, P()), _put(lut_offsets, mesh, lut_sp),
+        _put(lut_positions, mesh, lut_sp),
         _put(ctx_offsets, mesh, P()),
         _put(x_dropoffs, mesh, P()), score_data,
     )
+    if db_index is not None:
+        args = args + (_put(np.asarray(q_allowed), mesh, P()),)
 
     while True:
         step = make_sharded_seeding(
@@ -374,6 +433,7 @@ def run_sharded_seeding(
             word_size=word_size, cmax=cmax, n_scan=n_scan,
             hit_cap=hit_cap, seed_cap=seed_cap, out_cap=seed_cap // 2,
             use_pallas=use_pallas, disc_offsets=disc_offsets,
+            idx_table_size=idx_table_size,
         )
         out = step(*args)
         if jax.process_count() > 1:  # pragma: no cover - multi-host

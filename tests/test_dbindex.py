@@ -229,3 +229,61 @@ def test_cli_makembindex_and_use_index(tmp_path, capsys):
     line = out.read_text().strip().splitlines()[0].split("\t")
     assert line[0] == "probe" and line[1] == "chrA"
     assert line[2] == "100.00" and line[3] == "500"
+
+
+def test_search_indexed_streamed_equals_resident(workload, monkeypatch):
+    """-use_index on the subject-block-streamed path: per-block index
+    slices over the blocks' disjoint scan-grid ownership must reproduce
+    the resident indexed (== scan) output bit-identically."""
+    tmp, db, index, queries, _g = workload
+    base = megablast_options(
+        evalue=1e-5, max_target_seqs=20, lut_word_size=index.lut_word
+    )
+    ref = search(queries, db, base)          # resident scan
+    db_s = SequenceDB.load(tmp / "db")       # fresh device/idx caches
+    monkeypatch.setenv("GBLASTN_TPU_STREAM", "1")
+    monkeypatch.setenv("GBLASTN_TPU_BLOCK_BASES", "16384")
+    res = search(queries, db_s, base.replace(use_index=True))
+    assert _flat_hits(res) == _flat_hits(ref)
+    assert _flat_hits(ref)
+    # second batch reuses the cached per-block index slices
+    res2 = search(queries[:4], db_s, base.replace(use_index=True))
+    ref2 = search(queries[:4], db, base)
+    assert _flat_hits(res2) == _flat_hits(ref2)
+
+
+def test_search_indexed_streamed_with_db_soft_mask(workload, monkeypatch):
+    tmp, _db, index, queries, _g = workload
+    db_m = SequenceDB.load(tmp / "db")
+    db_m.add_mask_set(10, "dust", "test", {
+        "c1": [(1000, 3000)], "c2": [(1000, 4000)],
+    })
+    base = megablast_options(
+        evalue=1e-5, max_target_seqs=20,
+        lut_word_size=index.lut_word, db_soft_mask=10,
+    )
+    ref = search(queries, db_m, base)        # resident scan + mask
+    db_s = SequenceDB.load(tmp / "db")
+    db_s.add_mask_set(10, "dust", "test", {
+        "c1": [(1000, 3000)], "c2": [(1000, 4000)],
+    })
+    monkeypatch.setenv("GBLASTN_TPU_STREAM", "1")
+    monkeypatch.setenv("GBLASTN_TPU_BLOCK_BASES", "16384")
+    res = search(queries, db_s, base.replace(use_index=True))
+    assert _flat_hits(res) == _flat_hits(ref)
+
+
+def test_search_indexed_sharded_equals_resident(workload, monkeypatch):
+    """-use_index on the DB-sharded multi-chip path (4-device virtual
+    CPU mesh): per-shard index slices must reproduce the resident
+    output bit-identically."""
+    tmp, db, index, queries, _g = workload
+    base = megablast_options(
+        evalue=1e-5, max_target_seqs=20, lut_word_size=index.lut_word
+    )
+    ref = search(queries, db, base)
+    db_s = SequenceDB.load(tmp / "db")
+    monkeypatch.setenv("GBLASTN_TPU_SHARDS", "4")
+    res = search(queries, db_s, base.replace(use_index=True))
+    assert _flat_hits(res) == _flat_hits(ref)
+    assert _flat_hits(ref)
