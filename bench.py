@@ -374,7 +374,11 @@ def bench_kernels(db, genome, rng):
     from gblastn_tpu.engine.search import device_matrix16
     from gblastn_tpu.io.query import build_query_block
     from gblastn_tpu.lut.builder import build_lookup_table, unmasked_locations
-    from gblastn_tpu.ops.seeding import seeding_scan_mini
+    from gblastn_tpu.ops.seeding import (
+        pack_query_nibbles,
+        pack_subject_words,
+        seeding_scan_mini,
+    )
 
     queries = _sample_reads(rng, genome, 64, QUERY_LEN, "k")
     qblock = build_query_block(queries, "both")
@@ -401,13 +405,21 @@ def bench_kernels(db, genome, rng):
         jnp.asarray(db.starts), jnp.asarray(db.starts + db.lengths),
     ]
 
+    subject_w = jax.jit(pack_subject_words)(jnp.asarray(db.packed))
+    jax.block_until_ready(subject_w)
+
+    @jax.jit
     def scan_once(qdev):
+        # query_nib/subject_w select the packed-word mini-extension --
+        # the variant the production blob path runs on TPU; the outer
+        # jit fuses the nibble pack so each call stays ONE dispatch
         return seeding_scan_mini(
             dev_args[0], dev_args[1], dev_args[2], dev_args[3],
             qdev, dev_args[5], dev_args[6], dev_args[7], dev_args[8],
+            query_nib=pack_query_nibbles(qdev), subject_w=subject_w,
             scan_step=lut.scan_step, lut_word=lut.lut_word_size,
             word_size=28, cmax=8, n_scan=n_scan,
-            hit_cap=16384, seed_cap=16384,
+            hit_cap=16384, seed_cap=16384, pos_base_static=0,
         )
 
     # fresh query buffers per call defeat tunnel-side result caching;

@@ -179,10 +179,84 @@ def main():
         idx = jnp.nonzero(hit, size=16384, fill_value=n_scan - 1)[0]
         return idx.sum()
 
+    from gblastn_tpu.ops.seeding import (
+        compact_indices,
+        mini_extend,
+        scan_block,
+    )
+
+    def stage_scan_block(s2):
+        q_off, s_off, take, nd, nh = scan_block(
+            s2, d_valid, d_off, d_pos,
+            scan_step=scan_step, lut_word=lut_word, word_size=WORD,
+            cmax=8, n_scan=n_scan, hit_cap=16384,
+        )
+        return take.sum() + nd + nh
+
+    def stage_scan_compact(s2):
+        q_off, s_off, take, nd, nh = scan_block(
+            s2, d_valid, d_off, d_pos,
+            scan_step=scan_step, lut_word=lut_word, word_size=WORD,
+            cmax=8, n_scan=n_scan, hit_cap=16384,
+        )
+        ridx, rfill, n_raw = compact_indices(take, 16384, 0)
+        return jnp.where(rfill, q_off[ridx], 0).sum() + n_raw
+
+    def stage_scan_compact_mini(s2):
+        q_off, s_off, take, nd, nh = scan_block(
+            s2, d_valid, d_off, d_pos,
+            scan_step=scan_step, lut_word=lut_word, word_size=WORD,
+            cmax=8, n_scan=n_scan, hit_cap=16384,
+        )
+        ridx, rfill, n_raw = compact_indices(take, 16384, 0)
+        q2 = jnp.where(rfill, q_off[ridx], 0)
+        s2o = jnp.where(rfill, s_off[ridx], 0)
+        qs, ss, ok = mini_extend(
+            d_q, s2, d_valid, q2, s2o, rfill,
+            lut_word=lut_word, word_size=WORD,
+        )
+        return qs.sum() + ss.sum() + ok.sum()
+
+    from gblastn_tpu.ops.seeding import (
+        pack_query_nibbles,
+        pack_subject_words,
+    )
+
+    d_qnib = jax.jit(pack_query_nibbles)(d_q)
+    d_subw = jax.jit(pack_subject_words)(jnp.asarray(db.packed))
+    jax.block_until_ready((d_qnib, d_subw))
+
+    # production variant: packed-word mini-extension (the blob path)
+    def full_packed_k(K):
+        @jax.jit
+        def run():
+            def body(carry, k):
+                s2 = ((d_sub + k) & 3).astype(jnp.int8)
+                out = seeding_scan_mini(
+                    s2, d_valid, d_off, d_pos, d_q, d_co, d_xd,
+                    d_st, d_en,
+                    query_nib=d_qnib, subject_w=d_subw,
+                    scan_step=scan_step, lut_word=lut_word,
+                    word_size=WORD, cmax=8, n_scan=n_scan,
+                    hit_cap=16384, seed_cap=16384,
+                    pos_base_static=0,
+                )
+                return carry + out[-1], None
+            tot, _ = jax.lax.scan(
+                body, jnp.zeros((), jnp.int32),
+                jnp.arange(K, dtype=jnp.int8),
+            )
+            return tot
+        return run
+
     loop_timer(make_loop(stage_words), "A words-only", S)
     loop_timer(make_loop(stage_words_pv), "B +PV probe", S)
     loop_timer(make_loop(stage_words_pv_compact), "C +compact", S)
+    loop_timer(make_loop(stage_scan_block), "D1 scan_block", S)
+    loop_timer(make_loop(stage_scan_compact), "D2 +seed compact", S)
+    loop_timer(make_loop(stage_scan_compact_mini), "D3 +mini_extend", S)
     full_ms = loop_timer(full_k, "D full scan+mini", S)
+    loop_timer(full_packed_k, "E full w/ packed mini", S)
     print(f"# scan+mini true device rate: {S / (full_ms / 1e3) / 1e9:.2f}"
           f" Gbases/s (in-jit loop, dispatch overhead cancelled)")
 
