@@ -693,7 +693,10 @@ def prelim_search_steps(
                     sub2,
                     jnp.asarray(db.valid_mask()),
                     prepare_subject(sub2),
-                    pack_subject_words(jnp.asarray(db.packed)),
+                    # packed_padded: PAD-aligned heap copy (never the
+                    # raw memmap; the CPU backend zero-copy aliases
+                    # numpy buffers)
+                    pack_subject_words(jnp.asarray(db.packed_padded())),
                     jnp.asarray(np.asarray(db.starts)),
                     jnp.asarray(
                         np.asarray(db.starts) + np.asarray(db.lengths)

@@ -1073,6 +1073,12 @@ def _seeding_tpu_blob(
     finisher inputs so the caller can re-dispatch the full pack when
     the device replay reports a fallback (without re-running the scan
     program)."""
+    import os as _os
+
+    stage_sync = _os.environ.get("GBLASTN_TPU_STAGE_SYNC")
+    if stage_sync:
+        with slog.time("device.seeding.blob_sync"):
+            jax.block_until_ready(blob_dev)
     out = _scan_blob_jit(
         blob_dev, subject2, subject_valid, subject_w,
         starts_dev, ends_dev, mask_starts, mask_ends,
@@ -1082,6 +1088,9 @@ def _seeding_tpu_blob(
         cmax=cmax, n_scan=n_scan, hit_cap=hit_cap, seed_cap=seed_cap,
         out_cap=seed_cap // 2, disc_offsets=disc_offsets,
     )
+    if stage_sync:
+        with slog.time("device.seeding.scan_sync"):
+            jax.block_until_ready(out)
     (qs, ss, ok, ctx, xd, maxl, maxr, n_overflow, n_raw,
      n_hit, n_srv, query, query_nib) = out
     finish_args = (
@@ -1103,6 +1112,9 @@ def _seeding_tpu_blob(
         save_cap=save_cap, ctx_cap=(ctx_cap if save_cap else 0),
         **finish_kw,
     )
+    if stage_sync:
+        with slog.time("device.seeding.finish_sync"):
+            jax.block_until_ready(packed)
     if sync:
         with slog.time("device.seeding.pack_sync"):
             jax.block_until_ready(packed)

@@ -217,7 +217,21 @@ class SequenceDB:
 
     @property
     def padded_length(self) -> int:
-        return len(self.packed) * 4
+        # rounded UP to PAD: NCBI .nsq volumes end at arbitrary bytes,
+        # and device buffers must stay lane-aligned (odd-length
+        # XLA:CPU programs have corrupted the process; see
+        # engine/search.py resident upload). Native-format buffers are
+        # PAD-aligned already, so this is the identity for them.
+        return -(-(len(self.packed) * 4) // PAD) * PAD
+
+    def packed_padded(self) -> np.ndarray:
+        """Heap copy of ``packed``, zero-padded to padded_length/4
+        bytes -- safe to hand to the device runtime even when
+        ``packed`` is a read-only memmap (mmap-backed volumes must
+        never be aliased by the CPU backend's zero-copy path)."""
+        out = np.zeros(self.padded_length // 4, np.uint8)
+        out[: len(self.packed)] = self.packed
+        return out
 
     def info(self) -> DBInfo:
         return DBInfo(
@@ -257,7 +271,7 @@ class SequenceDB:
 
     def unpacked(self) -> np.ndarray:
         """Whole padded buffer as 2-bit codes (uint8[padded_length])."""
-        return unpack_2na(self.packed, self.padded_length)
+        return unpack_2na(self.packed_padded(), self.padded_length)
 
     def valid_mask(self) -> np.ndarray:
         """bool[padded_length]: True for real subject bases, False for pad.

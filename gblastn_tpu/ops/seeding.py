@@ -438,9 +438,15 @@ def mini_extend(
 
 @jax.jit
 def pack_subject_words(packed: jnp.ndarray) -> jnp.ndarray:
-    """uint8[S/4] packed bytes -> uint32[S/16], 16 bases per word,
+    """uint8[S/4] packed bytes -> uint32[ceil(S/16)], 16 bases per word,
     first base in the highest 2 bits (the gather unit of
-    mini_extend_packed)."""
+    mini_extend_packed). Odd byte counts (NCBI .nsq volumes end at the
+    remainder byte) are zero-padded to the word."""
+    if packed.shape[0] % 4:
+        packed = jnp.concatenate([
+            packed,
+            jnp.zeros(4 - packed.shape[0] % 4, packed.dtype),
+        ])
     p = packed.astype(jnp.uint32)
     return (
         (p[0::4] << 24) | (p[1::4] << 16) | (p[2::4] << 8) | p[3::4]

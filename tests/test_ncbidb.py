@@ -204,3 +204,91 @@ def test_v5_search_end_to_end(tmp_path):
     )
     h = res.queries[0].hsplists[0].hsps[0]
     assert h.s_off == 4000 and h.s_end == 4300
+
+
+def _rss_mb() -> float:
+    with open("/proc/self/statm") as f:
+        return int(f.read().split()[1]) * 4096 / 1e6
+
+
+def test_mmap_volume_matches_records(vol):
+    """load_ncbi_db aliases the .nsq memmap as the packed payload; every
+    sequence (incl. restored ambiguity letters) must match the source
+    records, and search results must equal a from_records database."""
+    prefix, seqs = vol
+    db = load_ncbi_db(prefix)
+    base = db.packed
+    while getattr(base, "base", None) is not None and not isinstance(
+        base, np.memmap
+    ):
+        base = base.base
+    assert isinstance(base, np.memmap)
+    assert db.ids == [i for i, _, _ in seqs]
+    assert db.titles == [t for _, t, _ in seqs]
+    for oid, (_, _, eseq) in enumerate(seqs):
+        assert int(db.lengths[oid]) == len(eseq)
+        np.testing.assert_array_equal(
+            db.get_sequence_blastna(oid), seq_to_blastna(eseq.encode())
+        )
+
+    from gblastn_tpu.engine.search import search
+    from gblastn_tpu.params.options import blastn_options
+
+    recs = [FastaRecord(i, t, s.encode()) for i, t, s in seqs]
+    ref_db = SequenceDB.from_records(recs, title="ref")
+    q = [FastaRecord("q", "", seqs[0][2][100:500].encode()),
+         FastaRecord("q2", "", seqs[2][2][10:300].encode())]
+    opts = blastn_options(evalue=10)
+
+    def rows(res):
+        return [
+            (qr.query_index, lst.oid, h.q_off, h.q_end, h.s_off,
+             h.s_end, h.score)
+            for qr in res.queries for lst in qr.hsplists
+            for h in lst.hsps
+        ]
+
+    assert rows(search(q, db, opts)) == rows(search(q, ref_db, opts))
+
+
+def test_mmap_volume_bounded_rss(tmp_path):
+    """A multi-GB-scale NCBI volume opens in O(metadata) RSS: the .nsq
+    payload stays on disk until pages are touched (seqdbatlas role)."""
+    nsq = tmp_path / "big.nsq"
+    n_bytes = 192 * 1024 * 1024    # 768 Mbase packed payload
+    mm = np.memmap(nsq, np.uint8, mode="w+", shape=(n_bytes,))
+    step = 1 << 24
+    rng = np.random.default_rng(9)
+    for off in range(0, n_bytes, step):
+        mm[off: off + step] = rng.integers(
+            0, 256, min(step, n_bytes - off), dtype=np.uint8)
+    mm[-1] = (mm[-1] & 0xFC) | 0
+    mm.flush()
+    del mm
+    # hand-build the .nin: one sequence spanning the whole file
+    total = (n_bytes - 1) * 4
+    tb = b"big"
+    db_ = b"Jan 1, 2026  12:00 AM"
+    db_ += b"\x00" * ((-(len(tb) + len(db_))) % 4)
+    head = struct.pack(">ii", 4, 0)
+    head += struct.pack(">i", len(tb)) + tb
+    head += struct.pack(">i", len(db_)) + db_
+    head += struct.pack(">i", 1)
+    head += struct.pack("<q", total)
+    head += struct.pack(">i", total)
+    # hdr [0, 4] (4-byte dummy blob), seq [0, n], amb [n, n] (none)
+    arrays = np.array(
+        [0, 4] + [0, n_bytes] + [n_bytes, n_bytes], dtype=">u4")
+    (tmp_path / "big.nin").write_bytes(head + arrays.tobytes())
+    (tmp_path / "big.nhr").write_bytes(b"\x30\x80\x00\x00")
+
+    before = _rss_mb()
+    db = load_ncbi_db(tmp_path / "big")
+    assert db.num_seqs == 1
+    assert int(db.lengths[0]) == total
+    # streamed-fetch access pattern: scattered block slices
+    for off in range(0, n_bytes, n_bytes // 5):
+        chunk = np.asarray(db.packed[off: off + 65536])
+        assert chunk.nbytes <= 65536
+    delta = _rss_mb() - before
+    assert delta < 64, f"NCBI mmap open grew RSS by {delta:.0f} MB"
