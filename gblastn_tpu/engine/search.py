@@ -22,7 +22,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from gblastn_tpu.engine.gapped import run_gapped_prelim
-from gblastn_tpu.engine.seeding import SeedingDeviceData, run_seeding
+from gblastn_tpu.engine.seeding import (
+    SeedingDeviceData,
+    allowed_bits,
+    run_seeding,
+)
 from gblastn_tpu.hits import (
     HSPList,
     HitList,
@@ -95,9 +99,14 @@ def _second_template_dev(dev, lut2):
 
     if dev.host_qbuf is not None:
         # blob path: the table ships inside the batch blob
-        pos2, _pw2 = _pad_lut_host(lut2)
+        from gblastn_tpu.engine.seeding import allowed_bits
+
         return _dc.replace(
-            dev, lut_pos_host=pos2, lut_n_pos=len(lut2.positions),
+            dev,
+            lut_pos_host=allowed_bits(
+                lut2.positions, len(dev.host_qbuf)
+            ),
+            lut_n_pos=len(lut2.positions),
             lut_table_size=lut2.table_size,
         )
     offs, pos_padded = _upload_lut(lut2)
@@ -485,12 +494,16 @@ def prelim_search_steps(
     n_shards = min(n_shards, len(jax.devices()))
 
     # subject streaming: above the threshold the DB no longer fits
-    # device-resident (~3 bytes/base of HBM) and blocks are streamed
-    # through a fixed buffer instead (engine.stream)
+    # device-resident and blocks are streamed through a fixed buffer
+    # instead (engine.stream). With packed-only residency (0.25 B/base
+    # persistent; transient ~3 B/base per dispatch) a 1 Gbase database
+    # is comfortably resident; past 2^31 bases the scan's int32
+    # coordinates force streaming regardless (block-local coords).
     stream_env = os.environ.get("GBLASTN_TPU_STREAM", "")
     stream_threshold = int(
-        os.environ.get("GBLASTN_TPU_STREAM_THRESHOLD", str(1 << 28))
+        os.environ.get("GBLASTN_TPU_STREAM_THRESHOLD", str(1 << 30))
     )
+    stream_threshold = min(stream_threshold, (1 << 31) - (1 << 20))
     use_stream = (
         n_shards <= 1
         and stream_env != "0"
@@ -679,31 +692,27 @@ def prelim_search_steps(
                     **stream_kw,
                 )
     else:
-        # the subject arrays are per-database and immutable: upload once
-        # and cache on the db object (the role of G-BLASTN's per-oid
-        # cached device arrays, gpu_blastn_MB_and_smallNa.cu:63-152)
-        dev_subject = getattr(db, "_device_cache", None)
-        if dev_subject is None or len(dev_subject) < 6:
-            from gblastn_tpu.ops.pallas_ungapped import prepare_subject
-            from gblastn_tpu.ops.seeding import pack_subject_words
-
+        # the subject arrays are per-database and immutable: upload
+        # once and cache on the db object (the role of G-BLASTN's
+        # per-oid cached device arrays,
+        # gpu_blastn_MB_and_smallNa.cu:63-152). The PERSISTENT tier is
+        # the 2-bit packed buffer alone (0.25 B/base; packed_padded is
+        # a PAD-aligned heap copy, never the raw memmap -- the CPU
+        # backend zero-copy aliases numpy buffers); the blob path
+        # derives every other subject form inside the seeding program.
+        base_cache = getattr(db, "_device_cache", None)
+        if base_cache is None or len(base_cache) != 3:
             with slog.time("setup.subject_upload"):
-                sub2 = jnp.asarray(db.unpacked().astype(np.int8))
-                dev_subject = (
-                    sub2,
-                    jnp.asarray(db.valid_mask()),
-                    prepare_subject(sub2),
-                    # packed_padded: PAD-aligned heap copy (never the
-                    # raw memmap; the CPU backend zero-copy aliases
-                    # numpy buffers)
-                    pack_subject_words(jnp.asarray(db.packed_padded())),
+                base_cache = (
+                    jnp.asarray(db.packed_padded()),
                     jnp.asarray(np.asarray(db.starts)),
                     jnp.asarray(
                         np.asarray(db.starts) + np.asarray(db.lengths)
                     ),
                 )
-                jax.block_until_ready(dev_subject)
-            db._device_cache = dev_subject
+                jax.block_until_ready(base_cache)
+            db._device_cache = base_cache
+        packed_dev, starts_dev, ends_dev = base_cache
 
         from gblastn_tpu.ops.pallas_ungapped import make_table64
         from gblastn_tpu.ops.seeding import pack_query_nibbles
@@ -726,10 +735,58 @@ def prelim_search_steps(
             and pw_padded is not None
             and not os.environ.get("GBLASTN_TPU_FORCE_XLA")
             and (
-                next(iter(dev_subject[0].devices())).platform == "tpu"
+                next(iter(packed_dev.devices())).platform == "tpu"
                 or os.environ.get("GBLASTN_TPU_FORCE_BLOB") == "1"
             )
         )
+        # packed-only residency is a TPU HBM optimization; the CPU
+        # legs (incl. FORCE_BLOB interpret mode) always materialize
+        packed_only = (
+            use_blob
+            and next(iter(packed_dev.devices())).platform == "tpu"
+        )
+        mat = (None,) * 4
+        if not packed_only:
+            # non-blob legs need the materialized subject arrays
+            mat = getattr(db, "_device_cache_mat", None)
+            if mat is None:
+                with slog.time("setup.subject_material"):
+                    if next(iter(
+                        packed_dev.devices()
+                    )).platform == "tpu":
+                        # derive on device from the packed tier
+                        from gblastn_tpu.engine.seeding import (
+                            _derive_material_jit,
+                        )
+
+                        mat = _derive_material_jit(
+                            packed_dev, starts_dev, ends_dev
+                        )
+                    else:
+                        # CPU: build from host arrays (no HBM to
+                        # economize, and the on-device derive program
+                        # has destabilized XLA:CPU -- see the blob
+                        # fusion note in engine/seeding.py)
+                        from gblastn_tpu.ops.pallas_ungapped import (
+                            prepare_subject,
+                        )
+                        from gblastn_tpu.ops.seeding import (
+                            pack_subject_words,
+                        )
+
+                        sub2 = jnp.asarray(
+                            db.unpacked().astype(np.int8)
+                        )
+                        mat = (
+                            sub2,
+                            jnp.asarray(db.valid_mask()),
+                            pack_subject_words(
+                                jnp.asarray(db.packed_padded())
+                            ),
+                            prepare_subject(sub2),
+                        )
+                    jax.block_until_ready(mat)
+                db._device_cache_mat = mat
 
         q_allowed_dev = None
         if db_index is not None:
@@ -763,8 +820,8 @@ def prelim_search_steps(
 
         dev = SeedingDeviceData(
             query=(None if use_blob else _qdev_get()),
-            subject2=dev_subject[0],
-            subject_valid=dev_subject[1],
+            subject2=mat[0],
+            subject_valid=mat[1],
             lut_offsets=(
                 idx_dev[0] if db_index is not None
                 else None if use_blob else _lut_dev_get()[0]
@@ -774,17 +831,20 @@ def prelim_search_steps(
                 else None if use_blob else jnp.asarray(pos_padded)
             ),
             matrix16=m16_dev,
-            pallas_subject=dev_subject[2],
+            pallas_subject=mat[3],
             table64=table64_dev,
             query_nib=(
                 None if use_blob else pack_query_nibbles(_qdev_get())
             ),
-            subject_w=dev_subject[3],
+            subject_w=mat[2],
             q_allowed=q_allowed_dev,
-            subject_starts_dev=dev_subject[4],
-            subject_ends_dev=dev_subject[5],
+            subject_starts_dev=starts_dev,
+            subject_ends_dev=ends_dev,
+            packed_dev=(packed_dev if packed_only else None),
             host_qbuf=(qbuf_padded if use_blob else None),
-            lut_pos_host=(pos_padded if use_blob else None),
+            lut_pos_host=(
+                allowed_bits(lut.positions, qcap) if use_blob else None
+            ),
             lut_n_pos=len(lut.positions),
             lut_table_size=lut.table_size,
         )
@@ -849,7 +909,11 @@ def prelim_search_steps(
                 or os.environ.get("GBLASTN_TPU_GAPPED_FILTER")
                 in ("1", "interpret")):
             device_gapped = _build_gapped_filter(
-                qblock, params, db, device_arrays=dev.subject2
+                qblock, params, db,
+                device_arrays=(
+                    dev.packed_dev if dev.packed_dev is not None
+                    else dev.subject2
+                ),
             )
     slog.diagnostics.good_init_extends += len(init)
     check(interrupt_fn)

@@ -76,6 +76,34 @@ def unpack_2na_device(packed: jnp.ndarray) -> jnp.ndarray:
     return cols.reshape(-1).astype(jnp.int8)
 
 
+def valid_from_intervals(S: int, starts, ends) -> jnp.ndarray:
+    """bool[S] validity mask from per-subject [start, end) intervals,
+    gather-free: +1/-1 boundary scatter + running sum (O(S + n_subj)
+    elementwise work; the searchsorted form costs S * log(n_subj)
+    gathers). Subject coordinates must fit int32 (the resident-path
+    guard; streamed blocks are block-local)."""
+    d = jnp.zeros(S + 1, jnp.int32)
+    d = d.at[jnp.clip(starts.astype(jnp.int32), 0, S)].add(
+        1, mode="drop"
+    )
+    d = d.at[jnp.clip(ends.astype(jnp.int32), 0, S)].add(
+        -1, mode="drop"
+    )
+    return jnp.cumsum(d[:S]) > 0
+
+
+def subject_arrays_from_packed(packed, starts, ends):
+    """(subject2, valid, subject_w) derived ON DEVICE from the 2-bit
+    packed buffer -- the packed-only residency path (VERDICT r3 item
+    2): the packed bytes are the ONLY persistent subject array
+    (0.25 B/base); everything else materializes transiently inside the
+    seeding program and is freed when the dispatch ends. Reference
+    analog: whole-chromosome device residency, blast_gapalign.h:54."""
+    subject2 = unpack_2na_device(packed)
+    valid = valid_from_intervals(subject2.shape[0], starts, ends)
+    return subject2, valid, pack_subject_words(packed)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -231,24 +231,50 @@ def test_mmap_volume_matches_records(vol):
             db.get_sequence_blastna(oid), seq_to_blastna(eseq.encode())
         )
 
-    from gblastn_tpu.engine.search import search
-    from gblastn_tpu.params.options import blastn_options
+    # the search-equality leg runs in a SUBPROCESS: executing CPU
+    # searches over the (byte-aligned, memmap-backed) NCBI layout has
+    # repeatedly corrupted the parent process heap somewhere inside
+    # XLA:CPU (delayed segfaults in later unrelated compiles, seen
+    # only when hundreds of further compiles follow in-process). The
+    # child runs the identical assertion with full fidelity and dies
+    # cleanly; production single-search processes are unaffected.
+    import subprocess
+    import sys
 
-    recs = [FastaRecord(i, t, s.encode()) for i, t, s in seqs]
-    ref_db = SequenceDB.from_records(recs, title="ref")
-    q = [FastaRecord("q", "", seqs[0][2][100:500].encode()),
-         FastaRecord("q2", "", seqs[2][2][10:300].encode())]
-    opts = blastn_options(evalue=10)
+    prog = f"""
+import numpy as np
+from gblastn_tpu.engine.search import search
+from gblastn_tpu.io.fasta import FastaRecord
+from gblastn_tpu.io.ncbidb import load_ncbi_db
+from gblastn_tpu.io.seqdb import SequenceDB
+from gblastn_tpu.params.options import blastn_options
 
-    def rows(res):
-        return [
-            (qr.query_index, lst.oid, h.q_off, h.q_end, h.s_off,
-             h.s_end, h.score)
-            for qr in res.queries for lst in qr.hsplists
-            for h in lst.hsps
-        ]
+seqs = {seqs!r}
+db = load_ncbi_db({str(prefix)!r})
+recs = [FastaRecord(i, t, s.encode()) for i, t, s in seqs]
+ref_db = SequenceDB.from_records(recs, title="ref")
+q = [FastaRecord("q", "", seqs[0][2][100:500].encode()),
+     FastaRecord("q2", "", seqs[2][2][10:300].encode())]
+opts = blastn_options(evalue=10)
 
-    assert rows(search(q, db, opts)) == rows(search(q, ref_db, opts))
+def rows(res):
+    return [
+        (qr.query_index, lst.oid, h.q_off, h.q_end, h.s_off,
+         h.s_end, h.score)
+        for qr in res.queries for lst in qr.hsplists
+        for h in lst.hsps
+    ]
+
+a, b = rows(search(q, db, opts)), rows(search(q, ref_db, opts))
+assert a == b and a, (a, b)
+print("NCBI_MMAP_SEARCH_OK", len(a))
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", prog], capture_output=True, text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "NCBI_MMAP_SEARCH_OK" in r.stdout
 
 
 def test_mmap_volume_bounded_rss(tmp_path):
