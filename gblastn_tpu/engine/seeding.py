@@ -600,7 +600,7 @@ def _finish_saved_hits(
 def _pallas_alive_only(
     query_p, subject_p, table64, query_nib, subject_w,
     qs, ss, ok, xd, maxl, maxr,
-    *, word_size, alive_cap, interpret=False,
+    *, word_size, alive_cap, interpret=False, ext_window=None,
 ):
     """Phase-0 clamped X-drop for ALL seeds; the window kernel only for
     the (few) seeds still alive at the clamp, scattered back in place.
@@ -623,7 +623,7 @@ def _pallas_alive_only(
     f_q, f_s, f_len, f_score, f_tr = ungapped_extend_pallas_prepared(
         (query_p, subject_p), table64,
         qs[aidx], ss[aidx], afill, xd[aidx], maxl[aidx], maxr[aidx],
-        interpret=interpret,
+        interpret=interpret, window=ext_window,
     )
     widx = jnp.where(afill, aidx, qs.shape[0])   # OOB pads: dropped
     uq = uq0.at[widx].set(f_q, mode="drop")
@@ -641,6 +641,7 @@ def _dev_replay_pack(
     qs, ss, ok, xd, f_q, f_len, f_score, f_tr, rr, oid, sub_hi,
     n_overflow, n_raw, n_hit, n_srv, n_alive, n_adm,
     *, word_size, window, diag_mask, save_cap, ctx_cap,
+    gate_cap=0,
 ):
     """Device replay tail of the finisher: the per-diagonal replay
     (two-hit when window > 0, one-hit otherwise), the approx-ungapped
@@ -696,11 +697,14 @@ def _dev_replay_pack(
         red_per = red_tab[sc]
         sub_lo = starts_dev[oid].astype(jnp.int32)
 
+        g_cap = gate_cap or save_cap
+        t2_cap = max(g_cap // 16, 64)
+
         def gate_lanes(mask):
             """Two-tier clamped gate on the compacted mask lanes.
             Returns (demote[n], a_total[n] partial scatters,
-            n_unresolved incl. compaction overflow)."""
-            gidx, gfill, n_new = compact_indices(mask, save_cap, 0)
+            n_unresolved incl. compaction overflow, n_new)."""
+            gidx, gfill, n_new = compact_indices(mask, g_cap, 0)
             d1, _q1, _s1, _e1, t1, r1 = approx_gate_device(
                 qbytes, subject_w, t256,
                 qs[gidx], ss[gidx], gfill, xd[gidx],
@@ -710,7 +714,7 @@ def _dev_replay_pack(
             # unresolved (meandering walks that neither drop nor
             # reach the reduced cutoff); re-walk those with 32x clamp
             unres1 = gfill & ~r1
-            u_idx, u_fill, n_u = compact_indices(unres1, 512, 0)
+            u_idx, u_fill, n_u = compact_indices(unres1, t2_cap, 0)
             g2 = gidx[u_idx]
             d2, _q2, _s2, _e2, t2, r2 = approx_gate_device(
                 qbytes, subject_w, t256,
@@ -730,20 +734,21 @@ def _dev_replay_pack(
             a_tot_p = a_tot_p.at[w2].set(t2, mode="drop")
             n_un = (
                 (u_fill & ~r2).sum()
-                + (n_u > 512)
-                + (n_new > save_cap)
+                + (n_u > t2_cap)
+                + (n_new > g_cap)
             ).astype(jnp.int32)
-            return demote_p, a_tot_p, n_un
+            return demote_p, a_tot_p, n_un, n_new
 
         saved0, rep_ovf0 = replay(f_score)
 
         def fix_cond(st):
-            it, _sc_, _g, _d, to_gate, _sv, _ov, _un = st
+            it, _sc_, _g, _d, to_gate, _sv, _ov, _un, _gn = st
             return (it < 6) & to_gate.any()
 
         def fix_body(st):
-            it, scores, gated, demoted, to_gate, saved_i, ovf, n_un = st
-            demote_p, a_tot_p, n_un_i = gate_lanes(to_gate)
+            (it, scores, gated, demoted, to_gate, saved_i, ovf,
+             n_un, g_need) = st
+            demote_p, a_tot_p, n_un_i, n_new = gate_lanes(to_gate)
             gated = gated | to_gate
             demoted = demoted | demote_p
             scores = jnp.where(demote_p, a_tot_p, scores)
@@ -755,7 +760,8 @@ def _dev_replay_pack(
                 lambda: (saved_i, ovf),
             )
             return (it + 1, scores, gated, demoted,
-                    saved_i & ~gated, saved_i, ovf, n_un + n_un_i)
+                    saved_i & ~gated, saved_i, ovf, n_un + n_un_i,
+                    jnp.maximum(g_need, n_new))
 
         init = (
             jnp.zeros((), jnp.int32),
@@ -766,9 +772,10 @@ def _dev_replay_pack(
             saved0,
             rep_ovf0,
             jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32),
         )
         (fix_it, _scores, _gated, _demoted, to_gate, saved,
-         n_rep_ovf, n_unres) = jax.lax.while_loop(
+         n_rep_ovf, n_unres, n_gate_need) = jax.lax.while_loop(
             fix_cond, fix_body, init
         )
         # non-convergence within the iteration cap -> host fallback
@@ -776,6 +783,7 @@ def _dev_replay_pack(
     else:
         saved, n_rep_ovf = replay(f_score)
         n_unres = jnp.zeros((), jnp.int32)
+        n_gate_need = jnp.zeros((), jnp.int32)
 
     n_trunc = (ok & ((f_tr & 1) != 0)).sum().astype(jnp.int32)
     n_fallback = n_unres + n_rep_ovf + n_trunc
@@ -798,7 +806,7 @@ def _dev_replay_pack(
             n_adm.astype(jnp.int32),
             n_saved.astype(jnp.int32),
             n_fallback,
-            jnp.zeros((), jnp.int32),
+            n_gate_need.astype(jnp.int32),
         ]),
     ])
 
@@ -807,7 +815,8 @@ def _dev_replay_pack(
     jax.jit,
     static_argnames=(
         "word_size", "alive_cap", "interpret", "window", "diag_mask",
-        "adm_cap", "save_cap", "ctx_cap", "rr_zero",
+        "adm_cap", "save_cap", "ctx_cap", "rr_zero", "gate_cap",
+        "ext_window",
     ),
 )
 def _finish_seeds_jit(
@@ -817,7 +826,7 @@ def _finish_seeds_jit(
     ctx=None, blob=None,
     *, word_size, alive_cap, interpret=False,
     window=0, diag_mask=0, adm_cap=0, save_cap=0, ctx_cap=0,
-    rr_zero=False,
+    rr_zero=False, gate_cap=0, ext_window=None,
 ):
     """Everything after the scan program as ONE jitted dispatch:
     query window-prep, phase-0 clamped X-drop, alive compaction, the
@@ -885,7 +894,7 @@ def _finish_seeds_jit(
             query_p, subject_p, table64, query_nib, subject_w,
             qs[aidx], ss[aidx], afill, xd[aidx], maxl[aidx], maxr[aidx],
             word_size=word_size, alive_cap=alive_cap,
-            interpret=interpret,
+            interpret=interpret, ext_window=ext_window,
         )
         widx = jnp.where(afill, aidx, n)     # OOB pads: dropped
         f_q = qs.at[widx].set(c_q, mode="drop")      # zeros elsewhere?
@@ -910,14 +919,14 @@ def _finish_seeds_jit(
                 n_overflow, n_raw, n_hit, n_srv, n_alive, n_adm,
                 word_size=word_size, window=window,
                 diag_mask=diag_mask, save_cap=save_cap,
-                ctx_cap=ctx_cap,
+                ctx_cap=ctx_cap, gate_cap=gate_cap,
             )
     elif alive_cap and query_nib is not None:
         (f_q, _f_s, f_len, f_score, f_tr, n_alive) = _pallas_alive_only(
             query_p, subject_p, table64, query_nib, subject_w,
             qs, ss, ok, xd, maxl, maxr,
             word_size=word_size, alive_cap=alive_cap,
-            interpret=interpret,
+            interpret=interpret, ext_window=ext_window,
         )
         n_overflow = n_overflow + jnp.maximum(n_alive - alive_cap, 0)
         if save_cap:
@@ -937,12 +946,13 @@ def _finish_seeds_jit(
                 jnp.zeros((), jnp.int32),
                 word_size=word_size, window=0,
                 diag_mask=diag_mask, save_cap=save_cap,
-                ctx_cap=ctx_cap,
+                ctx_cap=ctx_cap, gate_cap=gate_cap,
             )
     else:
         f_q, _f_s, f_len, f_score, f_tr = ungapped_extend_pallas_prepared(
             (query_p, subject_p), table64,
             qs, ss, ok, xd, maxl, maxr, interpret=interpret,
+            window=ext_window,
         )
     return _pack_seeds(qs, ss, ok, f_q, f_len, f_score, f_tr,
                        n_overflow, n_raw, (n_hit, n_srv, n_alive, n_adm),
@@ -1115,7 +1125,7 @@ def _derive_material_jit(packed, starts, ends):
         "scan_step", "lut_word", "word_size", "cmax", "n_scan",
         "hit_cap", "seed_cap", "disc_offsets",
         "alive_cap", "interpret", "window", "diag_mask", "adm_cap",
-        "save_cap", "rr_zero",
+        "save_cap", "rr_zero", "gate_cap", "ext_window",
     ),
 )
 def _scan_finish_one_jit(
@@ -1124,7 +1134,7 @@ def _scan_finish_one_jit(
     *, qcap, ctx_cap, pcap, table_size, packed_mini,
     scan_step, lut_word, word_size, cmax, n_scan, hit_cap, seed_cap,
     disc_offsets, alive_cap, interpret, window, diag_mask, adm_cap,
-    save_cap, rr_zero,
+    save_cap, rr_zero, gate_cap=0, ext_window=None,
 ):
     """The whole seeding chain (scan + finisher) as ONE dispatch.
 
@@ -1166,7 +1176,7 @@ def _scan_finish_one_jit(
         save_cap=save_cap, ctx_cap=(ctx_cap if save_cap else 0),
         word_size=word_size, alive_cap=alive_cap, interpret=interpret,
         window=window, diag_mask=diag_mask, adm_cap=adm_cap,
-        rr_zero=rr_zero,
+        rr_zero=rr_zero, gate_cap=gate_cap, ext_window=ext_window,
     )
 
 
@@ -1177,7 +1187,7 @@ def _seeding_tpu_blob(
     scan_step, lut_word, word_size, cmax, n_scan,
     hit_cap, seed_cap, alive_cap, disc_offsets, interpret=False,
     sync=True, window=0, diag_mask=0, adm_cap=0, save_cap=0,
-    rr_zero=False, packed_dev=None,
+    rr_zero=False, packed_dev=None, gate_cap=0, ext_window=None,
 ):
     """Blob-fed TPU seeding: ONE upload + ONE dispatch + ONE fetch
     (GBLASTN_TPU_ONE_DISPATCH=0: two dispatches, scan | finisher).
@@ -1209,6 +1219,7 @@ def _seeding_tpu_blob(
         disc_offsets=disc_offsets,
         alive_cap=alive_eff, interpret=interpret, window=window,
         diag_mask=diag_mask, adm_cap=adm_cap, rr_zero=rr_zero,
+        gate_cap=gate_cap, ext_window=ext_window,
     )
     if packed_dev is not None and not one:
         # the two-dispatch debug split needs materialized subject
@@ -1292,7 +1303,7 @@ def _seeding_tpu_blob(
             alive_cap=(alive_cap if query_nib is not None else 0),
             interpret=interpret,
             window=window, diag_mask=diag_mask, adm_cap=adm_cap,
-            rr_zero=rr_zero,
+            rr_zero=rr_zero, gate_cap=gate_cap, ext_window=ext_window,
         )
         packed = _finish_seeds_jit(
             *finish_args,
@@ -1551,6 +1562,24 @@ def run_seeding_steps(
         max(_CAP_CACHE.get((cap_key, "save"), 0), 16384)
         if dev_replay else 0
     )
+    # the approx gate runs on statically-capped compacted lanes; the
+    # real demand is the newly-saved count (~final HSPs per batch), far
+    # below save_cap -- start small and grow from the measured need
+    gate_cap = (
+        max(_CAP_CACHE.get((cap_key, "gate"), 0), 2048)
+        if dev_replay else 0
+    )
+    # window-kernel extent: extensions stop (genuine X-drop) within one
+    # query context -- sentinels score NEG_BIG -- so a per-direction
+    # window of max-context-length + margin is exact and costs
+    # proportionally less scan work than the fixed 2048 (1 kb reads ->
+    # window 1024, half the kernel cells). Longer contexts keep the
+    # full window; anything truncated escalates to phase 2 as before.
+    max_ctx = int(np.max(np.diff(context_offsets[: n_ctx + 1]),
+                         initial=1))
+    ext_window = 256
+    while ext_window < min(max_ctx + 64, 2048):
+        ext_window *= 2
 
     first_dispatch = True
     dev_saved = None
@@ -1583,6 +1612,8 @@ def run_seeding_steps(
                     save_cap=save_cap,
                     rr_zero=rr_zero,
                     packed_dev=dev.packed_dev,
+                    gate_cap=gate_cap,
+                    ext_window=ext_window,
                 )
             refetch_full = None
             if save_cap:
@@ -1600,6 +1631,16 @@ def run_seeding_steps(
                 n_overflow, n_raw = int(tail[0]), int(tail[1])
                 counts = tuple(int(c) for c in tail[2:6])
                 n_saved, n_fb = int(tail[6]), int(tail[7])
+                n_gate_need = int(tail[8])
+                if (n_overflow == 0 and n_fb > 0
+                        and n_gate_need > gate_cap):
+                    # gate compaction overflowed: grow the gate cap and
+                    # re-dispatch (cheap) instead of the host fallback
+                    gate_cap = _round_up_pow2(
+                        n_gate_need + n_gate_need // 8, gate_cap
+                    )
+                    _CAP_CACHE[(cap_key, "gate")] = gate_cap
+                    continue
                 if n_overflow == 0:
                     if n_saved > save_cap:
                         # remember the real demand for future batches;

@@ -99,19 +99,20 @@ def _extract_window(ref, slot, o, out_rows):
 BROWS = SEEDS_PER_BLOCK * ROWS  # batched tile rows (8 seeds x 16)
 
 
-def _flat_scan_grouped(x2, op, identity):
-    """_flat_scan on [BROWS, COLS] with independent scans per 16-row
+def _flat_scan_grouped(x2, op, identity, rows):
+    """Inclusive scan over the flattened [rows*COLS] window of each
     seed group (carries masked at group boundaries)."""
-    col = jax.lax.broadcasted_iota(jnp.int32, (BROWS, COLS), 1)
+    brows = x2.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (brows, COLS), 1)
     d = 1
     while d < COLS:
         sh = pltpu.roll(x2, d, 1)
         x2 = op(x2, jnp.where(col >= d, sh, identity))
         d *= 2
-    rowg = jax.lax.broadcasted_iota(jnp.int32, (BROWS, 1), 0) % ROWS
+    rowg = jax.lax.broadcasted_iota(jnp.int32, (brows, 1), 0) % rows
     t = x2[:, COLS - 1:COLS]
     d = 1
-    while d < ROWS:
+    while d < rows:
         sh = pltpu.roll(t, d, 0)
         t = op(t, jnp.where(rowg >= d, sh, identity))
         d *= 2
@@ -119,225 +120,306 @@ def _flat_scan_grouped(x2, op, identity):
     return op(x2, excl)
 
 
-def _shift1_flat_grouped(x2, fill):
-    col = jax.lax.broadcasted_iota(jnp.int32, (BROWS, COLS), 1)
-    rowg = jax.lax.broadcasted_iota(jnp.int32, (BROWS, COLS), 0) % ROWS
+def _shift1_flat_grouped(x2, fill, rows):
+    brows = x2.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (brows, COLS), 1)
+    rowg = jax.lax.broadcasted_iota(jnp.int32, (brows, COLS), 0) % rows
     sh = pltpu.roll(x2, 1, 1)
     prev_last = pltpu.roll(x2[:, COLS - 1:COLS], 1, 0)
     prev_last = jnp.where(rowg[:, :1] >= 1, prev_last, fill)
     return jnp.where(col == 0, prev_last, sh)
 
 
-def _flat_scan_grouped_rev(x2, op, identity):
-    """Suffix (right-to-left flattened) scan per 16-row group: the left
+def _flat_scan_grouped_rev(x2, op, identity, rows):
+    """Suffix (right-to-left flattened) scan per seed group: the left
     extension window sits in FORWARD order in VMEM (one DMA covers both
     directions), so its step order is descending flat index."""
-    col = jax.lax.broadcasted_iota(jnp.int32, (BROWS, COLS), 1)
+    brows = x2.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (brows, COLS), 1)
     d = 1
     while d < COLS:
         sh = pltpu.roll(x2, COLS - d, 1)       # out[i] = x[i + d]
         x2 = op(x2, jnp.where(col < COLS - d, sh, identity))
         d *= 2
-    rowg = jax.lax.broadcasted_iota(jnp.int32, (BROWS, 1), 0) % ROWS
+    rowg = jax.lax.broadcasted_iota(jnp.int32, (brows, 1), 0) % rows
     t = x2[:, 0:1]                              # row totals (col 0)
     d = 1
-    while d < ROWS:
-        sh = pltpu.roll(t, BROWS - d, 0)       # out[r] = t[r + d]
-        t = op(t, jnp.where(rowg < ROWS - d, sh, identity))
+    while d < rows:
+        sh = pltpu.roll(t, brows - d, 0)       # out[r] = t[r + d]
+        t = op(t, jnp.where(rowg < rows - d, sh, identity))
         d *= 2
-    excl = jnp.where(rowg <= ROWS - 2, pltpu.roll(t, BROWS - 1, 0),
+    excl = jnp.where(rowg <= rows - 2, pltpu.roll(t, brows - 1, 0),
                      identity)
     return op(x2, excl)
 
 
-def _shift1_flat_grouped_rev(x2, fill):
+def _shift1_flat_grouped_rev(x2, fill, rows):
     """x2 shifted one step in REVERSED flattened order (x[p+1])."""
-    col = jax.lax.broadcasted_iota(jnp.int32, (BROWS, COLS), 1)
-    rowg = jax.lax.broadcasted_iota(jnp.int32, (BROWS, COLS), 0) % ROWS
+    brows = x2.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (brows, COLS), 1)
+    rowg = jax.lax.broadcasted_iota(jnp.int32, (brows, COLS), 0) % rows
     sh = pltpu.roll(x2, COLS - 1, 1)           # out[i] = x[i + 1]
-    nxt_first = pltpu.roll(x2[:, 0:1], BROWS - 1, 0)
-    nxt_first = jnp.where(rowg[:, :1] <= ROWS - 2, nxt_first, fill)
+    nxt_first = pltpu.roll(x2[:, 0:1], brows - 1, 0)
+    nxt_first = jnp.where(rowg[:, :1] <= rows - 2, nxt_first, fill)
     return jnp.where(col == COLS - 1, nxt_first, sh)
 
 
-def _kernel_batched(
-    # scalar prefetch
-    q_off_ref, s_off_ref, valid_ref, xdrop_ref, max_l_ref, max_r_ref,
-    # inputs
-    query_hbm, subject_hbm, table_ref,
-    # outputs
-    qs_ref, ss_ref, len_ref, score_ref, trunc_ref,
-    # scratch
-    qwin, swin, ql_c, qr_c, sl_c, sr_c, sem,
-):
-    """All seeds of a block processed as one [BROWS, 128] tile batch:
-    ONE DMA per seed per sequence covers both extension directions
-    ([off-WINDOW, off+WINDOW) of the forward guard-padded array); the
-    left direction is evaluated in place with mirrored suffix scans.
-    All DMAs are issued before one wait, and the score/scan work runs
-    once per direction instead of once per seed."""
-    blk = pl.program_id(0)
+def _make_kernel(window: int):
+    """Build the batched extension kernel for a per-direction window of
+    ``window`` bases (128 | window | window <= WINDOW). Smaller windows
+    do proportionally less scan work. Extensions are sentinel-bounded
+    by their query context, so a window >= max context length + margin
+    never truncates; lanes whose walk does not resolve inside the
+    window return the truncation flag and escalate to the XLA phase-2
+    path."""
+    rows_w = window // COLS
+    brows = SEEDS_PER_BLOCK * rows_w
+    buf2 = (2 * window + ALIGN) // COLS
+    goff = WINDOW - window     # guard pad is WINDOW; window start shift
 
-    # ---- phase 1: issue every DMA, then wait
-    cps = []
-    offs_all = []
-    for k in range(SEEDS_PER_BLOCK):
-        i = blk * SEEDS_PER_BLOCK + k
-        # padded index of original position (off - WINDOW) is just off
-        starts = [
-            (query_hbm, qwin, q_off_ref[i]),
-            (subject_hbm, swin, s_off_ref[i]),
-        ]
-        offs = []
-        for idx, (src, dst, start) in enumerate(starts):
-            arow = pl.multiple_of(
-                (start // ALIGN) * (ALIGN // COLS), ALIGN // COLS
-            )
-            offs.append(start - (start // ALIGN) * ALIGN)
-            cps.append(pltpu.make_async_copy(
-                src.at[pl.ds(arow, BUF2_ROWS)],
-                dst.at[k],
-                sem.at[2 * k + idx],
-            ))
-        offs_all.append(offs)
-    for c in cps:
-        c.start()
-    for c in cps:
-        c.wait()
-
-    # ---- phase 2: extract [2*ROWS] windows, split into left/right
-    for k in range(SEEDS_PER_BLOCK):
-        offs = offs_all[k]
-        r0, r1 = k * ROWS, (k + 1) * ROWS
-        qw = _extract_window(qwin, k, offs[0], 2 * ROWS)
-        sw = _extract_window(swin, k, offs[1], 2 * ROWS)
-        ql_c[r0:r1, :] = qw[0:ROWS, :]
-        qr_c[r0:r1, :] = qw[ROWS: 2 * ROWS, :]
-        sl_c[r0:r1, :] = sw[0:ROWS, :]
-        sr_c[r0:r1, :] = sw[ROWS: 2 * ROWS, :]
-
-    # ---- phase 3: batched scores + scans
-    def scores_for(qpacked, scodes2):
-        return _scores_closed_form(qpacked, scodes2, table_ref)
-
-    rowgid = (
-        jax.lax.broadcasted_iota(jnp.int32, (BROWS, 1), 0) // ROWS
-    )
-
-    def per_row(ref_read):
-        v = jnp.zeros((BROWS, 1), jnp.int32)
+    def issue_block_dmas(b, sl, q_off_ref, s_off_ref,
+                         query_hbm, subject_hbm, qwin, swin, sem):
+        cps = []
         for k in range(SEEDS_PER_BLOCK):
-            v = jnp.where(rowgid == k,
-                          ref_read(blk * SEEDS_PER_BLOCK + k), v)
-        return v
+            i = b * SEEDS_PER_BLOCK + k
+            for idx, (src, dst, start0) in enumerate((
+                (query_hbm, qwin, q_off_ref[i]),
+                (subject_hbm, swin, s_off_ref[i]),
+            )):
+                start = start0 + goff
+                arow = pl.multiple_of(
+                    (start // ALIGN) * (ALIGN // COLS), ALIGN // COLS
+                )
+                cps.append(pltpu.make_async_copy(
+                    src.at[pl.ds(arow, buf2)],
+                    dst.at[sl, k],
+                    sem.at[sl, 2 * k + idx],
+                ))
+        return cps
 
-    xdrop_rows = per_row(lambda i: xdrop_ref[i])
-    col = jax.lax.broadcasted_iota(jnp.int32, (BROWS, COLS), 1)
-    rowg = jax.lax.broadcasted_iota(jnp.int32, (BROWS, COLS), 0) % ROWS
-    # right window: flat index p = step - 1 (ascending). left window:
-    # step j reads flat index WINDOW - j (descending).
-    steps_fwd = rowg * COLS + col + 1
-    steps_rev = WINDOW - (rowg * COLS + col)
+    def kernel(
+        # scalar prefetch
+        q_off_ref, s_off_ref, valid_ref, xdrop_ref, max_l_ref,
+        max_r_ref,
+        # inputs
+        query_hbm, subject_hbm, table_ref,
+        # outputs
+        qs_ref, ss_ref, len_ref, score_ref, trunc_ref,
+        # scratch
+        qwin, swin, ql_c, qr_c, sl_c, sr_c, sem,
+    ):
+        """All seeds of a block processed as one [brows, 128] tile
+        batch: ONE DMA per seed per sequence covers both extension
+        directions ([off-window, off+window) of the guard-padded
+        forward array); the left direction is evaluated in place with
+        mirrored suffix scans. Window buffers are DOUBLE-BUFFERED
+        across grid steps (block i's compute overlaps block i+1's
+        DMAs) and per-seed reductions run as XOR-butterfly vector
+        reductions."""
+        blk = pl.program_id(0)
+        nblk = pl.num_programs(0)
+        slot = jax.lax.rem(blk, 2)
 
-    def direction_fwd(scores2, max_steps_rows):
-        sc = jnp.where(steps_fwd <= max_steps_rows, scores2, NEG_BIG)
-        cs = _flat_scan_grouped(sc, jnp.add, 0)
-        runmax = _flat_scan_grouped(cs, jnp.maximum, NEG_BIG)
-        prev_best = jnp.maximum(_shift1_flat_grouped(runmax, 0), 0)
-        dropped = (cs - prev_best) < -xdrop_rows
-        return cs, dropped
+        def issue(b, sl):
+            for c in issue_block_dmas(
+                b, sl, q_off_ref, s_off_ref, query_hbm, subject_hbm,
+                qwin, swin, sem,
+            ):
+                c.start()
 
-    def direction_rev(scores2, max_steps_rows):
-        sc = jnp.where(steps_rev <= max_steps_rows, scores2, NEG_BIG)
-        cs = _flat_scan_grouped_rev(sc, jnp.add, 0)
-        runmax = _flat_scan_grouped_rev(cs, jnp.maximum, NEG_BIG)
-        prev_best = jnp.maximum(
-            _shift1_flat_grouped_rev(runmax, 0), 0
+        @pl.when(blk == 0)
+        def _():
+            issue(blk, slot)
+
+        @pl.when(blk + 1 < nblk)
+        def _():
+            issue(blk + 1, 1 - slot)
+
+        for c in issue_block_dmas(
+            blk, slot, q_off_ref, s_off_ref, query_hbm, subject_hbm,
+            qwin, swin, sem,
+        ):
+            c.wait()
+
+        # ---- phase 2: extract [2*rows_w] windows, split left/right
+        for k in range(SEEDS_PER_BLOCK):
+            i = blk * SEEDS_PER_BLOCK + k
+            sq = q_off_ref[i] + goff
+            ssb = s_off_ref[i] + goff
+            off_q = sq - (sq // ALIGN) * ALIGN
+            off_s = ssb - (ssb // ALIGN) * ALIGN
+            r0, r1 = k * rows_w, (k + 1) * rows_w
+            qw = _extract_window(qwin.at[slot], k, off_q, 2 * rows_w)
+            sw = _extract_window(swin.at[slot], k, off_s, 2 * rows_w)
+            ql_c[r0:r1, :] = qw[0:rows_w, :]
+            qr_c[r0:r1, :] = qw[rows_w: 2 * rows_w, :]
+            sl_c[r0:r1, :] = sw[0:rows_w, :]
+            sr_c[r0:r1, :] = sw[rows_w: 2 * rows_w, :]
+
+        # ---- phase 3: batched scores + scans
+        def scores_for(qpacked, scodes2):
+            return _scores_closed_form(qpacked, scodes2, table_ref)
+
+        rowgid = (
+            jax.lax.broadcasted_iota(jnp.int32, (brows, 1), 0)
+            // rows_w
         )
-        dropped = (cs - prev_best) < -xdrop_rows
-        return cs, dropped
 
-    l_cs, l_drop = direction_rev(
-        scores_for(ql_c[:, :], sl_c[:, :]),
-        per_row(lambda i: max_l_ref[i]),
-    )
-    r_cs, r_drop = direction_fwd(
-        scores_for(qr_c[:, :], sr_c[:, :]),
-        per_row(lambda i: max_r_ref[i]),
-    )
+        def per_row(ref_read):
+            v = jnp.zeros((brows, 1), jnp.int32)
+            for k in range(SEEDS_PER_BLOCK):
+                v = jnp.where(rowgid == k,
+                              ref_read(blk * SEEDS_PER_BLOCK + k), v)
+            return v
 
-    # ---- phase 4: per-seed reductions
-    steps16_fwd = steps_fwd[0:ROWS, :]
-    steps16_rev = steps_rev[0:ROWS, :]
-    for k in range(SEEDS_PER_BLOCK):
-        i = blk * SEEDS_PER_BLOCK + k
-        r0, r1 = k * ROWS, (k + 1) * ROWS
+        xdrop_rows = per_row(lambda i: xdrop_ref[i])
+        col = jax.lax.broadcasted_iota(jnp.int32, (brows, COLS), 1)
+        rowg = jax.lax.broadcasted_iota(
+            jnp.int32, (brows, COLS), 0
+        ) % rows_w
+        # right window: flat index p = step - 1 (ascending). left
+        # window: step j reads flat index window - j (descending).
+        steps_fwd = rowg * COLS + col + 1
+        steps_rev = window - (rowg * COLS + col)
 
-        def reduce_dir(cs_all, drop_all, max_steps, steps16):
-            cs = cs_all[r0:r1, :]
-            dropped = drop_all[r0:r1, :]
-            any_drop = jnp.max(jnp.where(dropped, 1, 0)) > 0
-            first_drop = jnp.min(
-                jnp.where(dropped, steps16, WINDOW + 1)
+        def direction_fwd(scores2, max_steps_rows):
+            sc = jnp.where(
+                steps_fwd <= max_steps_rows, scores2, NEG_BIG
             )
-            stop = jnp.where(
-                any_drop, first_drop, jnp.minimum(max_steps, WINDOW)
+            cs = _flat_scan_grouped(sc, jnp.add, 0, rows_w)
+            runmax = _flat_scan_grouped(
+                cs, jnp.maximum, NEG_BIG, rows_w
             )
-            live = steps16 <= stop
+            prev_best = jnp.maximum(
+                _shift1_flat_grouped(runmax, 0, rows_w), 0
+            )
+            dropped = (cs - prev_best) < -xdrop_rows
+            return cs, dropped
+
+        def direction_rev(scores2, max_steps_rows):
+            sc = jnp.where(
+                steps_rev <= max_steps_rows, scores2, NEG_BIG
+            )
+            cs = _flat_scan_grouped_rev(sc, jnp.add, 0, rows_w)
+            runmax = _flat_scan_grouped_rev(
+                cs, jnp.maximum, NEG_BIG, rows_w
+            )
+            prev_best = jnp.maximum(
+                _shift1_flat_grouped_rev(runmax, 0, rows_w), 0
+            )
+            dropped = (cs - prev_best) < -xdrop_rows
+            return cs, dropped
+
+        l_cs, l_drop = direction_rev(
+            scores_for(ql_c[:, :], sl_c[:, :]),
+            per_row(lambda i: max_l_ref[i]),
+        )
+        r_cs, r_drop = direction_fwd(
+            scores_for(qr_c[:, :], sr_c[:, :]),
+            per_row(lambda i: max_r_ref[i]),
+        )
+
+        # ---- phase 4: grouped vector reductions. Lane-reduce to
+        # [brows, 1], then an XOR-butterfly over the rows_w rows of
+        # each group (partner r ^ d stays inside the aligned group for
+        # d < rows_w) leaves every row holding its group total.
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (brows, 1), 0)
+
+        def group_reduce(lane_reduced, op):
+            t = lane_reduced
+            d = 1
+            while d < rows_w:
+                fwd = pltpu.roll(t, d, 0)          # out[r] = t[r - d]
+                bwd = pltpu.roll(t, brows - d, 0)  # out[r] = t[r + d]
+                t = op(t, jnp.where((rowi & d) != 0, fwd, bwd))
+                d *= 2
+            return t
+
+        def reduce_dir(cs, dropped, max_steps_rows, steps):
+            # flags stay int32 vectors ([brows, 1] i1 vectors trip
+            # Mosaic truncation limits)
+            any_dropi = group_reduce(
+                jnp.max(jnp.where(dropped, 1, 0), axis=1,
+                        keepdims=True),
+                jnp.maximum,
+            )
+            first_drop = group_reduce(
+                jnp.min(jnp.where(dropped, steps, window + 1),
+                        axis=1, keepdims=True),
+                jnp.minimum,
+            )
+            msr = jnp.minimum(max_steps_rows, window)
+            stop = jnp.where(any_dropi > 0, first_drop, msr)
+            live = steps <= stop
             cand = jnp.where(live, cs, NEG_BIG)
-            best = jnp.maximum(jnp.max(cand), 0)
+            best = jnp.maximum(group_reduce(
+                jnp.max(cand, axis=1, keepdims=True), jnp.maximum
+            ), 0)
             is_best = jnp.where(
-                live & (cs == best), steps16, WINDOW + 1
+                live & (cs == best), steps, window + 1
             )
-            best_pos = jnp.where(best > 0, jnp.min(is_best), 0)
-            bound_hit = jnp.logical_not(any_drop) & (max_steps > WINDOW)
+            best_pos = jnp.where(best > 0, group_reduce(
+                jnp.min(is_best, axis=1, keepdims=True), jnp.minimum
+            ), 0)
+            bound_hit = jnp.where(
+                (any_dropi == 0) & (max_steps_rows > window), 1, 0
+            )
             # walk exhausted its step budget (first "drop" is the
             # budget-mask sentinel, or no drop at all) rather than
             # making a genuine X-drop decision -- the caller decides
             # whether that budget was a true sequence end or an
             # artificial clamp needing escalation (block streaming)
             bound_stop = jnp.where(
-                any_drop, first_drop > jnp.minimum(max_steps, WINDOW),
-                True,
+                any_dropi > 0, jnp.where(first_drop > msr, 1, 0), 1
             )
             return best, best_pos, bound_hit, bound_stop
 
         l_best, l_pos, l_bound, l_stop = reduce_dir(
-            l_cs, l_drop, max_l_ref[i], steps16_rev
+            l_cs, l_drop, per_row(lambda i: max_l_ref[i]), steps_rev
         )
         r_best, r_pos, r_bound, r_stop = reduce_dir(
-            r_cs, r_drop, max_r_ref[i], steps16_fwd
+            r_cs, r_drop, per_row(lambda i: max_r_ref[i]), steps_fwd
         )
 
-        ok = valid_ref[i] != 0
-        q_off = q_off_ref[i]
-        s_off = s_off_ref[i]
-
-        def bcast(v):
-            return jnp.full((128,), v, jnp.int32)
-
-        qs_ref[k, :] = bcast(jnp.where(ok, q_off - l_pos, 0))
-        ss_ref[k, :] = bcast(jnp.where(ok, s_off - l_pos, 0))
-        len_ref[k, :] = bcast(jnp.where(ok, l_pos + r_pos, 0))
-        score_ref[k, :] = bcast(jnp.where(ok, l_best + r_best, 0))
-        # bit 0: WINDOW overrun (the classic phase-2 escalation);
-        # bits 1/2: left/right walk ended at its step budget -- only
-        # meaningful to block streaming, where the budget may be a
-        # buffer-edge clamp rather than a true sequence end
-        trunc_ref[k, :] = bcast(jnp.where(
-            ok,
-            jnp.where(l_bound | r_bound, 1, 0)
-            + jnp.where(l_stop, 2, 0) + jnp.where(r_stop, 4, 0),
+        ok_rows = per_row(lambda i: valid_ref[i]) != 0
+        q_rows = per_row(lambda i: q_off_ref[i])
+        s_rows = per_row(lambda i: s_off_ref[i])
+        qs_all = jnp.where(ok_rows, q_rows - l_pos, 0)
+        ss_all = jnp.where(ok_rows, s_rows - l_pos, 0)
+        len_all = jnp.where(ok_rows, l_pos + r_pos, 0)
+        score_all = jnp.where(ok_rows, l_best + r_best, 0)
+        # bit 0: window overrun (escalation); bits 1/2: left/right walk
+        # ended at its step budget (block streaming buffer-edge
+        # semantics)
+        tr_all = jnp.where(
+            ok_rows,
+            jnp.where(l_bound + r_bound > 0, 1, 0)
+            + 2 * l_stop + 4 * r_stop,
             0,
-        ))
+        )
+        for k in range(SEEDS_PER_BLOCK):
+            r0 = k * rows_w
+
+            def bcast(v2):
+                return jnp.full((128,), v2[r0, 0], jnp.int32)
+
+            qs_ref[k, :] = bcast(qs_all)
+            ss_ref[k, :] = bcast(ss_all)
+            len_ref[k, :] = bcast(len_all)
+            score_ref[k, :] = bcast(score_all)
+            trunc_ref[k, :] = bcast(tr_all)
+
+    return kernel, buf2, brows
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "window"))
 def _call_batched(
     query_padded, subject_padded, table64,
     q_off, s_off, valid, x_dropoff, max_l, max_r, *, interpret,
+    window=WINDOW,
 ):
     n = q_off.shape[0]
+    kernel, buf2, brows = _make_kernel(window)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(n // SEEDS_PER_BLOCK,),
@@ -352,13 +434,15 @@ def _call_batched(
             for _ in range(5)
         ],
         scratch_shapes=[
-            pltpu.VMEM((SEEDS_PER_BLOCK, BUF2_ROWS, COLS), jnp.uint8),
-            pltpu.VMEM((SEEDS_PER_BLOCK, BUF2_ROWS, COLS), jnp.int8),
-            pltpu.VMEM((BROWS, COLS), jnp.int32),
-            pltpu.VMEM((BROWS, COLS), jnp.int32),
-            pltpu.VMEM((BROWS, COLS), jnp.int32),
-            pltpu.VMEM((BROWS, COLS), jnp.int32),
-            pltpu.SemaphoreType.DMA((2 * SEEDS_PER_BLOCK,)),
+            # leading 2: double-buffer slots (block i computes on
+            # slot i%2 while block i+1's DMAs land in the other)
+            pltpu.VMEM((2, SEEDS_PER_BLOCK, buf2, COLS), jnp.uint8),
+            pltpu.VMEM((2, SEEDS_PER_BLOCK, buf2, COLS), jnp.int8),
+            pltpu.VMEM((brows, COLS), jnp.int32),
+            pltpu.VMEM((brows, COLS), jnp.int32),
+            pltpu.VMEM((brows, COLS), jnp.int32),
+            pltpu.VMEM((brows, COLS), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2 * SEEDS_PER_BLOCK)),
         ],
     )
     out_shape = [
@@ -366,7 +450,7 @@ def _call_batched(
                               128), jnp.int32)
     ] * 5
     outs = pl.pallas_call(
-        _kernel_batched,
+        kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
@@ -421,7 +505,10 @@ def ungapped_extend_pallas_prepared(
     max_r: jnp.ndarray,          # per-seed right step bound
     *,
     interpret: bool = False,
+    window: int | None = WINDOW,
 ):
+    if window is None:
+        window = WINDOW
     query_p, subject_p = prepared
     n = q_off.shape[0]
 
@@ -434,7 +521,7 @@ def ungapped_extend_pallas_prepared(
                 q_off[i: i + MAX_LANES], s_off[i: i + MAX_LANES],
                 valid[i: i + MAX_LANES], x_dropoff[i: i + MAX_LANES],
                 max_l[i: i + MAX_LANES], max_r[i: i + MAX_LANES],
-                interpret=interpret,
+                interpret=interpret, window=window,
             )
             for i in range(0, n, MAX_LANES)
         ]
@@ -457,7 +544,7 @@ def ungapped_extend_pallas_prepared(
         jnp.asarray(table64, jnp.int32),
         p32(q_off), p32(s_off), p32(valid.astype(jnp.int32)),
         p32(x_dropoff, 1), p32(max_l), p32(max_r),
-        interpret=interpret,
+        interpret=interpret, window=window,
     )
     return tuple(o[:n] for o in outs)
 

@@ -475,9 +475,15 @@ def pack_subject_words(packed: jnp.ndarray) -> jnp.ndarray:
             packed,
             jnp.zeros(4 - packed.shape[0] % 4, packed.dtype),
         ])
-    p = packed.astype(jnp.uint32)
+    # bitcast the [N, 4] byte groups to little-endian u32 and byteswap:
+    # the stride-4 byte slices this replaces cost ~28 ms on a 4.6 Mb
+    # subject (TPU lane gathers); this form is ~free
+    w = jax.lax.bitcast_convert_type(
+        packed.reshape(-1, 4), jnp.uint32
+    )
     return (
-        (p[0::4] << 24) | (p[1::4] << 16) | (p[2::4] << 8) | p[3::4]
+        ((w & 0xFF) << 24) | ((w & 0xFF00) << 8)
+        | ((w >> 8) & 0xFF00) | (w >> 24)
     )
 
 
@@ -903,11 +909,16 @@ def diag_replay_device(
     s_key = jnp.where(ok, ss, big)
     q_key = jnp.where(ok, qs, big)
     idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
-    (o_s, d_s, s_s, _q_s, i_s, rr_s, end_s, sc_s, cut_s) = jax.lax.sort(
-        (o_key, d_key, s_key, q_key, idx,
-         right_run, ug_end, ug_score, cutoff),
-        num_keys=4,
+    # sort only the keys + index; payloads follow by gather (4 x n
+    # gathers cost far less than riding 4 extra arrays through the
+    # bitonic network)
+    (o_s, d_s, s_s, _q_s, i_s) = jax.lax.sort(
+        (o_key, d_key, s_key, q_key, idx), num_keys=4,
     )
+    rr_s = right_run[i_s]
+    end_s = ug_end[i_s]
+    sc_s = ug_score[i_s]
+    cut_s = cutoff[i_s]
     ok_s = o_s != big
 
     head = ok_s & jnp.concatenate([

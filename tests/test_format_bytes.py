@@ -358,3 +358,43 @@ def test_full_tabular_line_bytes(renderer):
             f"\t301\t{301 + l - 1}\t{ce}\t{cb}"
         )
         assert line == expected, (line, expected)
+
+
+def test_default_fields_and_delimiters_match_reference():
+    """The std field list and the outfmt 6/7/10 delimiters are parsed
+    from the reference source, not hand-maintained: DEFAULT_FIELDS must
+    equal kDfltArgTabularOutputFmt (format_flags.cpp) token for token,
+    and the writer delimiters must match the eTab/eComma/eSpace switch
+    (tabular.cpp CBlastTabularInfo ctor)."""
+    from gblastn_tpu.format.tabular import DEFAULT_FIELDS, TabularWriter
+
+    ff = Path(
+        "/root/reference/c++/src/objtools/align_format/format_flags.cpp"
+    )
+    if not ff.exists():
+        pytest.skip("reference tree unavailable")
+    m = re.search(
+        r'kDfltArgTabularOutputFmt\s*=\s*((?:"[^"]*"\s*)+);',
+        ff.read_text(),
+    )
+    assert m, "kDfltArgTabularOutputFmt not found"
+    spec = "".join(re.findall(r'"([^"]*)"', m.group(1)))
+    ref_fields = spec.split()
+    # our spelling normalizes nothing: the token list must match 1:1
+    assert list(DEFAULT_FIELDS) == ref_fields
+
+    tab = Path(
+        "/root/reference/c++/src/objtools/align_format/tabular.cpp"
+    )
+    delims = dict(re.findall(
+        r"case (e\w+): m_FieldDelimiter = '(.)'; break;",
+        tab.read_text(),
+    ))
+    default_m = re.search(
+        r"default: m_FieldDelimiter = '\\?(.)';", tab.read_text()
+    )
+    assert default_m and default_m.group(1) == "t"   # eTab -> '\t'
+    assert delims.get("eComma") == ","
+    import io
+
+    assert TabularWriter(out=io.StringIO()).delimiter == "\t"
