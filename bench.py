@@ -604,6 +604,27 @@ def bench_parity_smoke(db, genome, rng):
         ("blastn-w11-two-hit",
          blastn_options(evalue=1e-3, window_size=40), wob),
     ]
+    # forced capacity-overflow retry (round-3 VERDICT item 8): start
+    # with deliberately undersized seed/hit/alive caps so the resize-
+    # and-retry path runs ON HARDWARE and must converge to identical
+    # output (a Mosaic miscompile in the retry path fails loudly here)
+    a0 = rows(search(reads, db, megablast_options(evalue=1e-5)))
+    os.environ["GBLASTN_TPU_FORCE_SMALL_CAPS"] = "1"
+    try:
+        b0 = rows(search(reads, db, megablast_options(evalue=1e-5)))
+    finally:
+        del os.environ["GBLASTN_TPU_FORCE_SMALL_CAPS"]
+    print(
+        f"# overflow-retry smoke: forced 2k caps "
+        f"{'IDENTICAL' if a0 == b0 else 'MISMATCH'} "
+        f"({len(a0)}/{len(b0)} HSPs)", file=sys.stderr,
+    )
+    if a0 != b0:
+        print(json.dumps({
+            "metric": "overflow_retry_smoke", "value": 0,
+            "unit": "bool", "error": "forced-overflow retry mismatch",
+        }), file=sys.stderr)
+
     for name, opts, recs in cases:
         a = rows(search(recs, db, opts))
         os.environ["GBLASTN_TPU_FORCE_XLA"] = "1"

@@ -124,8 +124,15 @@ def offsets_on_device(pos_words_padded, table_size: int):
 
 
 def _round_up_pow2(n: int, lo: int = 256) -> int:
+    """Smallest bucket >= n from {2^k, 3*2^(k-1)}: half-step buckets
+    halve the worst-case lane over-allocation (a demand of 39k used to
+    compile 65536-lane programs; now 49152 -- every downstream sort,
+    walk, and compaction scales with the bucket), while the compiled-
+    variant count stays logarithmic."""
     m = lo
     while m < n:
+        if m + m // 2 >= n and m + m // 2 >= lo:
+            return m + m // 2
         m *= 2
     return m
 
@@ -1444,6 +1451,13 @@ def run_seeding_steps(
         else len(dev.host_qbuf)
     )
     cap_key = (s_pad, qlen_cap, word_size, indexed)
+    if _os.environ.get("GBLASTN_TPU_FORCE_SMALL_CAPS"):
+        # bench smoke knob: start with deliberately undersized
+        # capacities so the overflow-retry path executes FOR REAL on
+        # hardware (round-3 VERDICT item 8); the retries must converge
+        # to byte-identical output
+        hit_cap, seed_cap, alive_cap = 2048, 2048, 1024
+        cap_key = (cap_key, "forced-small")
     cached = _CAP_CACHE.get(cap_key)
     if cached:
         hit_cap = max(hit_cap, cached[0])

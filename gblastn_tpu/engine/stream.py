@@ -48,8 +48,11 @@ _CAP_CACHE: dict[tuple, tuple[int, int]] = {}
 
 
 def _round_up_pow2(n: int, lo: int = 256) -> int:
+    """Half-step buckets {2^k, 3*2^(k-1)} (see engine.seeding)."""
     m = lo
     while m < n:
+        if m + m // 2 >= n and m + m // 2 >= lo:
+            return m + m // 2
         m *= 2
     return m
 

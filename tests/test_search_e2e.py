@@ -425,3 +425,38 @@ class TestBlobPathParity:
             assert calls["fast"] > 0
             assert fast == base and len(base) >= 4
             monkeypatch.delenv("GBLASTN_TPU_FORCE_BLOB")
+
+
+def test_forced_small_caps_retry_matches(genome, monkeypatch):
+    """GBLASTN_TPU_FORCE_SMALL_CAPS starts with undersized capacities:
+    the overflow resize-and-retry path must converge to identical
+    output (the bench runs the same smoke on real hardware)."""
+    rng = np.random.default_rng(31)
+    recs = []
+    for k in range(6):
+        st = int(rng.integers(0, len(genome) - 900))
+        frag = list(genome[st: st + 700])
+        for p in np.flatnonzero(rng.random(700) < 0.03):
+            frag[p] = "ACGT"[("ACGT".index(frag[p]) + 1
+                              + int(rng.integers(0, 3))) % 4]
+        recs.append(FastaRecord(f"s{k}", "", "".join(frag)))
+    options = megablast_options(evalue=1e-4)
+
+    def rows(res):
+        return [
+            (q.query_index, lst.oid, h.q_off, h.q_end, h.s_off,
+             h.s_end, h.score)
+            for q in res.queries for lst in q.hsplists
+            for h in lst.hsps
+        ]
+
+    def fresh_db():
+        return SequenceDB.from_records(
+            [FastaRecord("chr1", "", genome)], title="capdb"
+        )
+
+    monkeypatch.setenv("GBLASTN_TPU_FORCE_BLOB", "1")
+    a = rows(search(recs, fresh_db(), options))
+    monkeypatch.setenv("GBLASTN_TPU_FORCE_SMALL_CAPS", "1")
+    b = rows(search(recs, fresh_db(), options))
+    assert a == b and len(a) >= 6

@@ -216,5 +216,97 @@ def main():
     loop_timer(full_scan, "F _scan_blob_jit (production)")
 
 
+
+
+def one_jit_profile():
+    """Slope the REAL _scan_finish_one_jit: packed-derived vs
+    materialized subject operands (isolates the per-dispatch derive/
+    prepare cost; element-indexed micro-stages get DCE'd by XLA and
+    cannot see it)."""
+    import bench
+    from gblastn_tpu.engine.search import device_matrix16
+    from gblastn_tpu.engine.seeding import (
+        _build_batch_blob,
+        _derive_material_jit,
+        _scan_finish_one_jit,
+        allowed_bits,
+        diag_table_mask,
+    )
+    from gblastn_tpu.io.query import build_query_block
+    from gblastn_tpu.lut.builder import build_lookup_table, unmasked_locations
+    from gblastn_tpu.ops.pallas_ungapped import make_table64
+    from gblastn_tpu.params.derived import nucl_score_table_packed
+
+    print("device:", jax.devices()[0], flush=True)
+    db, genome, rng = bench.build_workload()
+    queries = bench._sample_reads(rng, genome, 500, 1000, "f")
+    qblock = build_query_block(queries, "both")
+    locs = unmasked_locations(qblock.buffer, qblock.context_offsets())
+    lut = build_lookup_table(qblock.buffer, locs, WORD, 11)
+    qcap = 32768
+    while qcap < len(qblock.buffer):
+        qcap *= 2
+    qbuf = np.full(qcap, 15, np.uint8)
+    qbuf[: len(qblock.buffer)] = qblock.buffer
+    co = qblock.context_offsets()
+    ctx_cap = 64
+    while ctx_cap + 1 < len(co):
+        ctx_cap *= 2
+    ctx_off = np.full(ctx_cap + 1, np.iinfo(np.int32).max, np.int32)
+    ctx_off[: len(co)] = co
+    xdrops = np.full(ctx_cap, 22, np.int32)
+    cuts = np.full(ctx_cap, 16, np.int32)
+    reds = np.full(ctx_cap, 14, np.int32)
+    blob = _build_batch_blob(
+        ctx_off, xdrops, allowed_bits(lut.positions, qcap),
+        len(lut.positions), qbuf, cutoffs=cuts, reduced=reds,
+        concat_end=len(qblock.buffer) - 1,
+        table256=nucl_score_table_packed(1, -2),
+    )
+    d_blob = jnp.asarray(blob)
+    d_packed = jnp.asarray(db.packed_padded())
+    d_st = jnp.asarray(db.starts)
+    d_en = jnp.asarray(db.starts + db.lengths)
+    t64 = jnp.asarray(make_table64(device_matrix16(1, -2)))
+    mat = _derive_material_jit(d_packed, d_st, d_en)
+    jax.block_until_ready(mat)
+    s2, valid, sw, sp = mat
+
+    S = len(db.packed_padded()) * 4
+    n_scan = (S - lut.lut_word_size) // lut.scan_step + 1
+    dmask = diag_table_mask(len(qblock.buffer) - 2, 0)
+    statics = dict(
+        qcap=qcap, ctx_cap=ctx_cap, pcap=qcap // 32,
+        table_size=lut.table_size, packed_mini=True,
+        scan_step=lut.scan_step, lut_word=lut.lut_word_size,
+        word_size=WORD, cmax=8, n_scan=n_scan,
+        hit_cap=32768, seed_cap=32768, disc_offsets=None,
+        alive_cap=16384, interpret=False, window=0, diag_mask=dmask,
+        adm_cap=0, save_cap=16384, rr_zero=False, gate_cap=2048,
+        ext_window=1024,
+    )
+
+    def packed_mode(k):
+        out = _scan_finish_one_jit(
+            d_blob.at[-1].set(k), d_packed, None, None, None, None,
+            t64, d_st, d_en, None, None, **statics,
+        )
+        return out[0].astype(jnp.int32)
+
+    def mat_mode(k):
+        out = _scan_finish_one_jit(
+            d_blob.at[-1].set(k), None, s2, valid, sw, sp,
+            t64, d_st, d_en, None, None, **statics,
+        )
+        return out[0].astype(jnp.int32)
+
+    loop_timer(packed_mode, "P one-jit, packed-derived subject")
+    loop_timer(mat_mode, "M one-jit, materialized subject")
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _s
+    if len(_s.argv) > 1 and _s.argv[1] == "one":
+        one_jit_profile()
+    else:
+        main()
