@@ -336,7 +336,7 @@ def bench_config4():
         title="giant_synth",
     )
     qlen = 1000
-    n_q = int(os.environ.get("GBLASTN_BENCH_GIANT_QUERIES", "200"))
+    n_q = int(os.environ.get("GBLASTN_BENCH_GIANT_QUERIES", "100"))
     planted = []
     queries = []
     for i in range(n_q):
@@ -805,7 +805,11 @@ def main() -> int:
     except Exception as e:
         print(f"# parity smoke failed: {e}", file=sys.stderr)
 
-    budget = float(os.environ.get("GBLASTN_BENCH_BUDGET_S", "540"))
+    # the budget gates optional configs; compiles are cached across
+    # runs, so a cold first run may skip late configs while a warm run
+    # completes in ~10 min. 1200s keeps config 3/4 (the DB-scale and
+    # >2^31 coordinate proofs) inside an accountable cold run too.
+    budget = float(os.environ.get("GBLASTN_BENCH_BUDGET_S", "1200"))
     if time.time() - t_all < budget:
         try:
             bench_config1_pipelined(db, genome, rng)

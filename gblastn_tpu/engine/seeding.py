@@ -1930,7 +1930,13 @@ def _finish_init_hits(
     (diagonal state is keyed per (oid, diag), and shifting s_off and
     ung_s_start by the same per-subject constant preserves every
     comparison), which keeps the native filter int32-safe for global
-    positions beyond 2^31 (streamed multi-Gbase databases)."""
+    positions beyond 2^31 (streamed multi-Gbase databases). A SINGLE
+    subject longer than 2^31 bases (beyond what the reference's Int4
+    coordinates can even represent) would still overflow the local
+    cast -- skipped wrapped-negative seeds silently lose every hit
+    past 2^31 -- so those seeds are additionally rebased per
+    (oid, diagonal-class): replay state never crosses classes, so any
+    per-class shift preserves the machine exactly."""
     cutoff = word_cutoffs[ctx].astype(np.int32)
 
     if len(subject_starts) == 1:
@@ -1943,8 +1949,42 @@ def _finish_init_hits(
             np.searchsorted(subject_starts, s_np, side="right") - 1
         ).astype(np.int32)
         base = subject_starts[oid].astype(np.int64)
-    s_loc = (s_np.astype(np.int64) - base).astype(np.int32)
-    ug_s_loc = (ug_s.astype(np.int64) - base).astype(np.int32)
+    s_loc64 = s_np.astype(np.int64) - base
+    ug_s_loc64 = ug_s.astype(np.int64) - base
+    i32_safe = (1 << 31) - (1 << 20)
+    rebase_shift = None
+    if len(s_loc64) and int(s_loc64.max()) >= i32_safe:
+        if window_size > 0 and scan_range > 0:
+            raise OverflowError(
+                "-off_diagonal_range probes interact across diagonals "
+                "and cannot be class-rebased; single subjects >= 2^31 "
+                "bases are unsupported with it"
+            )
+        dmask_r = diag_table_mask(concat_qlen, window_size)
+        diag64 = s_np.astype(np.int64) - q_np.astype(np.int64)
+        if dmask_r:
+            diag64 = diag64 & dmask_r
+        order_r = np.lexsort((s_loc64, diag64, oid))
+        o_s2 = oid[order_r]
+        d_s2 = diag64[order_r]
+        s_s2 = s_loc64[order_r]
+        head2 = np.ones(len(order_r), bool)
+        head2[1:] = (o_s2[1:] != o_s2[:-1]) | (d_s2[1:] != d_s2[:-1])
+        gmin = np.minimum.reduceat(s_s2, np.flatnonzero(head2))
+        shift_sorted = np.repeat(gmin, np.diff(np.append(
+            np.flatnonzero(head2), len(order_r))))
+        shift = np.empty(len(order_r), np.int64)
+        shift[order_r] = shift_sorted
+        s_loc64 = s_loc64 - shift
+        ug_s_loc64 = ug_s_loc64 - shift
+        rebase_shift = shift
+        if int(s_loc64.max()) >= i32_safe:
+            raise OverflowError(
+                "a single diagonal class spans >= 2^31 subject bases; "
+                "the replay cannot run in int32"
+            )
+    s_loc = s_loc64.astype(np.int32)
+    ug_s_loc = ug_s_loc64.astype(np.int32)
     q32 = q_np.astype(np.int32)
     len32 = ug_len.astype(np.int32)
     score32 = ug_score.astype(np.int32)
@@ -1995,9 +2035,10 @@ def _finish_init_hits(
                     sme[d] - a_s[d], a_r[d] - a_q[d] + 1
                 )
                 ug_score[d] = a_sc[d]
-                ug_s_loc = (
-                    ug_s.astype(np.int64) - base
-                ).astype(np.int32)
+                ug_s_loc64b = ug_s.astype(np.int64) - base
+                if rebase_shift is not None:
+                    ug_s_loc64b = ug_s_loc64b - rebase_shift
+                ug_s_loc = ug_s_loc64b.astype(np.int32)
                 len32 = ug_len.astype(np.int32)
                 score32 = ug_score.astype(np.int32)
 

@@ -375,3 +375,51 @@ class TestApproxGateDevice:
         dem, *_rest, resolved = (np.asarray(o) for o in out)
         assert not resolved.any()
         assert not dem.any()
+
+
+class TestBeyond2G:
+    """Seeds on a single subject PAST 2^31 bases must survive the
+    replay: the int32 subject-local cast used to wrap negative and the
+    machine skipped every wrapped seed (round-4 config-4 regression:
+    zero hits beyond 2^31). The per-(oid, diagonal-class) rebase must
+    reproduce the int64 python replay exactly."""
+
+    def test_finish_init_hits_beyond_2g(self):
+        from gblastn_tpu.engine.seeding import (
+            _finish_init_hits,
+            one_hit_diag_filter,
+        )
+
+        rng = np.random.default_rng(11)
+        n = 400
+        base = (1 << 31) + 12345
+        # clusters of seeds on shared diagonals around and past 2^31
+        qs = rng.integers(100, 30000, n).astype(np.int64)
+        diag = rng.integers(0, 8, n) * 1000 + base
+        ss = qs + diag
+        ctx = np.zeros(n, np.int32)
+        ug_q = qs - rng.integers(0, 50, n)
+        ug_s = ss - (qs - ug_q)
+        ug_len = rng.integers(28, 400, n).astype(np.int64)
+        ug_score = rng.integers(0, 60, n).astype(np.int64)
+        cutoffs = np.array([20], np.int32)
+        starts = np.array([0], np.int64)
+
+        hits = _finish_init_hits(
+            qs, ss, ctx, ug_q, ug_s, ug_len, ug_score,
+            cutoffs, starts, 28, window_size=0,
+            concat_qlen=60000,
+        )
+        assert len(hits) > 0
+        assert int(np.min(hits.s_off)) > (1 << 31)
+
+        # expected: int64 python replay on GLOBAL coordinates
+        saved = one_hit_diag_filter(
+            qs, ss, np.zeros(n, np.int32), 28,
+            ug_s, ug_len, ug_score,
+            cutoffs[ctx], use_native=False, diag_mask=0,
+        )
+        assert len(hits) == int(saved.sum())
+        got = set(zip(hits.q_off.tolist(), hits.s_off.tolist()))
+        want = set(zip(qs[saved].tolist(), ss[saved].tolist()))
+        assert got == want

@@ -455,8 +455,53 @@ def test_forced_small_caps_retry_matches(genome, monkeypatch):
             [FastaRecord("chr1", "", genome)], title="capdb"
         )
 
-    monkeypatch.setenv("GBLASTN_TPU_FORCE_BLOB", "1")
-    a = rows(search(recs, fresh_db(), options))
-    monkeypatch.setenv("GBLASTN_TPU_FORCE_SMALL_CAPS", "1")
-    b = rows(search(recs, fresh_db(), options))
-    assert a == b and len(a) >= 6
+    # run in a SUBPROCESS: the repeated overflow-retry recompiles on
+    # the CPU backend destabilize the parent process (the XLA:CPU
+    # corruption noted in CLAUDE.md -- delayed segfaults in later
+    # compiles); the child asserts with full fidelity and the bench
+    # runs the identical smoke on real hardware
+    import subprocess
+    import sys as _sys
+
+    seqs = [(r.seq_id, r.sequence if isinstance(r.sequence, str)
+             else r.sequence.decode()) for r in recs]
+    prog = f"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["GBLASTN_TPU_FORCE_BLOB"] = "1"
+import jax
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+from gblastn_tpu.engine.search import search
+from gblastn_tpu.io.fasta import FastaRecord
+from gblastn_tpu.io.seqdb import SequenceDB
+from gblastn_tpu.params.options import megablast_options
+
+genome = {genome!r}
+seqs = {seqs!r}
+recs = [FastaRecord(i, "", s) for i, s in seqs]
+options = megablast_options(evalue=1e-4)
+
+def rows(res):
+    return [
+        (q.query_index, lst.oid, h.q_off, h.q_end, h.s_off,
+         h.s_end, h.score)
+        for q in res.queries for lst in q.hsplists
+        for h in lst.hsps
+    ]
+
+def fresh_db():
+    return SequenceDB.from_records(
+        [FastaRecord("chr1", "", genome)], title="capdb")
+
+a = rows(search(recs, fresh_db(), options))
+os.environ["GBLASTN_TPU_FORCE_SMALL_CAPS"] = "1"
+b = rows(search(recs, fresh_db(), options))
+assert a == b and len(a) >= 6, (len(a), len(b))
+print("SMALL_CAPS_OK", len(a))
+"""
+    r = subprocess.run(
+        [_sys.executable, "-c", prog], capture_output=True, text=True,
+        timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "SMALL_CAPS_OK" in r.stdout
