@@ -921,7 +921,7 @@ def prelim_search_steps(
     if options.gapped:
         with slog.time("host.prelim_gapped"):
             prelim_lists = run_gapped_prelim(
-                init, qblock, db.get_sequence_2na, db.starts, params,
+                init, qblock, db.get_sequence_2na_cached, db.starts, params,
                 device_gapped=device_gapped,
                 subject_lengths=db.lengths,
             )
@@ -1019,7 +1019,9 @@ def finish_search(
             qres = QueryResult(query_index=qi)
             for lst in hl.hsplists:
                 if lst.oid not in subj_cache:
-                    subj_cache[lst.oid] = db.get_sequence_blastna(lst.oid)
+                    subj_cache[lst.oid] = (
+                        db.get_sequence_blastna_cached(lst.oid)
+                    )
                 if options.gapped:
                     traceback_from_hsplist(
                         lst, qblock, subj_cache[lst.oid], matrix, params

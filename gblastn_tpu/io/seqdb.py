@@ -273,6 +273,41 @@ class SequenceDB:
         """Whole padded buffer as 2-bit codes (uint8[padded_length])."""
         return unpack_2na(self.packed_padded(), self.padded_length)
 
+    # budgeted per-db cache of unpacked subject fetches: large-subject
+    # searches (a 300 Mb chromosome) were re-unpacking the whole
+    # sequence in EVERY batch's prelim and traceback (~1 s each)
+    _SEQCACHE_BUDGET = 1 << 30
+
+    def _cached_fetch(self, key, build):
+        cache = getattr(self, "_seqcache", None)
+        if cache is None:
+            cache = {}
+            self._seqcache = cache
+            self._seqcache_bytes = 0
+        if key in cache:
+            return cache[key]
+        arr = build()
+        if arr.nbytes <= self._SEQCACHE_BUDGET:
+            while (self._seqcache_bytes + arr.nbytes
+                   > self._SEQCACHE_BUDGET and cache):
+                _, old = cache.popitem()
+                self._seqcache_bytes -= old.nbytes
+            cache[key] = arr
+            self._seqcache_bytes += arr.nbytes
+        return arr
+
+    def get_sequence_2na_cached(self, oid: int) -> np.ndarray:
+        return self._cached_fetch(
+            ("2na", oid), lambda: self.get_sequence_2na(oid)
+        )
+
+    def get_sequence_blastna_cached(self, oid: int) -> np.ndarray:
+        # hard-mask state changes the rendered letters: key on it
+        return self._cached_fetch(
+            ("bna", oid, self.hard_mask_algo),
+            lambda: self.get_sequence_blastna(oid),
+        )
+
     def valid_mask(self) -> np.ndarray:
         """bool[padded_length]: True for real subject bases, False for pad.
 
