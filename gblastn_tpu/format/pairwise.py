@@ -15,6 +15,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from gblastn_tpu.format.tabular import (
+    percent_match,
     bit_score_string,
     calc_length_and_gaps,
     evalue_string,
@@ -130,18 +131,19 @@ class PairwiseWriter:
                 for hsp in hsps:
                     align_len, gaps, _go = calc_length_and_gaps(hsp)
                     ident = hsp.num_ident
-                    pid = (
-                        100.0 * ident / align_len if align_len else 0.0
-                    )
-                    pgap = 100.0 * gaps / align_len if align_len else 0.0
+                    pid = percent_match(ident, align_len)
+                    pgap = percent_match(gaps, align_len)
+                    # bit_score_buf keeps its %4.0lf-style padding in
+                    # the reference stream (" Score =  503 bits"),
+                    # showalign.cpp:3547
                     o.write(
-                        f" Score = {bit_score_string(hsp.bit_score).strip()}"
+                        f" Score = {bit_score_string(hsp.bit_score)}"
                         f" bits ({hsp.score}),  "
                         f"Expect = {evalue_string(hsp.evalue).strip()}\n"
                     )
                     o.write(
-                        f" Identities = {ident}/{align_len} ({pid:.0f}%),"
-                        f" Gaps = {gaps}/{align_len} ({pgap:.0f}%)\n"
+                        f" Identities = {ident}/{align_len} ({pid}%),"
+                        f" Gaps = {gaps}/{align_len} ({pgap}%)\n"
                     )
                     minus = hsp.q_frame < 0
                     o.write(

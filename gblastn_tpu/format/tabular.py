@@ -73,6 +73,18 @@ FIELD_HEADER_NAMES = {
 PROGRAM_VERSION = "GBLASTN-TPU 0.1.0"
 
 
+def percent_match(numerator: int, denominator: int) -> int:
+    """CAlignFormatUtil::GetPercentMatch (reference:
+    /root/reference/c++/src/objtools/align_format/
+    align_format_util.cpp:2557): exact -> 100, otherwise round-half-up
+    capped at 99 (a 199/200 alignment must print 99%, never 100%)."""
+    if numerator == denominator:
+        return 100
+    if not denominator:
+        return 0
+    return min(99, int(0.5 + 100.0 * numerator / denominator))
+
+
 def evalue_string(evalue: float) -> str:
     """GetScoreString e-value buckets (align_format_util.cpp:694-714)."""
     if evalue < 1.0e-180:

@@ -398,3 +398,81 @@ def test_default_fields_and_delimiters_match_reference():
     import io
 
     assert TabularWriter(out=io.StringIO()).delimiter == "\t"
+
+
+def test_pairwise_header_semantics_from_reference():
+    """The outfmt-0 per-HSP header lines follow the reference stream
+    literally: parse the ostream pieces and the GetPercentMatch
+    rounding out of showalign.cpp / align_format_util.cpp and check
+    our renderer's bytes for a value sweep (199/200 must print 99%,
+    never 100%; the bit-score keeps its 4-wide padding)."""
+    sa = Path(
+        "/root/reference/c++/src/objtools/align_format/showalign.cpp"
+    )
+    au = Path(
+        "/root/reference/c++/src/objtools/align_format/"
+        "align_format_util.cpp"
+    )
+    if not sa.exists():
+        pytest.skip("reference tree unavailable")
+    text = sa.read_text()
+    # the identity line literals
+    m = re.search(
+        r'out<<" Identities = "<<match<<"/"<<\(aln_stop\+1\)'
+        r'<<" \("<<identity<<"%"<<"\)"', text)
+    assert m, "identity stream literal changed in reference"
+    assert 'out<<" Score = "<<bit_score_buf<<" ";' in text
+    assert 'out<<"bits ("<<aln_vec_info->score<<"),"<<"  ";' in text
+
+    # GetPercentMatch: exact -> 100 else min(99, round-half-up)
+    gm = re.search(
+        r"GetPercentMatch\(int numerator, int denominator\)\s*\{\s*"
+        r"if \(numerator == denominator\)\s*return 100;.*?"
+        r"0\.5 \+ 100\.0\*.*?min\(99, retval\)",
+        au.read_text(), re.S)
+    assert gm, "GetPercentMatch body changed in reference"
+
+    from gblastn_tpu.format.tabular import percent_match
+
+    def ref_percent(n, d):
+        if n == d:
+            return 100
+        return min(99, int(0.5 + 100.0 * n / d))
+
+    for d in list(range(1, 300)) + [1000, 4096]:
+        for n in range(0, d + 1, max(1, d // 37)):
+            assert percent_match(n, d) == ref_percent(n, d), (n, d)
+    assert percent_match(199, 200) == 99
+    assert percent_match(200, 200) == 100
+
+    # rendered line bytes for a sweep of score/identity values
+    import io
+
+    from gblastn_tpu.format.tabular import (
+        bit_score_string,
+        evalue_string,
+    )
+
+    for bits, raw, ev, ident, alen, gaps in [
+        (503.263, 278, 217774e-146, 199, 200, 1),
+        (23.4, 12, 0.49, 12, 12, 0),
+        (1002.7, 555, 0.0, 995, 1000, 3),
+    ]:
+        line = (
+            f" Score = {bit_score_string(bits)} bits ({raw}),  "
+            f"Expect = {evalue_string(ev).strip()}\n"
+            f" Identities = {ident}/{alen} "
+            f"({percent_match(ident, alen)}%),"
+            f" Gaps = {gaps}/{alen} ({percent_match(gaps, alen)}%)\n"
+        )
+        # reference-assembled expectation from the parsed pieces
+        exp = (
+            " Score = " + bit_score_string(bits) + " " + "bits ("
+            + str(raw) + ")," + "  " + "Expect" + " = "
+            + evalue_string(ev) + "\n"
+            + " Identities = " + str(ident) + "/" + str(alen)
+            + " (" + str(ref_percent(ident, alen)) + "%)"
+            + ", Gaps = " + str(gaps) + "/" + str(alen)
+            + " (" + str(ref_percent(gaps, alen)) + "%)" + "\n"
+        )
+        assert line == exp
