@@ -274,9 +274,18 @@ class SequenceDB:
         return unpack_2na(self.packed_padded(), self.padded_length)
 
     # budgeted per-db cache of unpacked subject fetches: large-subject
-    # searches (a 300 Mb chromosome) were re-unpacking the whole
-    # sequence in EVERY batch's prelim and traceback (~1 s each)
-    _SEQCACHE_BUDGET = 1 << 30
+    # searches (a 300 Mb chromosome, a 3.2 Gbase single sequence) were
+    # re-unpacking the whole sequence in EVERY batch's prelim and
+    # traceback (seconds per batch at Gbase scale). The default budget
+    # holds two unpacked forms of a ~4 Gbase subject; tune with
+    # GBLASTN_TPU_SEQCACHE_MB for small-RAM hosts.
+    @property
+    def _seqcache_budget(self) -> int:
+        import os
+
+        return int(os.environ.get(
+            "GBLASTN_TPU_SEQCACHE_MB", "8192"
+        )) << 20
 
     def _cached_fetch(self, key, build):
         cache = getattr(self, "_seqcache", None)
@@ -287,9 +296,10 @@ class SequenceDB:
         if key in cache:
             return cache[key]
         arr = build()
-        if arr.nbytes <= self._SEQCACHE_BUDGET:
+        budget = self._seqcache_budget
+        if arr.nbytes <= budget:
             while (self._seqcache_bytes + arr.nbytes
-                   > self._SEQCACHE_BUDGET and cache):
+                   > budget and cache):
                 _, old = cache.popitem()
                 self._seqcache_bytes -= old.nbytes
             cache[key] = arr
