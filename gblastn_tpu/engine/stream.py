@@ -707,11 +707,17 @@ def run_seeding_streamed(
     with slog.time("device.seeding.stream"):
         pending = []
         for k in range(plan.n_blocks):
-            inputs = plan.block_inputs(db, k)
-            if inputs is None:
-                continue
-            if idx_slices is not None and idx_slices[k][2] == 0:
-                continue   # no indexed positions in this block
+            if k in dev_cache["blocks"]:
+                # device-resident block from an earlier batch: skip the
+                # 32 MB host buffer rebuild entirely (dev_inputs
+                # ignores inputs on a cache hit)
+                inputs = None
+            else:
+                inputs = plan.block_inputs(db, k)
+                if inputs is None:
+                    continue
+                if idx_slices is not None and idx_slices[k][2] == 0:
+                    continue   # no indexed positions in this block
             pending.append((k, inputs, dispatch(k, inputs)))
             if len(pending) > depth - 1:
                 collect(*pending.pop(0))
