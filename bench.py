@@ -286,7 +286,10 @@ def bench_config3():
     # resident caches are reused
     db2 = SequenceDB(packed=db.packed, starts=db.starts,
                      lengths=db.lengths, ids=db.ids, titles=db.titles,
+                     ambig_pos=db.ambig_pos, ambig_code=db.ambig_code,
                      title=db.title)
+    db2.masks = dict(db.masks)
+    db2.hard_mask_algo = db.hard_mask_algo
     os.environ["GBLASTN_TPU_STREAM"] = "1"
     try:
         search(queries[:BIG_BATCH], db2, options)   # warm-up

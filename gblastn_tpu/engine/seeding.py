@@ -1017,6 +1017,10 @@ def _build_batch_blob(ctx_off, xdrop, abits, n_pos, qbuf,
         cut, red, t256,
         np.ascontiguousarray(abits, np.int32),
         qw,
+        # one dedicated scratch word: the slope profiler's cache-busting
+        # tag writes blob[-1]; without this, an exactly-qcap query would
+        # have its last 8 bases corrupted during profiling runs
+        np.zeros(1, np.int32),
     ])
 
 

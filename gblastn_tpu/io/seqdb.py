@@ -175,8 +175,18 @@ class SequenceDB:
         members; mask columns merge per algorithm id."""
         if not dbs:
             raise ValueError("empty dblist")
+        # Member base offsets are multiples of padded_length (round-up to
+        # PAD), but an NCBI volume mmap's raw packed buffer ends at an
+        # arbitrary byte count -- concatenating raw buffers would shift
+        # every later member's subjects. Align each member to its padded
+        # byte size first (identity for native-format members).
+        def aligned(d):
+            if len(d.packed) * 4 == d.padded_length:
+                return d.packed
+            return d.packed_padded()
+
         out = cls(
-            packed=np.concatenate([d.packed for d in dbs]),
+            packed=np.concatenate([aligned(d) for d in dbs]),
             starts=np.concatenate([
                 d.starts + off
                 for d, off in zip(dbs, _base_offsets(dbs))

@@ -318,3 +318,39 @@ def test_mmap_volume_bounded_rss(tmp_path):
         assert chunk.nbytes <= 65536
     delta = _rss_mb() - before
     assert delta < 64, f"NCBI mmap open grew RSS by {delta:.0f} MB"
+
+
+def test_multi_volume_concat_alignment(tmp_path):
+    """Volumes whose .nsq payloads end at arbitrary (non-PAD-aligned)
+    byte counts must still present correctly aligned subjects after
+    SequenceDB.concat: member base offsets are padded_length multiples,
+    so each member's packed buffer must be padded before joining
+    (regression: volumes >= 2 were misaligned by up to 124 bases)."""
+    rng = np.random.default_rng(11)
+    seqs_a = [
+        ("a1", "", rand_seq(rng, 1001)),       # odd remainder
+        ("a2", "", rand_seq(rng, 57)),
+    ]
+    seqs_b = [
+        ("b1", "", rand_seq(rng, 333) + "N" * 7 + rand_seq(rng, 100)),
+        ("b2", "", rand_seq(rng, 7)),
+    ]
+    seqs_c = [("c1", "", rand_seq(rng, 129))]
+    for name, seqs in (("va", seqs_a), ("vb", seqs_b), ("vc", seqs_c)):
+        recs = [FastaRecord(i, t, s.encode()) for i, t, s in seqs]
+        write_volume(tmp_path / name, recs, title=name)
+    (tmp_path / "multi.nal").write_text(
+        "TITLE multi\nDBLIST va vb vc\n"
+    )
+    db = load_ncbi_db(tmp_path / "multi")
+    all_seqs = seqs_a + seqs_b + seqs_c
+    assert db.ids == [i for i, _, _ in all_seqs]
+    for oid, (_, _, eseq) in enumerate(all_seqs):
+        assert int(db.lengths[oid]) == len(eseq)
+        np.testing.assert_array_equal(
+            db.get_sequence_blastna(oid),
+            seq_to_blastna(eseq.encode()),
+            err_msg=f"oid {oid} misaligned after multi-volume concat",
+        )
+    # buffer length must match what the offsets promise
+    assert len(db.packed) * 4 == db.padded_length
