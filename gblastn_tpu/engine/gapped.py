@@ -56,9 +56,9 @@ class DeviceGappedData:
     units, else 1); ``margin`` absorbs the rare pruning-order
     underestimate documented in ops.gapped_ref."""
 
-    query_ops: tuple               # (b_fwd, b_rev) padded device arrays
+    query_ops: tuple               # (b_fwd, b_rev) packed-score arrays
     subject_ops: tuple             # (a_fwd, a_rev)
-    table64: object                # jnp int32[72]
+    matrix16: object               # np int32[16, 4] kernel-scale matrix
     rows: int
     dbl: int
     gap_open: int                  # kernel scale
@@ -109,7 +109,6 @@ def build_device_gapped(
     import jax.numpy as jnp
 
     from gblastn_tpu.ops.pallas_gapped import prepare_gapped_query
-    from gblastn_tpu.ops.pallas_ungapped import make_table64
 
     opts = params.options
     matrix, dbl, go, ge, xd = device_gapped_params(
@@ -134,9 +133,11 @@ def build_device_gapped(
     qpad = np.full(qcap, 15, np.uint8)
     qpad[: len(qbuf)] = qbuf
     return DeviceGappedData(
-        query_ops=prepare_gapped_query(jnp.asarray(qpad), rows),
+        query_ops=prepare_gapped_query(
+            jnp.asarray(qpad), rows, matrix
+        ),
         subject_ops=subject_ops,
-        table64=jnp.asarray(make_table64(matrix)),
+        matrix16=np.asarray(matrix, np.int32),
         rows=rows, dbl=dbl, gap_open=go, gap_extend=ge, x_drop=xd,
         margin=margin, q_len=qcap, s_len=s_len,
         interpret=interpret,
@@ -201,7 +202,7 @@ def device_gapped_rejects(
 
     x = np.full(n, dgd.x_drop, np.int32)
     total, flags = banded_gapped_scores(
-        dgd.query_ops + dgd.subject_ops, dgd.table64,
+        dgd.query_ops + dgd.subject_ops, dgd.matrix16,
         dgd.q_len, dgd.s_len,
         q_seed, s_seed, q_lo, q_hi, s_lo, s_hi, x,
         rows=dgd.rows, gap_open=dgd.gap_open,

@@ -148,6 +148,10 @@ def _build_gapped_filter(qblock, params, db, device_arrays=None):
         rows *= 2
     if rows > 4096:
         return None
+    # the fused-direction operand addresses the reversed half at
+    # offset ~len(fwd); starts must stay below 2^31 (int32 prefetch)
+    if 2 * (db.padded_length + rows + 16384) >= 2**31:
+        return None
 
     cache = getattr(db, "_gapped_subject_cache", None)
     if cache is None or cache[0] != rows:
@@ -157,7 +161,7 @@ def _build_gapped_filter(qblock, params, db, device_arrays=None):
             sub_ops = prepare_gapped_subject(
                 jnp.asarray(db.unpacked().astype(np.int8)), rows
             )
-            jax.block_until_ready(sub_ops)
+            jax.block_until_ready(sub_ops[0])
         cache = (rows, sub_ops)
         db._gapped_subject_cache = cache
     # s_len is the length of the array the padded forms were built

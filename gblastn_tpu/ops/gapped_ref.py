@@ -12,16 +12,19 @@ reference /root/reference/c++/src/algo/blast/core/blast_gapalign.c:744):
 * the horizontal-gap (E) recurrence is evaluated with its closed-form
   prefix-max (exact for gap_open >= 0: opening from a cell that was
   itself reached horizontally never helps);
-* X-drop pruning is applied per ROW against the best score through the
-  PREVIOUS row -- strictly lazier than the host's in-row running best,
-  so cells the host keeps are always kept here and the band score is an
-  upper bound on the host score except for the host's sticky-E quirk
-  (E is not decayed across host-pruned cells), which can exceed the
-  bound by at most gap_extend * (pruned run length) in rare revivals;
+* X-drop pruning is applied per STEP-row GROUP against the best score
+  through the previous group -- strictly lazier than the host's in-row
+  running best, so cells the host keeps are always kept here and the
+  band score is an upper bound on the host score except for the host's
+  sticky-E quirk (E is not decayed across host-pruned cells), which can
+  exceed the bound by at most gap_extend * (pruned run length) in rare
+  revivals;
+* a seed whose H row is entirely dead at a group boundary is latched
+  dead (sticky F cannot revive it), matching the kernel's early exit;
 * hazard flags make the bound checkable: ``FLAG_EDGE`` = a live cell
-  touched the band boundary (the true window may be wider than W);
-  ``FLAG_ROWS`` = still alive when the row budget ran out before the
-  sequence did.
+  (including the row-0 band) touched the band boundary (the true
+  window may be wider than W); ``FLAG_ROWS`` = still alive when the
+  row budget ran out before the sequence did.
 
 The engine uses the kernel as a sound REJECTION filter: a candidate
 whose flag-free band score (plus a safety margin) misses the cutoff
@@ -35,6 +38,7 @@ import numpy as np
 
 NEG = -(1 << 24)
 W = 128            # band width (diagonals) == TPU lane count
+STEP = 8           # rows per X-drop/death group (kernel lag)
 
 FLAG_EDGE = 1      # live cell at band edge: window may exceed the band
 FLAG_ROWS = 2      # alive at the row budget with rows < M remaining
@@ -76,57 +80,67 @@ def banded_dp_score(
     besti = 0
     bestj = 0
     flags = 0
-    # row-0 band-edge: host row 0 would have continued past j = half-1
-    if N > half - 1 and -gap_open - half * e >= -X:
+    bestlane = H.copy()
+    # row-0 band-edge liveness counts toward the edge flag
+    if H[0] > NEG // 2 or H[W - 1] > NEG // 2:
         flags |= FLAG_EDGE
 
     R = min(M, max_rows)
-    for i in range(1, R + 1):
-        jj = i + lanes - half           # column per lane this row
-        a_code = int(A[i - 1])
-        bvals = np.where(
-            (jj >= 1) & (jj <= N),
-            B.astype(np.int64)[np.clip(jj - 1, 0, len(B) - 1)],
-            -1,
-        )
-        msc = np.array(
-            [score_fn(a_code, int(b)) if b >= 0 else NEG for b in bvals],
-            dtype=np.int64,
-        )
+    thr = best - X
+    i = 0
+    while i < R:
+        # group-lazy X-drop threshold (kernel: refreshed every STEP)
+        thr = max(int(bestlane.max()), 0) - X
+        group_end = min(i + STEP, R)
+        while i < group_end:
+            i += 1
+            jj = i + lanes - half           # column per lane this row
+            a_code = int(A[i - 1])
+            bvals = np.where(
+                (jj >= 1) & (jj <= N),
+                B.astype(np.int64)[np.clip(jj - 1, 0, len(B) - 1)],
+                -1,
+            )
+            msc = np.array(
+                [score_fn(a_code, int(b)) if b >= 0 else NEG
+                 for b in bvals],
+                dtype=np.int64,
+            )
 
-        diag = np.where((jj >= 1) & (jj <= N), H + msc, NEG)
-        # vertical predecessor (i-1, jj) sat one lane to the right
-        Fv = np.concatenate([F[1:], [NEG]])
-        Hv = np.concatenate([H[1:], [NEG]])
-        Ht = np.maximum(diag, Fv)                       # H sans E
-        # E(i,jj) = max_{j'<jj}(Ht(i,j') - oe - (jj-j')*e), prefix form
-        u = np.where(Ht > NEG // 2, Ht + lanes * e, NEG)
-        run = np.maximum.accumulate(u)
-        excl = np.concatenate([[NEG], run[:-1]])
-        E = np.where(excl > NEG // 2, excl - oe - lanes * e, NEG)
-        Hn = np.maximum(Ht, E)
-        valid = (jj >= 0) & (jj <= N)
-        Hn = np.where(valid, Hn, NEG)
+            diag = np.where((jj >= 1) & (jj <= N), H + msc, NEG)
+            # vertical predecessor (i-1, jj) sat one lane to the right
+            Fv = np.concatenate([F[1:], [NEG]])
+            Ht = np.maximum(diag, Fv)                   # H sans E
+            # E(i,jj) = max_{j'<jj}(Ht(i,j') - oe - (jj-j')*e)
+            u = np.where(Ht > NEG // 2, Ht + lanes * e, NEG)
+            run = np.maximum.accumulate(u)
+            excl = np.concatenate([[NEG], run[:-1]])
+            E = np.where(excl > NEG // 2, excl - oe - lanes * e, NEG)
+            Hn = np.maximum(Ht, E)
+            valid = (jj >= 0) & (jj <= N)
+            Hn = np.where(valid, Hn, NEG)
 
-        pruned = best - Hn > X
-        Hn = np.where(pruned, NEG, Hn)
-        live = Hn > NEG // 2
-        # F kept stale (host quirk) when the cell is pruned/dead
-        F = np.where(
-            live, np.maximum(Fv - e, Hn - oe), Fv
-        )
-        H = Hn
+            Hn = np.where(Hn < thr, NEG, Hn)
+            live = Hn > NEG // 2
+            # F kept stale (host quirk) when the cell is pruned/dead
+            F = np.where(
+                live, np.maximum(Fv - e, Hn - oe), Fv
+            )
+            H = Hn
+            bestlane = np.maximum(bestlane, Hn)
 
-        if live.any():
-            rowmax = int(Hn[live].max())
-            if rowmax > best:
-                best = rowmax
-                l = int(np.flatnonzero(live & (Hn == rowmax))[0])
-                besti = i
-                bestj = i + l - half
-            if live[0] or live[W - 1]:
-                flags |= FLAG_EDGE
-        else:
+            if live.any():
+                rowmax = int(Hn[live].max())
+                if rowmax > best:
+                    best = rowmax
+                    l = int(np.flatnonzero(live & (Hn == rowmax))[0])
+                    besti = i
+                    bestj = i + l - half
+                if live[0] or live[W - 1]:
+                    flags |= FLAG_EDGE
+
+        # group boundary: death latch (kernel-identical early exit)
+        if not (H > NEG // 2).any():
             return best, besti, bestj, flags
 
     if R < M:

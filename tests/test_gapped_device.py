@@ -101,13 +101,13 @@ def _numpy_kernel(monkeypatch):
 
         real = pg.banded_gapped_scores
 
-        def stub(operands, table64, q_len, s_len, q_seed, s_seed,
+        def stub(operands, matrix16, q_len, s_len, q_seed, s_seed,
                  q_lo, q_hi, s_lo, s_hi, x_drop, *, rows, gap_open,
                  gap_extend, interpret=False):
-            table = np.asarray(table64)[:64].reshape(16, 4)
+            mat = np.asarray(matrix16)
 
             def sf(a, b):
-                return int(table[b][a])
+                return int(mat[b][a])
 
             qbuf = np.asarray(qblock.buffer)
             sub = _numpy_kernel.subject
