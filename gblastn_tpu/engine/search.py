@@ -1067,7 +1067,7 @@ def search(
     (engine.split, the role of split_query_cxx.cpp)."""
     from gblastn_tpu.engine.split import (
         chunk_size_for_task,
-        merge_chunk_results,
+        merge_chunk_prelim,
         overlap_size,
         split_records,
     )
@@ -1082,23 +1082,21 @@ def search(
             db, options, interrupt_fn,
         )
 
-    sub = finish_search(
-        prelim_search(recs2, db, options, interrupt_fn),
-        db, options, interrupt_fn,
-    )
+    # merge at the PRELIM stage (BlastHSPStreamMerge semantics): chunk
+    # HSPs remap to original coordinates, boundary HSPs concatenate,
+    # and the traceback runs over the ORIGINAL query block so merged
+    # boxes re-extend exactly as unsplit ones (blast_hits.c:2545)
+    sub = prelim_search(recs2, db, options, interrupt_fn)
     qblock_orig = build_query_block(records, options.strand)
     n_ctx_per_query = 2 if options.strand == "both" else 1
     hitlist_size = options.max_target_seqs or options.hitlist_size
-    merged = merge_chunk_results(
-        sub, info, len(records), n_ctx_per_query, hitlist_size
-    )
     params_orig = derive_params(
         options, [c.length for c in qblock_orig.contexts],
         db.total_length, db.num_seqs,
     )
-    results = BlastResults(qblock=qblock_orig, params=params_orig)
-    for qi in range(len(records)):
-        results.queries.append(
-            QueryResult(query_index=qi, hsplists=merged[qi])
-        )
-    return results
+    merged = merge_chunk_prelim(
+        sub, info, len(records), n_ctx_per_query,
+        qblock_orig, params_orig, options.gapped, overlap_size(),
+        hitlist_size,
+    )
+    return finish_search(merged, db, options, interrupt_fn)

@@ -1229,3 +1229,52 @@ class TestRandomComboParity:
                 raise AssertionError(
                     f"trial {trial} combo {okw}: {e}"
                 ) from e
+
+
+class TestQuerySplitParity:
+    """Oversized queries split into overlapping chunks must produce
+    oracle-identical HSPs -- including an alignment that SPANS the
+    chunk boundary, which exercises the Blast_HSPListsMerge
+    concatenation semantics (blast_hits.c:2545): the two truncated
+    halves merge at the prelim stage and the traceback re-extends the
+    combined box over the original query."""
+
+    def test_boundary_spanning_alignment(self, genome, tmp_path,
+                                         monkeypatch):
+        rng = np.random.default_rng(77)
+        # 40 kb query; our engine splits at 16 kb (the oracle drives
+        # the C core directly, which never splits queries)
+        monkeypatch.setenv("CHUNK_SIZE", "16000")
+        q = list(rand_seq(rng, 40000))
+        # plant a high-identity alignment spanning the first chunk
+        # boundary (15900..16000 overlap strip): query[14500:17500]
+        # matches genome[20000:23000] with light mutation
+        frag = mutate(rng, genome[20000:23000], sub_rate=0.01,
+                      indel_rate=0.0)
+        q[14500:14500 + len(frag)] = list(frag)
+        # and a minus-strand one spanning the second boundary (~31800)
+        frag2 = revcomp(mutate(rng, genome[5000:7400], sub_rate=0.01,
+                               indel_rate=0.0))
+        q[30500:30500 + len(frag2)] = list(frag2)
+        # plus an interior (non-boundary) control alignment
+        q[4000:4800] = list(mutate(rng, genome[40000:40800]))
+        queries = [("big", "".join(q))]
+        subjects = [("chr1", genome)]
+        assert_parity(
+            queries, subjects, megablast_options(evalue=1e-5),
+            dict(task="megablast", evalue=1e-5), tmp_path,
+        )
+
+    def test_split_blastn_task(self, genome, tmp_path, monkeypatch):
+        rng = np.random.default_rng(78)
+        monkeypatch.setenv("CHUNK_SIZE", "12000")
+        q = list(rand_seq(rng, 30000))
+        frag = mutate(rng, genome[10000:12500], sub_rate=0.04,
+                      indel_rate=0.001)
+        q[10800:10800 + len(frag)] = list(frag)
+        queries = [("bigb", "".join(q))]
+        subjects = [("chr1", genome)]
+        assert_parity(
+            queries, subjects, blastn_options(evalue=1e-5),
+            dict(task="blastn", evalue=1e-5), tmp_path,
+        )
