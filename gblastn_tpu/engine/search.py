@@ -495,7 +495,18 @@ def prelim_search_steps(
     if (n_shards == 0 and jax.default_backend() == "tpu"
             and len(jax.devices()) > 1):
         n_shards = len(jax.devices())
-    n_shards = min(n_shards, len(jax.devices()))
+    avail = len(jax.devices())
+    if n_shards > avail:
+        # explicit GBLASTN_TPU_SHARDS above the accelerator count:
+        # fall back to the virtual CPU mesh (the same fallback
+        # make_mesh applies), so forced sharding works on the
+        # 8-device CPU test mesh where jax.devices() is the single
+        # tunnel TPU
+        try:
+            avail = max(avail, len(jax.devices("cpu")))
+        except RuntimeError:
+            pass
+    n_shards = min(n_shards, avail)
 
     # subject streaming: above the threshold the DB no longer fits
     # device-resident and blocks are streamed through a fixed buffer
@@ -598,10 +609,25 @@ def prelim_search_steps(
             db_index=db_index,
             q_allowed=q_allowed_np,
         )
-        shard_args = (
-            mesh, db.unpacked().astype(np.int8), db.valid_mask(),
-            qbuf_padded,
+        # host finishing still reads unpacked codes (replay, right
+        # runs); the DEVICE upload is the packed buffer, cached across
+        # batches (reference: per-GPU cached device subject arrays,
+        # gpu_blastn_MB_and_smallNa.cu:63-152)
+        sub2_host = db._cached_fetch(
+            ("unpacked_i8",), lambda: db.unpacked().astype(np.int8)
         )
+        valid_host = db._cached_fetch(
+            ("valid_mask",), db.valid_mask
+        )
+        shard_cache = getattr(db, "_shard_device_cache", None)
+        if shard_cache is None:
+            shard_cache = {}
+            db._shard_device_cache = shard_cache
+        shard_args = (
+            mesh, sub2_host, valid_host, qbuf_padded,
+        )
+        shard_kw["packed"] = db.packed_padded()
+        shard_kw["device_cache"] = shard_cache
         m16_shard = device_matrix16(options.reward, options.penalty)
         yield
         with slog.time("device.seeding"):

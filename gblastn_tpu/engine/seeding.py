@@ -2149,6 +2149,8 @@ def run_seeding_sharded(
     approx_ctx: dict | None = None,
     db_index=None,                # lut.dbindex.DbIndex (-use_index)
     q_allowed: np.ndarray | None = None,
+    packed: np.ndarray | None = None,      # 2-bit buffer (cached upload)
+    device_cache: dict | None = None,
     _raw: bool = False,   # return pre-replay hit arrays (two templates)
 ) -> InitHits:
     """Multi-chip seeding over a DB-sharded device mesh
@@ -2183,6 +2185,7 @@ def run_seeding_sharded(
                 mask_intervals=mask_intervals,
                 disc_offsets=lut.disc_offsets,
                 db_index=db_index, q_allowed=q_allowed,
+                packed=packed, device_cache=device_cache,
             )
         )
     slog.diagnostics.init_extends += len(q_off)

@@ -17,11 +17,14 @@ are given:
 * CullingWriter -- hspfilter_culling.c: each hit carries a merit
   (initially culling_limit); a dominating hit (s_DominateTest :84:
   weighted score/length criterion + >50% overlap) decrements it, and
-  hits reaching merit 0 are dropped. This implementation applies the
-  dominate test pairwise over the per-context survivor list (the
-  reference's interval tree additionally marks down whole fully-covered
-  subtrees without re-testing scores -- a spatial approximation not
-  reproduced here).
+  hits reaching merit 0 are dropped. This is a faithful port of the
+  reference's INTERVAL TREE (midpoint-subdivided over [0, qlen),
+  nodes forked at 20 resident hits): candidate merit counts only
+  dominators in nodes along the descent path (s_FirstPass low-merit
+  screen + s_SecondPass full count, :427-487), and an accepted hit
+  that covers a node's whole range MARKS DOWN the entire subtree
+  without re-testing scores (s_MarkDownCTree :321) -- the spatial
+  semantics the round-4 pairwise approximation lacked.
 """
 from __future__ import annotations
 
@@ -145,7 +148,7 @@ def dominate_test(p_begin, p_end, p_score, y_begin, y_end, y_score,
 
 
 @dataclass
-class _CullNode:
+class _CullHSP:
     hsp: HSP
     sid: int
     begin: int
@@ -153,54 +156,206 @@ class _CullNode:
     merit: int
 
 
+_FORK_AT = 20   # kNumHSPtoFork (hspfilter_culling.c:454)
+
+
+class _CTree:
+    """One culling interval-tree node (CTreeNode,
+    hspfilter_culling.c:200): midpoint-subdivided range with a
+    front-inserted resident HSP list."""
+
+    __slots__ = ("begin", "end", "left", "right", "hsps")
+
+    def __init__(self, begin: int, end: int):
+        self.begin = begin
+        self.end = end
+        self.left: "_CTree | None" = None
+        self.right: "_CTree | None" = None
+        self.hsps: list[_CullHSP] = []
+
+
+def _dom(p: _CullHSP, y: _CullHSP, drop_y_if_tie: bool) -> bool:
+    return dominate_test(p.begin, p.end, p.hsp.score,
+                         y.begin, y.end, y.hsp.score, drop_y_if_tie)
+
+
+def _process_hsplist(node: _CTree, y: _CullHSP) -> int:
+    """s_ProcessHSPList: decrement merits of residents y dominates,
+    dropping dead ones; returns the remaining count."""
+    kept = []
+    for r in node.hsps:
+        if r is not y and _dom(y, r, False):
+            r.merit -= 1
+            if r.merit <= 0:
+                continue
+        kept.append(r)
+    node.hsps = kept
+    return len(kept)
+
+
+def _mark_down(node: "_CTree | None") -> "_CTree | None":
+    """s_MarkDownCTree: blanket merit decrement of a fully-covered
+    subtree (no dominate re-test)."""
+    if node is None:
+        return None
+    node.left = _mark_down(node.left)
+    node.right = _mark_down(node.right)
+    kept = []
+    for r in node.hsps:
+        r.merit -= 1
+        if r.merit > 0:
+            kept.append(r)
+    node.hsps = kept
+    if not kept and node.left is None and node.right is None:
+        return None
+    return node
+
+
+def _fork_children(node: _CTree) -> None:
+    """s_ForkChildren: push residents wholly inside a half down to the
+    (front of the) matching child list."""
+    midpt = (node.begin + node.end) // 2
+    stay = []
+    for r in node.hsps:
+        if r.end < midpt:
+            if node.left is None:
+                node.left = _CTree(node.begin, midpt)
+            node.left.hsps.insert(0, r)
+        elif r.begin > midpt:
+            if node.right is None:
+                node.right = _CTree(midpt, node.end)
+            node.right.hsps.insert(0, r)
+        else:
+            stay.append(r)
+    node.hsps = stay
+
+
+def _process_ctree(node: "_CTree | None", x: _CullHSP) -> "_CTree | None":
+    """s_ProcessCTree: recursive merit update for the addition of x,
+    with the fully-covered-subtree markdown shortcut."""
+    if node is None:
+        return None
+    if x.begin <= node.begin and x.end >= node.end:
+        return _mark_down(node)
+    if node.left is None and node.right is None:
+        if _process_hsplist(node, x) <= 0:
+            return None
+        return node
+    midpt = (node.begin + node.end) // 2
+    if x.end < midpt:
+        node.left = _process_ctree(node.left, x)
+    elif x.begin > midpt:
+        node.right = _process_ctree(node.right, x)
+    else:
+        node.left = _process_ctree(node.left, x)
+        node.right = _process_ctree(node.right, x)
+        if (_process_hsplist(node, x) <= 0
+                and node.left is None and node.right is None):
+            return None
+    return node
+
+
 class CullingWriter:
-    """-culling_limit filter (merit-based domination counting)."""
+    """-culling_limit filter: merit counting over per-context culling
+    interval trees, port of hspfilter_culling.c."""
 
     def __init__(self, num_contexts: int, culling_limit: int):
         self.culling_limit = culling_limit
-        self.kept: list[list[_CullNode]] = [
-            [] for _ in range(num_contexts)
-        ]
+        self.trees: list[_CTree | None] = [None] * num_contexts
 
     def add_hsplist(self, lst: HSPList, qblock) -> None:
         for hsp in lst.hsps:
             cid = hsp.context
-            node = _CullNode(
+            A = _CullHSP(
                 hsp=hsp, sid=lst.oid, begin=hsp.q_off, end=hsp.q_end,
                 merit=self.culling_limit,
             )
-            klist = self.kept[cid]
-            ok = True
-            for p in klist:
-                if dominate_test(p.begin, p.end, p.hsp.score,
-                                 node.begin, node.end, node.hsp.score,
-                                 True):
-                    node.merit -= 1
-                    if node.merit <= 0:
-                        ok = False
-                        break
-            if not ok:
-                continue
-            # A survives: decrement merit of hits it dominates, dropping
-            # any that reach zero (s_ProcessHSPList)
-            survivors = []
-            for p in klist:
-                if dominate_test(node.begin, node.end, node.hsp.score,
-                                 p.begin, p.end, p.hsp.score, False):
-                    p.merit -= 1
-                    if p.merit <= 0:
-                        continue
-                survivors.append(p)
-            survivors.append(node)
-            self.kept[cid] = survivors
+            tree = self.trees[cid]
+            if tree is None:
+                ctx = qblock.contexts[cid]
+                tree = _CTree(0, ctx.length)
+                self.trees[cid] = tree
+            if self._first_pass(tree, A):
+                self._second_pass(cid, A)
+
+    def _first_pass(self, tree: "_CTree | None", A: _CullHSP) -> bool:
+        """s_FirstPass: low-merit screen along the descent path."""
+        while tree is not None:
+            for p in tree.hsps:
+                if p.merit == 1 and _dom(p, A, True):
+                    return False
+            midpt = (tree.begin + tree.end) // 2
+            if A.end < midpt:
+                tree = tree.left
+            elif A.begin > midpt:
+                tree = tree.right
+            else:
+                return True
+        return True
+
+    def _second_pass(self, cid: int, A: _CullHSP) -> bool:
+        """s_FullPass along the path + insertion + merit updates."""
+        tree = self.trees[cid]
+        node = tree
+        while tree is not None:
+            for p in tree.hsps:
+                if _dom(p, A, True):
+                    A.merit -= 1
+                    if A.merit <= 0:
+                        return False
+            midpt = (tree.begin + tree.end) // 2
+            node = tree
+            if A.end < midpt:
+                tree = tree.left
+            elif A.begin > midpt:
+                tree = tree.right
+            else:
+                break
+        node.hsps.insert(0, A)
+        if node.left is None and node.right is None:
+            if _process_hsplist(node, A) >= _FORK_AT:
+                _fork_children(node)
+            return True
+        # node may be emptied by the markdown path; reattach through
+        # the root reference when it was the root
+        new_node = _process_ctree(node, A)
+        if node is self.trees[cid]:
+            self.trees[cid] = new_node
+        elif new_node is None:
+            self._detach(self.trees[cid], node)
+        return True
+
+    def _detach(self, tree: "_CTree | None", target: _CTree) -> bool:
+        if tree is None:
+            return False
+        if tree.left is target:
+            tree.left = None
+            return True
+        if tree.right is target:
+            tree.right = None
+            return True
+        return (self._detach(tree.left, target)
+                or self._detach(tree.right, target))
 
     def export_query(self, qblock, qid: int) -> list[HSPList]:
         by_sid: dict[int, HSPList] = {}
-        for cid, klist in enumerate(self.kept):
+        order: list[int] = []
+
+        def rip(node: "_CTree | None"):
+            """s_RipHSPOffCTree collection order: node list, left
+            subtree, right subtree."""
+            if node is None:
+                return
+            for r in node.hsps:
+                if r.sid not in by_sid:
+                    by_sid[r.sid] = HSPList(oid=r.sid)
+                    order.append(r.sid)
+                by_sid[r.sid].hsps.append(r.hsp)
+            rip(node.left)
+            rip(node.right)
+
+        for cid, tree in enumerate(self.trees):
             if qblock.contexts[cid].query_index != qid:
                 continue
-            for node in klist:
-                by_sid.setdefault(
-                    node.sid, HSPList(oid=node.sid)
-                ).hsps.append(node.hsp)
+            rip(tree)
         return [by_sid[k] for k in sorted(by_sid)]

@@ -78,7 +78,8 @@ def _extract_window(ref, slot, o, out_rows):
     shift (< 8) uses a dynamic pltpu.roll, and the lane remainder a
     roll + cross-row carry select.
     """
-    nrows = out_rows + SUB
+    # dynamic sublane rotates need a multiple-of-8 sublane dimension
+    nrows = -(-(out_rows + SUB) // SUB) * SUB
     o_row8 = (o // (SUB * COLS)) * SUB
     o2 = o - o_row8 * COLS
     o2_row = o2 // COLS
@@ -149,7 +150,10 @@ def _make_kernel(window: int):
     assert window % COLS == 0 and nchunk >= 1
     SUPER = min(8, nchunk)       # chunks staged per extraction round
     assert nchunk % SUPER == 0
-    buf2 = (2 * window + ALIGN) // COLS
+    # +16 rows: _extract_window reads up to 16 sublanes past its
+    # 8-aligned start, and the worst-case ALIGN residual pushes the
+    # final super-block's extraction right to the window end
+    buf2 = (2 * window + ALIGN) // COLS + 16
     goff = WINDOW - window     # guard pad is WINDOW; window start shift
     C = SEEDS_PER_BLOCK
     BIGJ = (1 << 30)
@@ -437,7 +441,9 @@ def _call_batched(
 
 def _pad_fwd(arr, fill, dtype):
     n0 = arr.shape[0]
-    total = WINDOW + n0 + WINDOW + ALIGN
+    # tail covers the largest window DMA extent past the final valid
+    # start (buf2 rows incl. the +16 extraction slack)
+    total = WINDOW + n0 + WINDOW + ALIGN + 4096
     total += (-total) % ALIGN
     right = total - WINDOW - n0
     fwd = jnp.concatenate([

@@ -46,7 +46,11 @@ try:  # jax >= 0.4.35 exports shard_map at top level
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
-from gblastn_tpu.ops.seeding import seeding_scan_mini, ungapped_extend
+from gblastn_tpu.ops.seeding import (
+    block_arrays,
+    seeding_scan_mini,
+    ungapped_extend,
+)
 
 CTX = 1024  # flanking context bases per shard edge (extensions running
             # past it escalate to the exact host extension)
@@ -144,6 +148,40 @@ def shard_subject(
     return sub, val, bases, core
 
 
+def shard_subject_packed(
+    packed: np.ndarray,
+    S: int,
+    n_shards: int,
+    ctx: int = CTX,
+) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """Split the 2-bit PACKED buffer into per-shard byte windows
+    (0.25 B/base -- the persistent device form; int8 codes and the
+    validity mask derive in-program under shard_map, mirroring the
+    resident path packed-only residency). Returns
+    (packed_sh [D, L//4] uint8, base_offsets [D], core, L)."""
+    core = -(-S // n_shards)
+    core += (-core) % 4                 # byte-aligned shard starts
+    L = ctx + core + ctx                # ctx is a multiple of 4
+    if L >= 2**31:
+        raise ValueError(
+            f"shard window of {L} bases exceeds int32 scan "
+            "coordinates; raise GBLASTN_TPU_SHARDS"
+        )
+    nb = len(packed)
+    out = np.zeros((n_shards, L // 4), dtype=np.uint8)
+    bases = np.zeros(n_shards, dtype=np.int64)
+    for d in range(n_shards):
+        a = d * core - ctx
+        bases[d] = a
+        ab = a // 4
+        bb = min(ab + L // 4, nb)
+        lo = max(ab, 0)
+        off = lo - ab
+        if lo < nb:
+            out[d, off: off + bb - lo] = packed[lo:bb]
+    return out, bases, core, L
+
+
 def _shard_bounds(
     subject_starts: np.ndarray,
     subject_lengths: np.ndarray,
@@ -209,6 +247,7 @@ def _shard_masks(
     return ms, me
 
 
+@functools.lru_cache(maxsize=64)
 def make_sharded_seeding(
     mesh: Mesh,
     *,
@@ -224,6 +263,7 @@ def make_sharded_seeding(
     chunk: int = 64,
     disc_offsets: tuple[int, ...] | None = None,
     idx_table_size: int = 0,   # > 0: indexed megablast (-use_index)
+    packed_mode: bool = False,
 ):
     """Build the jitted DB-sharded seeding step.
 
@@ -246,6 +286,11 @@ def make_sharded_seeding(
     def one_shard(subject2, valid, ls, le, pos_base, pos_end, ms, me,
                   query, lut_off, lut_pos, ctx_off, xdrops, score_data,
                   q_allowed=None):
+        if packed_mode:
+            # the persistent device array is the 2-bit packed window;
+            # int8 codes + validity derive in-program (the resident
+            # path's packed-only residency, per shard)
+            subject2, valid = block_arrays(subject2, ls, le)
         if indexed:
             from gblastn_tpu.engine.seeding import offsets_on_device
 
@@ -338,15 +383,51 @@ def run_sharded_seeding(
     disc_offsets: tuple[int, ...] | None = None,
     db_index=None,                # lut.dbindex.DbIndex (-use_index)
     q_allowed: np.ndarray | None = None,   # bool[Q], indexed mode
+    packed: np.ndarray | None = None,      # uint8[S/4] 2-bit buffer
+    device_cache: dict | None = None,      # per-DB persistent arrays
 ):
     """Shard, run, retry on overflow, escalate edge truncations, and
     return exact host seed arrays (q_off, s_off int64 global, ctx,
-    q_start, s_start, length, score), compacted (valid seeds only)."""
+    q_start, s_start, length, score), compacted (valid seeds only).
+
+    With ``packed`` (and optionally ``device_cache``), each shard's
+    persistent device array is its 2-bit PACKED window, uploaded ONCE
+    per (db, mesh) and cached across query batches -- int8 codes and
+    validity derive in-program under shard_map (the packed-only
+    residency of the resident path; reference: per-GPU cached device
+    subject arrays, gpu_blastn_MB_and_smallNa.cu:63-152). Without it,
+    the legacy unpacked upload runs per call."""
     from gblastn_tpu.utils.profiling import slog
 
     n = mesh.devices.size
-    sub, val, bases, core = shard_subject(subject2, subject_valid, n)
-    L = sub.shape[1]
+    packed_mode = packed is not None
+    S_total = len(subject2)
+    if packed_mode:
+        ck = ("packed_shards", n, S_total, CTX)
+        cached = (device_cache or {}).get(ck)
+        if cached is None:
+            sub_np, bases, core, L = shard_subject_packed(
+                packed, S_total, n
+            )
+            sub_dev = _put(sub_np, mesh, P(mesh.axis_names[0], None))
+            val_dev = _put(
+                np.zeros((n, 8), np.uint8), mesh,
+                P(mesh.axis_names[0], None),
+            )
+            cached = (sub_dev, val_dev, bases, core, L)
+            if device_cache is not None:
+                device_cache[ck] = cached
+        sub_dev, val_dev, bases, core, L = cached
+    else:
+        sub, val, bases, core = shard_subject(
+            subject2, subject_valid, n
+        )
+        L = sub.shape[1]
+        if L >= 2**31:
+            raise ValueError(
+                f"shard window of {L} bases exceeds int32 scan "
+                "coordinates; raise GBLASTN_TPU_SHARDS"
+            )
     ls, le = _shard_bounds(subject_starts, subject_lengths, bases, L)
     if use_pallas is None:
         use_pallas = mesh.devices.flat[0].platform == "tpu"
@@ -414,8 +495,13 @@ def run_sharded_seeding(
         )
     ms, me = _shard_masks(mask_intervals, bases, L)
     lut_sp = P(axis, None) if db_index is not None else P()
+    if packed_mode:
+        sub_arg, val_arg = sub_dev, val_dev
+    else:
+        sub_arg = _put(sub, mesh, P(axis, None))
+        val_arg = _put(val, mesh, P(axis, None))
     args = (
-        _put(sub, mesh, P(axis, None)), _put(val, mesh, P(axis, None)),
+        sub_arg, val_arg,
         _put(ls, mesh, P(axis, None)), _put(le, mesh, P(axis, None)),
         _put(pos_base, mesh, P(axis)), _put(pos_end, mesh, P(axis)),
         _put(ms, mesh, P(axis, None)), _put(me, mesh, P(axis, None)),
@@ -433,7 +519,7 @@ def run_sharded_seeding(
             word_size=word_size, cmax=cmax, n_scan=n_scan,
             hit_cap=hit_cap, seed_cap=seed_cap, out_cap=seed_cap // 2,
             use_pallas=use_pallas, disc_offsets=disc_offsets,
-            idx_table_size=idx_table_size,
+            idx_table_size=idx_table_size, packed_mode=packed_mode,
         )
         out = step(*args)
         if jax.process_count() > 1:  # pragma: no cover - multi-host

@@ -126,5 +126,44 @@ def ensure_oracle(quiet: bool = True) -> Path:
     return exe
 
 
+def ensure_culltest(quiet: bool = True) -> Path:
+    """Build (if needed) the standalone culling/best-hit writer
+    harness (oracle/culltest.c) against the same compiled core."""
+    if not REFERENCE_CORE.is_dir():
+        raise FileNotFoundError(
+            f"reference core not found at {REFERENCE_CORE}"
+        )
+    ensure_oracle(quiet=quiet)   # builds libblastcore.a + objects
+    h = hashlib.sha256()
+    h.update((HERE / "culltest.c").read_bytes())
+    fp = h.hexdigest()[:16]
+    exe = CACHE_DIR / f"oracle_culltest-{fp}"
+    if exe.exists():
+        return exe
+    objdir = CACHE_DIR / f"obj-{_fingerprint()}"
+    cflags = [
+        "-O2", "-DNDEBUG", "-fcommon",
+        f"-I{HERE / 'shim'}",
+        f"-I{REFERENCE_INCLUDE}",
+        f"-I{REFERENCE_CORE}",
+    ]
+    obj = objdir / "culltest.o"
+    cmd = ["gcc", "-c", *cflags, str(HERE / "culltest.c"), "-o",
+           str(obj)]
+    res = subprocess.run(cmd, capture_output=True, text=True)
+    if res.returncode != 0:
+        raise RuntimeError(f"compile failed for culltest.c:\n{res.stderr}")
+    lib = CACHE_DIR / "libblastcore.a"
+    tmp = exe.with_suffix(".tmp")
+    res = subprocess.run(
+        ["gcc", str(obj), str(lib), "-lm", "-o", str(tmp)],
+        capture_output=True, text=True,
+    )
+    if res.returncode != 0:
+        raise RuntimeError(f"link failed:\n{res.stderr}")
+    tmp.rename(exe)
+    return exe
+
+
 if __name__ == "__main__":
     print(ensure_oracle(quiet=False))

@@ -58,6 +58,8 @@
 #include <algo/blast/core/blast_hits.h>
 #include <algo/blast/core/blast_hspstream.h>
 #include <algo/blast/core/hspfilter_collector.h>
+#include <algo/blast/core/hspfilter_culling.h>
+#include <algo/blast/core/hspfilter_besthit.h>
 #include <algo/blast/core/blast_diagnostics.h>
 #include <algo/blast/core/blast_engine.h>
 #include <algo/blast/core/gapinfo.h>
@@ -402,6 +404,9 @@ typedef struct Args {
     Int4 template_type;      /* 0 coding, 1 optimal, 2 both */
     Int4 strand;             /* eNa_strand: 1 plus, 2 minus, 3 both */
     const char* qmask;       /* query mask intervals file (see below) */
+    Int4 culling_limit;      /* 0 = off (collector writer) */
+    double best_hit_overhang;    /* 0 = off */
+    double best_hit_score_edge;
 } Args;
 
 static Args parse_args(int argc, char** argv) {
@@ -444,6 +449,9 @@ static Args parse_args(int argc, char** argv) {
         else if (!strcmp(k, "-xdrop_gap")) { a.xdrop_gap = atof(v); i++; }
         else if (!strcmp(k, "-xdrop_gap_final")) { a.xdrop_gap_final = atof(v); i++; }
         else if (!strcmp(k, "-min_diag_separation")) { a.min_diag_separation = atoi(v); i++; }
+        else if (!strcmp(k, "-culling_limit")) { a.culling_limit = atoi(v); i++; }
+        else if (!strcmp(k, "-best_hit_overhang")) { a.best_hit_overhang = atof(v); i++; }
+        else if (!strcmp(k, "-best_hit_score_edge")) { a.best_hit_score_edge = atof(v); i++; }
         else if (!strcmp(k, "-template_length")) { a.template_length = atoi(v); i++; }
         else if (!strcmp(k, "-template_type")) {
             a.template_type = !strcmp(v, "optimal") ? 1 :
@@ -526,7 +534,7 @@ int main(int argc, char** argv) {
                                xdrop_gap, xdrop_gap_final);
     BLAST_FillHitSavingOptions(hit_opts, a.evalue, a.hitlist_size,
                                score_opts->gapped_calculation,
-                               0 /* culling_limit */, min_diag_separation);
+                               a.culling_limit, min_diag_separation);
     if (a.min_raw_gapped_score)
         hit_opts->cutoff_score = a.min_raw_gapped_score;
     if (a.perc_identity > 0)
@@ -600,11 +608,31 @@ int main(int argc, char** argv) {
     BlastSeqSrc* seq_src = BlastSeqSrcNew(&src_info);
     if (!seq_src) die("BlastSeqSrcNew failed");
 
-    /* --- HSP stream with the default collector writer ---------------- */
-    BlastHSPCollectorParams* cparams = BlastHSPCollectorParamsNew(
-        hit_opts, ext_opts->compositionBasedStats,
-        score_opts->gapped_calculation);
-    BlastHSPWriterInfo* winfo = BlastHSPCollectorInfoNew(cparams);
+    /* --- HSP stream: collector, culling, or best-hit writer ----------
+     * (the writer selection of CSetupFactory::CreateHspStream via
+     * hsp_filt_opt, setup_factory.cpp:270) */
+    BlastHSPWriterInfo* winfo = NULL;
+    if (a.culling_limit > 0) {
+        BlastHSPCullingOptions copts;
+        copts.max_hits = a.culling_limit;
+        BlastHSPCullingParams* cull_params = BlastHSPCullingParamsNew(
+            hit_opts, &copts, ext_opts->compositionBasedStats,
+            score_opts->gapped_calculation);
+        winfo = BlastHSPCullingInfoNew(cull_params);
+    } else if (a.best_hit_overhang > 0) {
+        BlastHSPBestHitOptions bopts;
+        bopts.overhang = a.best_hit_overhang;
+        bopts.score_edge = a.best_hit_score_edge;
+        BlastHSPBestHitParams* bh_params = BlastHSPBestHitParamsNew(
+            hit_opts, &bopts, ext_opts->compositionBasedStats,
+            score_opts->gapped_calculation);
+        winfo = BlastHSPBestHitInfoNew(bh_params);
+    } else {
+        BlastHSPCollectorParams* cparams = BlastHSPCollectorParamsNew(
+            hit_opts, ext_opts->compositionBasedStats,
+            score_opts->gapped_calculation);
+        winfo = BlastHSPCollectorInfoNew(cparams);
+    }
     BlastHSPWriter* writer = BlastHSPWriterNew(&winfo, qinfo);
     BlastHSPStream* hsp_stream =
         BlastHSPStreamNew(kProgram, ext_opts, TRUE, qinfo->num_queries, writer);

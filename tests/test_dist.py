@@ -304,3 +304,37 @@ def test_production_sharded_two_template_matches_single(monkeypatch):
     sharded = _search_rows(queries, records, options)
     assert len(single) >= 2
     assert sharded == single
+
+
+def test_sharded_packed_residency_no_reupload(monkeypatch):
+    """The sharded path's persistent device array is the 2-bit packed
+    buffer, uploaded ONCE per (db, mesh) and reused across query
+    batches (VERDICT round-4 item 4; reference: per-GPU cached device
+    subject arrays, gpu_blastn_MB_and_smallNa.cu:63-152)."""
+    from gblastn_tpu.engine.search import search
+    from gblastn_tpu.io.seqdb import SequenceDB
+    from gblastn_tpu.params.options import megablast_options
+
+    rng = np.random.default_rng(5)
+    bases = "ACGT"
+    g = "".join(bases[i] for i in rng.integers(0, 4, 40000))
+    db = SequenceDB.from_records([FastaRecord("g", "", g)], title="t")
+    queries1 = [FastaRecord("a", "", g[3000:3400])]
+    queries2 = [FastaRecord("b", "", g[11000:11500])]
+    options = megablast_options(evalue=10.0)
+
+    monkeypatch.setenv("GBLASTN_TPU_SHARDS", "8")
+    r1 = search(queries1, db, options)
+    cache = getattr(db, "_shard_device_cache", None)
+    assert cache, "packed shard cache was not populated"
+    (key, entry1) = next(iter(cache.items()))
+    sub_dev_1 = entry1[0]
+
+    # second batch: the SAME device array object must be reused (no
+    # re-shard, no re-upload) and the search must still hit
+    r2 = search(queries2, db, options)
+    entry2 = db._shard_device_cache[key]
+    assert entry2[0] is sub_dev_1, "packed shard array was re-uploaded"
+    n1 = sum(len(hl.hsps) for q in r1.queries for hl in q.hsplists)
+    n2 = sum(len(hl.hsps) for q in r2.queries for hl in q.hsplists)
+    assert n1 >= 1 and n2 >= 1

@@ -101,3 +101,129 @@ def test_best_hit_drops_worse(multicopy):
     assert "good" in kept
     n_filt = len(kept)
     assert n_filt <= n_plain
+
+
+class TestWriterFuzzVsReference:
+    """Fuzz the Python culling/best-hit writers against the
+    reference's OWN compiled writers (oracle/culltest.c drives
+    hspfilter_culling.c / hspfilter_besthit.c directly on synthetic
+    HSPs) -- the survivor sets must match exactly. This catches
+    interval-tree semantics (path-restricted merit counting,
+    fully-covered-subtree markdown, node forking) a pairwise
+    approximation cannot reproduce (VERDICT round-4 item 7)."""
+
+    @staticmethod
+    def _ref_run(exe, mode_args, qlen, hsps):
+        import subprocess
+
+        inp = "".join(f"{b} {e} {s} {ev}\n" for b, e, s, ev in hsps)
+        res = subprocess.run(
+            [str(exe), *mode_args, str(qlen)],
+            input=inp, capture_output=True, text=True, timeout=120,
+        )
+        assert res.returncode == 0, res.stderr
+        out = set()
+        for line in res.stdout.splitlines():
+            oid, b, e, s = line.split()
+            out.add((int(b), int(e), int(s)))
+        return out
+
+    @staticmethod
+    def _mk(hsps):
+        from gblastn_tpu.hits import HSP, HSPList
+
+        return HSPList(oid=0, hsps=[
+            HSP(q_off=b, q_end=e, s_off=b, s_end=e, score=s,
+                context=0, q_frame=1, s_frame=1, evalue=ev)
+            for b, e, s, ev in hsps
+        ])
+
+    class _QB:
+        class _Ctx:
+            def __init__(self, L):
+                self.length = L
+                self.query_index = 0
+                self.frame = 1
+
+        def __init__(self, L):
+            self.contexts = [self._Ctx(L)]
+            self.lengths = [L]
+
+    def test_culling_fuzz(self):
+        import numpy as np
+        import pytest as _pytest
+
+        try:
+            from oracle.build import ensure_culltest
+            exe = ensure_culltest()
+        except FileNotFoundError:
+            _pytest.skip("reference tree unavailable")
+        from gblastn_tpu.hspfilters import CullingWriter
+
+        rng = np.random.default_rng(123)
+        L = 4000
+        for trial in range(60):
+            n = int(rng.integers(5, 80))
+            hsps = []
+            for _ in range(n):
+                b = int(rng.integers(0, L - 60))
+                ln = int(rng.integers(40, L - b))
+                sc = int(rng.integers(30, 500))
+                hsps.append((b, b + ln, sc, 1e-10))
+            if rng.random() < 0.5:
+                # broad high scorer: triggers subtree markdowns
+                hsps.insert(int(rng.integers(0, n)),
+                            (0, L, 2000, 1e-30))
+            limit = int(rng.integers(1, 4))
+            ref = self._ref_run(exe, ["cull", str(limit)], L, hsps)
+            qb = self._QB(L)
+            cw = CullingWriter(1, limit)
+            cw.add_hsplist(self._mk(hsps), qb)
+            ours = set(
+                (h.q_off, h.q_end, h.score)
+                for lst in cw.export_query(qb, 0) for h in lst.hsps
+            )
+            assert ours == ref, (
+                f"trial {trial} limit {limit}: ours-only "
+                f"{sorted(ours - ref)[:4]} ref-only "
+                f"{sorted(ref - ours)[:4]}"
+            )
+
+    def test_besthit_fuzz(self):
+        import numpy as np
+        import pytest as _pytest
+
+        try:
+            from oracle.build import ensure_culltest
+            exe = ensure_culltest()
+        except FileNotFoundError:
+            _pytest.skip("reference tree unavailable")
+        from gblastn_tpu.hspfilters import BestHitWriter
+
+        rng = np.random.default_rng(321)
+        L = 4000
+        for trial in range(40):
+            n = int(rng.integers(5, 50))
+            hsps = []
+            for _ in range(n):
+                b = int(rng.integers(0, L - 60))
+                ln = int(rng.integers(40, L - b))
+                sc = int(rng.integers(30, 500))
+                ev = float(10.0 ** -rng.integers(3, 40))
+                hsps.append((b, b + ln, sc, ev))
+            overhang = float(rng.choice([0.1, 0.25]))
+            edge = float(rng.choice([0.05, 0.1]))
+            ref = self._ref_run(
+                exe, ["besthit", str(overhang), str(edge)], L, hsps
+            )
+            qb = self._QB(L)
+            bw = BestHitWriter(1, overhang, edge)
+            bw.add_hsplist(self._mk(hsps), qb)
+            ours = set(
+                (h.q_off, h.q_end, h.score)
+                for lst in bw.export(0) for h in lst.hsps
+            )
+            assert ours == ref, (
+                f"trial {trial}: ours-only {sorted(ours - ref)[:4]} "
+                f"ref-only {sorted(ref - ours)[:4]}"
+            )

@@ -1278,3 +1278,81 @@ class TestQuerySplitParity:
             queries, subjects, blastn_options(evalue=1e-5),
             dict(task="blastn", evalue=1e-5), tmp_path,
         )
+
+
+class TestHSPFilterParity:
+    """-culling_limit / best-hit writer parity against the reference's
+    own writers (hspfilter_culling.c interval tree incl. the
+    fully-covered-subtree markdown; hspfilter_besthit.c), driven
+    through the compiled C core (VERDICT round-4 item 7)."""
+
+    def _dense_queries(self, genome, seed, n=10):
+        """Queries with MANY overlapping repeats of a genome region, so
+        the culling tree forks (>20 residents) and subtree markdowns
+        fire."""
+        rng = np.random.default_rng(seed)
+        queries = []
+        for i in range(n):
+            parts = []
+            for j in range(6):
+                start = int(rng.integers(9000, 9400))
+                ln = int(rng.integers(150, 400))
+                parts.append(mutate(rng, genome[start: start + ln],
+                                    sub_rate=0.03, indel_rate=0.0))
+            queries.append((f"d{i}", "".join(parts)))
+        return queries
+
+    @pytest.mark.parametrize("limit", [1, 2])
+    def test_culling_limit(self, genome, tmp_path, limit):
+        # tandem-repeat subject so each query region hits many places
+        subj = genome[:20000] + genome[9000:9500] * 12 + genome[20000:]
+        queries = self._dense_queries(subj, 31 + limit)
+        assert_parity(
+            queries, [("chr1", subj)],
+            megablast_options(evalue=1e-3, culling_limit=limit),
+            dict(task="megablast", evalue=1e-3, culling_limit=limit),
+            tmp_path,
+        )
+
+    def test_best_hit(self, genome, tmp_path):
+        subj = genome[:20000] + genome[9000:9500] * 8 + genome[20000:]
+        queries = self._dense_queries(subj, 47)
+        assert_parity(
+            queries, [("chr1", subj)],
+            megablast_options(
+                evalue=1e-3, best_hit_overhang=0.1,
+                best_hit_score_edge=0.1,
+            ),
+            dict(task="megablast", evalue=1e-3,
+                 best_hit_overhang=0.1, best_hit_score_edge=0.1),
+            tmp_path,
+        )
+
+    def test_culling_tree_vs_pairwise_divergence(self, genome,
+                                                 tmp_path):
+        """Adversarial culling case: one full-query alignment plus ~45
+        scattered sub-fragment alignments of varying identity. The
+        interval tree's fully-covered-subtree markdown and
+        path-restricted merit counting produce a DIFFERENT survivor
+        set than a pairwise dominate scan here (verified by direct
+        comparison of the two implementations), so this pins the tree
+        semantics against the reference's own writer."""
+        rng = np.random.default_rng(12)
+        R = genome[10000:14000]
+        frags = []
+        for i in range(45):
+            b = int(rng.integers(0, 3900))
+            ln = int(rng.integers(60, 4000 - b))
+            sub = mutate(rng, R[b: b + ln],
+                         sub_rate=float(rng.uniform(0.0, 0.08)),
+                         indel_rate=0.0)
+            frags.append(sub)
+        subj = (genome[:5000] + R
+                + "".join("GG" + f + "CC" for f in frags)
+                + genome[30000:35000])
+        assert_parity(
+            [("qr", R)], [("chr1", subj)],
+            megablast_options(evalue=1e-3, culling_limit=2),
+            dict(task="megablast", evalue=1e-3, culling_limit=2),
+            tmp_path,
+        )
