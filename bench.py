@@ -53,6 +53,18 @@ GAPPED_OPS_PER_CELL = 15
 SCAN_BYTES_PER_BASE = 2
 
 
+def _fetch_sync(outs):
+    """Force REAL completion of a dispatch chain: under the tunnel,
+    block_until_ready can acknowledge at enqueue time, so timing loops
+    must fetch bytes from the LAST output (device execution is
+    in-order, so its completion implies the whole chain ran)."""
+    import jax
+    import numpy as _np
+
+    leaves = jax.tree_util.tree_leaves(outs)
+    return _np.asarray(leaves[-1]).ravel()[:1]
+
+
 def _make_genome(rng, n):
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
     return bases[rng.integers(0, 4, n)].tobytes().decode()
@@ -303,13 +315,20 @@ def bench_config3():
     finally:
         del os.environ["GBLASTN_TPU_STREAM"]
     qps = n_str / dt
+    scan_rate = (BIG_GENOME_LEN * (n_str / BIG_BATCH)) / dt / 1e9
     print(
         f"# config3s megablast streamed 300Mb: {n_str} queries, "
-        f"{n_hits} HSPs, {dt:.1f}s = {qps:.1f} q/s", file=sys.stderr,
+        f"{n_hits} HSPs, {dt:.1f}s = {qps:.1f} q/s "
+        f"(effective streamed scan {scan_rate:.2f} Gbases/s)",
+        file=sys.stderr,
     )
     print(json.dumps({
         "metric": "queries_per_sec_megablast_300Mb_streamed",
         "value": round(qps, 3), "unit": "queries/sec",
+    }), file=sys.stderr)
+    print(json.dumps({
+        "metric": "scan_gbases_per_sec_streamed",
+        "value": round(scan_rate, 3), "unit": "Gbases/sec",
     }), file=sys.stderr)
 
 
@@ -489,10 +508,10 @@ def bench_kernels(db, genome, rng):
         g12 = variants[24 + 8 * r: 24 + 8 * r + 8] + variants[
             8 * r: 8 * r + 4]
         t0 = time.time()
-        jax.block_until_ready([scan_once(v) for v in g4])
+        _fetch_sync([scan_once(v) for v in g4][-1])
         t4 = min(t4, time.time() - t0)
         t0 = time.time()
-        jax.block_until_ready([scan_once(v) for v in g12])
+        _fetch_sync([scan_once(v) for v in g12][-1])
         t12 = min(t12, time.time() - t0)
     if t12 > t4:
         dev_ms = (t12 - t4) * 1000 / 8
@@ -528,7 +547,7 @@ def bench_kernels(db, genome, rng):
         res = ungapped_extend_pallas_prepared(
             (qps_[0], sub_p), table, qs, ss, ok, xd, max_l, max_r,
         )
-        jax.block_until_ready(res)
+        _fetch_sync(res)
         t0 = time.time()
         rs = [
             ungapped_extend_pallas_prepared(
@@ -536,7 +555,7 @@ def bench_kernels(db, genome, rng):
             )
             for qp in qps_
         ]
-        jax.block_until_ready(rs)
+        _fetch_sync(rs[-1])
         dt = time.time() - t0
         lanes = int(np.asarray(qs).shape[0])
         cells = lanes * 2 * WINDOW * len(qps_)
@@ -544,10 +563,13 @@ def bench_kernels(db, genome, rng):
         sol = V5E_VPU_OPS / UNGAPPED_OPS_PER_CELL / 1e9
         print(
             f"# ungapped Pallas kernel: {rate:.1f} Gcells/s "
-            f"({lanes} lanes x {2 * WINDOW} cells, {n_seeds} live seeds, "
-            f"{dt * 1000 / len(qps_):.1f} ms/dispatch; VPU SOL "
+            f"full-window-equivalent ({lanes} lanes x {2 * WINDOW} "
+            f"cells, {n_seeds} live seeds, "
+            f"{dt * 1000 / len(qps_):.1f} ms/dispatch; the round-5 "
+            f"early-exit kernel computes only live walk steps, so the "
+            f"equivalent rate exceeds the all-window VPU SOL of "
             f"{sol:.0f} Gcells/s at {UNGAPPED_OPS_PER_CELL} ops/cell "
-            f"-> {rate / sol * 100:.1f}% of SOL)", file=sys.stderr,
+            f"-> {rate / sol * 100:.0f}%)", file=sys.stderr,
         )
     except Exception as e:  # CPU run / kernel unavailable
         print(f"# ungapped Pallas kernel: skipped ({e})", file=sys.stderr)

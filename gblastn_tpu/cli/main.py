@@ -230,6 +230,8 @@ def _build_options(args):
         overrides["best_hit_score_edge"] = args.best_hit_score_edge
     if args.culling_limit:
         overrides["culling_limit"] = args.culling_limit
+    if args.num_threads and args.num_threads > 1:
+        overrides["num_threads"] = args.num_threads
     if args.dbsize:
         overrides["db_length_override"] = args.dbsize
     if args.searchsp:

@@ -1043,28 +1043,57 @@ def finish_search(
     results = BlastResults(qblock=qblock, params=params,
                            masks=prelim.masks)
     subj_cache: dict[int, np.ndarray] = {}
+
+    def _finish_one(lst):
+        if options.gapped:
+            traceback_from_hsplist(
+                lst, qblock, subj_cache[lst.oid], matrix, params
+            )
+        else:
+            from gblastn_tpu.engine.ungapped import (
+                finish_ungapped_hsplist,
+            )
+
+            finish_ungapped_hsplist(
+                lst, qblock, subj_cache[lst.oid], matrix,
+                params, int(db.lengths[lst.oid]),
+            )
+
+    nthreads = max(int(getattr(options, "num_threads", 1) or 1), 1)
     with slog.time("host.traceback"):
+        if nthreads > 1:
+            # -num_threads: per-HSPList traceback fan-out (the role of
+            # the reference's traceback worker threads,
+            # gpu_blast/work_thread.cpp:86-107). The native aligners
+            # run through ctypes, which releases the GIL for the
+            # duration of each C call, so Python threads genuinely
+            # overlap the C work; results are deterministic because
+            # each task mutates only its own HSPList and assembly
+            # happens in the original order below. Subjects prefetch
+            # serially first (the cache dict is not thread-safe).
+            from concurrent.futures import ThreadPoolExecutor
+
+            all_lists = []
+            for hl in hitlists:
+                for lst in hl.hsplists:
+                    if lst.oid not in subj_cache:
+                        subj_cache[lst.oid] = (
+                            db.get_sequence_blastna_cached(lst.oid)
+                        )
+                    all_lists.append(lst)
+            check(interrupt_fn)
+            with ThreadPoolExecutor(max_workers=nthreads) as pool:
+                list(pool.map(_finish_one, all_lists))
         for qi, hl in enumerate(hitlists):
             check(interrupt_fn)
             qres = QueryResult(query_index=qi)
             for lst in hl.hsplists:
-                if lst.oid not in subj_cache:
-                    subj_cache[lst.oid] = (
-                        db.get_sequence_blastna_cached(lst.oid)
-                    )
-                if options.gapped:
-                    traceback_from_hsplist(
-                        lst, qblock, subj_cache[lst.oid], matrix, params
-                    )
-                else:
-                    from gblastn_tpu.engine.ungapped import (
-                        finish_ungapped_hsplist,
-                    )
-
-                    finish_ungapped_hsplist(
-                        lst, qblock, subj_cache[lst.oid], matrix,
-                        params, int(db.lengths[lst.oid]),
-                    )
+                if nthreads <= 1:
+                    if lst.oid not in subj_cache:
+                        subj_cache[lst.oid] = (
+                            db.get_sequence_blastna_cached(lst.oid)
+                        )
+                    _finish_one(lst)
                 if lst.hsps:
                     qres.hsplists.append(lst)
             # final ranking (Blast_HSPResultsSortByEvalue)

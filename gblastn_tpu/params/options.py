@@ -59,6 +59,7 @@ class SearchOptions:
     best_hit_overhang: float = 0.0      # 0 = best-hit filter off
     best_hit_score_edge: float = 0.0
     culling_limit: int = 0              # 0 = culling filter off
+    num_threads: int = 1                # host-stage worker threads
     max_target_seqs: int | None = None  # alias of hitlist_size at CLI level
 
     # Query handling

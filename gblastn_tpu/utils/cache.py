@@ -39,6 +39,16 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     global _enabled
     if _enabled:
         return
+    if os.environ.get("GBLASTN_TPU_NO_COMPILE_CACHE"):
+        # The test suite disables persistent-cache WRITES entirely:
+        # serializing giant cold-compiled XLA:CPU executables late in a
+        # long process has segfaulted inside
+        # compilation_cache.put_executable_and_time (three reproducible
+        # crashes at the same write site), and concurrent first-compiles
+        # from parallel test processes have corrupted entries before
+        # (CLAUDE.md). Production runs (TPU) keep the cache.
+        _enabled = True
+        return
     import jax
 
     path = cache_dir or os.environ.get(

@@ -15,6 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# No persistent compile cache under the suite: cold cache-entry writes
+# of giant XLA:CPU programs have segfaulted the process late in a run
+# (see utils/cache.enable_compilation_cache)
+os.environ.setdefault("GBLASTN_TPU_NO_COMPILE_CACHE", "1")
 
 # The TPU tunnel plugin registers itself regardless of JAX_PLATFORMS and
 # becomes the default backend; route default computations to the virtual

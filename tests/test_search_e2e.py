@@ -229,202 +229,24 @@ class TestXmlOutput:
             assert qseq == hseq  # exact matches
 
 
-class TestBlobPathParity:
-    """The TPU production seeding path (single-blob upload + fused
-    finisher, Pallas in interpret mode off-TPU) must produce exactly
-    the hits of the standard path (GBLASTN_TPU_FORCE_BLOB=1 covers the
-    code the bench runs on real hardware)."""
+def test_blob_path_parity_subprocess():
+    """TestBlobPathParity moved to a worker subprocess: its FORCE_BLOB
+    interpret compiles are the suite's largest XLA:CPU programs and
+    repeatedly segfaulted when compiled late in a long pytest process
+    (fresh processes pass). Same containment as the NCBI
+    search-equality test (CLAUDE.md)."""
+    import pathlib
+    import subprocess
+    import sys
 
-    def test_blob_equals_default(self, genome, db, monkeypatch):
-        rng = np.random.default_rng(99)
-        recs = []
-        for k in range(6):
-            st = int(rng.integers(0, len(genome) - 800))
-            frag = list(genome[st: st + 700])
-            for p in np.flatnonzero(rng.random(700) < 0.03):
-                frag[p] = "ACGT"[("ACGT".index(frag[p]) + 1
-                                  + int(rng.integers(0, 3))) % 4]
-            seq = "".join(frag)
-            if k % 3 == 2:
-                seq = revcomp(seq)
-            recs.append(FastaRecord(f"b{k}", "", seq))
-        options = megablast_options(evalue=1e-3)
+    worker = pathlib.Path(__file__).parent / "blob_parity_worker.py"
+    r = subprocess.run(
+        [sys.executable, str(worker)], capture_output=True, text=True,
+        timeout=1500,
+    )
+    assert r.returncode == 0, f"worker failed:\n{r.stdout}\n{r.stderr}"
+    assert "ALL-OK" in r.stdout
 
-        def rows(res):
-            return sorted(
-                (q.query_index, lst.oid, h.q_off, h.q_end, h.s_off,
-                 h.s_end, h.score, h.num_ident,
-                 tuple(h.edit_script or ()))
-                for q in res.queries for lst in q.hsplists
-                for h in lst.hsps
-            )
-
-        # fresh DB objects: the device caches key off the db instance
-        db2 = SequenceDB.from_records(
-            [FastaRecord("chr1", "", genome)], title="blobdb"
-        )
-        a = rows(search(recs, db2, options))
-        monkeypatch.setenv("GBLASTN_TPU_FORCE_BLOB", "1")
-        db3 = SequenceDB.from_records(
-            [FastaRecord("chr1", "", genome)], title="blobdb"
-        )
-        b = rows(search(recs, db3, options))
-        assert a == b and len(a) >= 6
-
-    def test_blob_two_hit_equals_default(self, genome, db, monkeypatch):
-        """blastn word-11 two-hit: the device admission superset +
-        right-run row (engine.seeding._finish_seeds_jit window>0) must
-        reproduce the default path's hits exactly."""
-        from gblastn_tpu.params.options import blastn_options
-
-        rng = np.random.default_rng(4242)
-        recs = []
-        for k in range(6):
-            st = int(rng.integers(0, len(genome) - 900))
-            frag = list(genome[st: st + 800])
-            for p in np.flatnonzero(rng.random(800) < 0.08):
-                frag[p] = "ACGT"[("ACGT".index(frag[p]) + 1
-                                  + int(rng.integers(0, 3))) % 4]
-            seq = "".join(frag)
-            if k % 2:
-                seq = revcomp(seq)
-            recs.append(FastaRecord(f"t{k}", "", seq))
-        options = blastn_options(evalue=1e-2, window_size=40)
-
-        def rows(res):
-            return sorted(
-                (q.query_index, lst.oid, h.q_off, h.q_end, h.s_off,
-                 h.s_end, h.score, h.num_ident,
-                 tuple(h.edit_script or ()))
-                for q in res.queries for lst in q.hsplists
-                for h in lst.hsps
-            )
-
-        db2 = SequenceDB.from_records(
-            [FastaRecord("chr1", "", genome)], title="blobdb"
-        )
-        from gblastn_tpu.engine.search import search as s2
-        a = rows(s2(recs, db2, options))
-        monkeypatch.setenv("GBLASTN_TPU_FORCE_BLOB", "1")
-        db3 = SequenceDB.from_records(
-            [FastaRecord("chr1", "", genome)], title="blobdb"
-        )
-        b = rows(s2(recs, db3, options))
-        assert a == b and len(a) >= 4
-
-    def test_dev_replay_engages_and_matches(self, genome, monkeypatch):
-        """The device two-hit replay fast path (approx gate + replay on
-        device, saved-seeds-only fetch) must (a) actually engage on the
-        blob path and (b) reproduce the host-replay results exactly --
-        both against GBLASTN_TPU_DEV_REPLAY=0 (full fetch + host
-        replay) and the default non-blob path."""
-        import gblastn_tpu.engine.seeding as es
-        from gblastn_tpu.params.options import blastn_options
-
-        rng = np.random.default_rng(777)
-        recs = []
-        for k in range(8):
-            st = int(rng.integers(0, len(genome) - 900))
-            frag = list(genome[st: st + 800])
-            for p in np.flatnonzero(rng.random(800) < 0.07):
-                frag[p] = "ACGT"[("ACGT".index(frag[p]) + 1
-                                  + int(rng.integers(0, 3))) % 4]
-            seq = "".join(frag)
-            if k % 2:
-                seq = revcomp(seq)
-            recs.append(FastaRecord(f"r{k}", "", seq))
-        options = blastn_options(evalue=1e-2, window_size=40)
-
-        def rows(res):
-            return sorted(
-                (q.query_index, lst.oid, h.q_off, h.q_end, h.s_off,
-                 h.s_end, h.score, h.num_ident,
-                 tuple(h.edit_script or ()))
-                for q in res.queries for lst in q.hsplists
-                for h in lst.hsps
-            )
-
-        def fresh_db():
-            return SequenceDB.from_records(
-                [FastaRecord("chr1", "", genome)], title="blobdb"
-            )
-
-        calls = {"fast": 0}
-        orig = es._finish_saved_hits
-
-        def counting(*a, **k):
-            calls["fast"] += 1
-            return orig(*a, **k)
-
-        monkeypatch.setattr(es, "_finish_saved_hits", counting)
-        base = rows(search(recs, fresh_db(), options))
-        assert calls["fast"] == 0    # non-blob path: no device replay
-
-        monkeypatch.setenv("GBLASTN_TPU_FORCE_BLOB", "1")
-        fast = rows(search(recs, fresh_db(), options))
-        assert calls["fast"] > 0     # the fast path really engaged
-        assert fast == base and len(base) >= 4
-
-        monkeypatch.setenv("GBLASTN_TPU_DEV_REPLAY", "0")
-        calls["fast"] = 0
-        off = rows(search(recs, fresh_db(), options))
-        assert calls["fast"] == 0
-        assert off == base
-
-    def test_dev_replay_one_hit_megablast(self, genome, monkeypatch):
-        """One-hit (window_size == 0) device replay: megablast and
-        blastn default both take it on the blob path; results must
-        equal the host replay bit-for-bit."""
-        import gblastn_tpu.engine.seeding as es
-        from gblastn_tpu.params.options import blastn_options
-
-        rng = np.random.default_rng(888)
-        recs = []
-        for k in range(6):
-            st = int(rng.integers(0, len(genome) - 900))
-            frag = list(genome[st: st + 700])
-            for p in np.flatnonzero(rng.random(700) < 0.05):
-                frag[p] = "ACGT"[("ACGT".index(frag[p]) + 1
-                                  + int(rng.integers(0, 3))) % 4]
-            seq = "".join(frag)
-            if k % 2:
-                seq = revcomp(seq)
-            recs.append(FastaRecord(f"o{k}", "", seq))
-
-        def rows(res):
-            return sorted(
-                (q.query_index, lst.oid, h.q_off, h.q_end, h.s_off,
-                 h.s_end, h.score, h.num_ident,
-                 tuple(h.edit_script or ()))
-                for q in res.queries for lst in q.hsplists
-                for h in lst.hsps
-            )
-
-        def fresh_db():
-            return SequenceDB.from_records(
-                [FastaRecord("chr1", "", genome)], title="blobdb"
-            )
-
-        calls = {"fast": 0}
-        orig = es._finish_saved_hits
-
-        def counting(*a, **k):
-            calls["fast"] += 1
-            return orig(*a, **k)
-
-        monkeypatch.setattr(es, "_finish_saved_hits", counting)
-        for options in (
-            megablast_options(evalue=1e-3),
-            blastn_options(evalue=1e-2),      # one-hit blastn word 11
-        ):
-            calls["fast"] = 0
-            base = rows(search(recs, fresh_db(), options))
-            assert calls["fast"] == 0
-            monkeypatch.setenv("GBLASTN_TPU_FORCE_BLOB", "1")
-            fast = rows(search(recs, fresh_db(), options))
-            assert calls["fast"] > 0
-            assert fast == base and len(base) >= 4
-            monkeypatch.delenv("GBLASTN_TPU_FORCE_BLOB")
 
 
 def test_forced_small_caps_retry_matches(genome, monkeypatch):
