@@ -168,3 +168,36 @@ def test_cli_outfmt_1(tmp_path):
     assert "Query= q1" in txt
     assert "." * 60 in txt          # identity dots
     assert "Lambda" in txt
+
+
+def test_overlapping_inserts_share_columns():
+    """CAlnMix-equivalent merge rule for the query-anchored MSA
+    (VERDICT round-4 item 9): when two subjects insert at the SAME
+    query position, the master expands by max(insert lengths) gap
+    columns (shared, not concatenated), and each subject's insert run
+    renders LEFT-ALIGNED within those columns, padded with dashes.
+    This pins the exact rendering rule the views implement (the
+    reference funnels Seq-aligns through CAlnMix/showalign.cpp, which
+    merges coincident inserts into shared columns the same way)."""
+    qseq = "ACGTACGTACGTACGTACGT"
+    s1 = qseq[:10] + "TT" + qseq[10:]
+    s2 = qseq[:10] + "AAA" + qseq[10:]
+    h1 = HSP(q_off=0, q_end=20, s_off=0, s_end=22, score=25,
+             evalue=1e-8, bit_score=25.0, num_ident=20,
+             edit_script=[(OP_SUB, 10), (OP_DEL, 2), (OP_SUB, 10)])
+    h2 = HSP(q_off=0, q_end=20, s_off=0, s_end=23, score=24,
+             evalue=1e-7, bit_score=24.0, num_ident=20,
+             edit_script=[(OP_SUB, 10), (OP_DEL, 3), (OP_SUB, 10)])
+    txt = _render([("s1", [h1]), ("s2", [h2])], qseq, False, False,
+                  {"s1": s1, "s2": s2})
+    qline = next(l for l in txt.splitlines() if l.startswith("q1 "))
+    s1line = next(l for l in txt.splitlines() if l.startswith("s1"))
+    s2line = next(l for l in txt.splitlines() if l.startswith("s2"))
+    # master: ONE shared run of max(2, 3) = 3 gap columns
+    assert "ACGTACGTAC---GTACGTACGT" in qline
+    # the 2-base insert left-aligns in the shared columns
+    assert "ACGTACGTACTT-GTACGTACGT" in s1line
+    assert "ACGTACGTACAAAGTACGTACGT" in s2line
+    # subject end coordinates include the inserted bases
+    assert s1line.split()[-1] == "22"
+    assert s2line.split()[-1] == "23"
