@@ -16,6 +16,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 import numpy as np
 
+# The axon TPU tunnel plugin registers itself regardless of
+# JAX_PLATFORMS and becomes the default backend (CLAUDE.md): route
+# default computations to CPU exactly as tests/conftest.py does, or
+# the "non-blob" legs below silently take the TPU blob path.
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+except RuntimeError:
+    pass
+
 from gblastn_tpu.engine.search import search
 from gblastn_tpu.io.fasta import FastaRecord
 from gblastn_tpu.io.seqdb import SequenceDB
